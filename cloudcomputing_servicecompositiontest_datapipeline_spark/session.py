@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the conf set below is chosen so the *same*
+logical plans scale to a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime re-plan: coalesce small shuffle partitions, skew-join split,
+  dynamic broadcast conversion).
+- Arrow on (fast toPandas / pandas_udf batches).
+- UTC session timezone — deterministic timestamp collection regardless of host tz
+  (required for hash-matching a DuckDB oracle on naive timestamps).
+- shuffle.partitions sized for local tests; on a real cluster AQE coalescing makes
+  a high initial value safe, so we leave it overridable via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf applied to sessions we create AND (where safe) to sessions handed to us.
+ENGINE_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Exact decimal aggregation needed for oracle hash-matching.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Broadcast threshold: dims (region/nation/customer/supplier/part at test SF)
+    # should broadcast; at 100 TB the *fact* tables never fit, dims still do.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+}
+
+
+def get_spark(app_name: str = "spark-graft", master: str | None = None) -> SparkSession:
+    """Create (or fetch) a SparkSession with the engine's tuned conf."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in ENGINE_RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    builder = builder.config("spark.sql.files.maxPartitionBytes", "128MB")
+    return builder.getOrCreate()
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Best-effort apply of runtime-settable conf to an externally created session
+    (the driver hands us its own SparkSession in ``__spark_entry__``)."""
+    for k, v in ENGINE_RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep the session's value
+    return spark

@@ -1,0 +1,53 @@
+"""Star-schema source layer over the driver's parquet fixtures (TESTDATA.md).
+
+Reference analogue: S1/S2 CSV scans (``Transform.java:115-151``,
+``LoadData.java:37-75``) and S6 JSON-record scans (``report_generator.py:446-455``)
+— here the driver ships parquet, so readers are columnar scans with pushdown for
+free.  At 100 TB these would be partitioned (by date key) parquet/iceberg tables;
+the loader keeps per-table column pruning to whatever the query selects, so scans
+read only the projected columns (ReadSchema pruning via Catalyst).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these against facts.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Columnar parquet scan; Catalyst prunes columns
+    and pushes filters down to the scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table as a dict of DataFrames."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all fixture tables as temp views so ``spark.sql`` queries can
+    name them exactly like the DuckDB oracle does."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
