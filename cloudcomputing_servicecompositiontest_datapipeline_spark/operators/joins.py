@@ -1,0 +1,69 @@
+"""Join-shaped derivations from the reference (SURVEY.md §2.4).
+
+J1 ``runtimeOverlap`` (report_generator.py:92-112): for each run *i*, the sum
+over all other runs *j* of ``clamp(overlap(j, i), 0) / max(len_i, 1)`` — the
+reference computes this as an O(n²) nested Python loop; we express it as a
+self-join with a range predicate plus an optional equality predicate
+(``overlapFilter``, test/README.md:20) that turns it into an equi+range join
+Spark can shuffle by key (without it the plan is a broadcast-nested-loop —
+fine for small n, quadratic at scale, which is why the engine requires/strongly
+prefers the filter key at 100 TB).
+
+J2 tenancy annotate-back (report_generator.py:231-255): two-pass
+dict-build-then-stamp becomes a single window ``count(*) over (partition by
+vm)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def runtime_overlap(
+    df: DataFrame,
+    *,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    overlap_filter: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """J1: per-row overlap score.
+
+    Mirrors report_generator.py:97,100,108-109 exactly: zero-length intervals
+    divide by ``max(len, 1)``; a row never overlaps itself.  Per-pair ratios
+    are floor-scaled to integers before summing so the aggregate is exact and
+    order-insensitive (doubles would make the hash shuffle-dependent).
+    Returns ``id_col, overlap_score`` (score = scaled sum / scale).
+    """
+    a, b = df.alias("a"), df.alias("b")
+    cond: Column = (
+        (F.col(f"b.{start_col}") < F.col(f"a.{end_col}"))
+        & (F.col(f"b.{end_col}") > F.col(f"a.{start_col}"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    )
+    if overlap_filter:
+        cond = (F.col(f"a.{overlap_filter}") == F.col(f"b.{overlap_filter}")) & cond
+    overlap = F.least(F.col(f"b.{end_col}"), F.col(f"a.{end_col}")) - F.greatest(
+        F.col(f"b.{start_col}"), F.col(f"a.{start_col}")
+    )
+    length = F.greatest(F.col(f"a.{end_col}") - F.col(f"a.{start_col}"), F.lit(1))
+    term = F.floor(overlap.cast("double") / length * scale).cast("long")
+    joined = a.join(b, cond, "left")
+    return (
+        joined.groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg((F.coalesce(F.sum(term), F.lit(0)) / F.lit(float(scale))).alias("overlap_score"))
+    )
+
+
+def tenancy_annotate(
+    df: DataFrame, vm_col: str, type_col: str, out_col: str = "tenancy"
+) -> DataFrame:
+    """J2/W3: stamp each row with ``"<type> - <uses>"`` where uses is the
+    row count of its vm/container partition (report_generator.py:241-251)."""
+    w = Window.partitionBy(vm_col)
+    return df.withColumn(
+        out_col,
+        F.concat_ws(" - ", F.col(type_col), F.count(F.lit(1)).over(w).cast("string")),
+    )

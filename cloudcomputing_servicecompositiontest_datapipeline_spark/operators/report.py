@@ -1,0 +1,131 @@
+"""FaaS-Runner report engine re-expressed as DataFrame plans.
+
+Reference: ``test/tools/report_generator.py`` — the reference's real analytics
+engine.  Its fixed physical plan (report_generator.py:21-431): schema-unify →
+invalidator/dedup filters → per-category group/agg (avg of every numeric
+column, sum/list for configured columns, uses count) → sorted emit.  The
+experiment config that drives it is ``defaultExperiment``
+(test/faas_runner.py:34-64); we mirror the analytics-relevant keys in
+:class:`ReportConfig`.
+
+Scale posture: each per-category aggregation is a single hash-aggregate
+(partial + final) on the group key; ``collect_set`` columns are capped via
+config to avoid unbounded groups at 100 TB (SURVEY.md §4.2); all math stays
+JVM-side (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from ..functions.exact import davg, dsum
+from .transform import first_wins_dedup
+
+#: The reference's missing-value sentinel (report_generator.py:86-87).
+SENTINEL = -999999999999
+
+
+@dataclass
+class ReportConfig:
+    """Analytics-relevant subset of the experiment config (faas_runner.py:34-64,
+    semantics test/README.md:93-148)."""
+
+    output_groups: list[str] = field(default_factory=list)  # group-by keys (A6)
+    show_as_list: list[str] = field(default_factory=list)  # A5 collect-distinct-sorted
+    show_as_sum: list[str] = field(default_factory=list)  # A2 sum columns
+    ignore_from_all: list[str] = field(default_factory=list)  # P14 drop everywhere
+    ignore_from_groups: list[str] = field(default_factory=list)  # P14 drop in group sections
+    ignore_by_group: dict[str, list[str]] = field(default_factory=dict)  # P14 per-key drops
+    invalidators: dict[str, object] = field(default_factory=dict)  # P12 drop matching rows
+    remove_duplicate_containers: bool = False  # D2 dedup by container id
+    container_key: str = "uuid"
+    warmup_buffer: int = 0  # P13 drop warm-up iterations
+    iteration_col: str = "iteration"
+    list_cap: int = 10_000  # scale guard for collect_set groups
+    round_scale: int = 2  # P18 (report_generator.py:380)
+
+
+def invalidator_filter(df: DataFrame, invalidators: dict[str, object]) -> DataFrame:
+    """P12: drop rows where ``str(run[k]) == str(v)`` (report_generator.py:203-225).
+    The reference compares stringified values; nulls never match (kept)."""
+    for k, v in invalidators.items():
+        if k in df.columns:
+            pred = F.col(k).cast("string") == F.lit(str(v))
+            df = df.filter(~F.coalesce(pred, F.lit(False)))
+    return df
+
+
+def warmup_filter(df: DataFrame, warmup: int, iteration_col: str = "iteration") -> DataFrame:
+    """P13: drop iterations below the warm-up buffer
+    (experiment_orchestrator.py:225-231)."""
+    if warmup <= 0 or iteration_col not in df.columns:
+        return df
+    return df.filter(F.col(iteration_col) >= F.lit(warmup))
+
+
+def schema_unify(frames: list[DataFrame], use_sentinel: bool = False) -> DataFrame:
+    """P17/U1/U2: union-of-keys schema across record batches
+    (report_generator.py:78-87).  Default is Spark-idiomatic nulls; the
+    reference's ``-999999999999`` sentinel is a compat opt-in (SURVEY.md §7.3)."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    if use_sentinel:
+        num_cols = [
+            c.name for c in out.schema.fields if isinstance(c.dataType, NumericType)
+        ]
+        out = out.fillna(SENTINEL, subset=num_cols)
+    return out
+
+
+def numeric_columns(df: DataFrame, exclude: set[str] = frozenset()) -> list[str]:
+    """The reference treats "numeric" as Decimal-parseable-at-runtime
+    (report_generator.py:312-326); we decide from schema (SURVEY.md §7.3)."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name not in exclude
+    ]
+
+
+def group_section(df: DataFrame, key: str, cfg: ReportConfig) -> DataFrame:
+    """One per-category section (report_generator.py:261-384): group by ``key``,
+    emit ``uses`` count (A3), ``avg_X`` for every numeric column (A1),
+    ``sum_X`` for showAsSum (A2), ``X_list`` sorted-distinct for showAsList
+    (A5), ordered by the group key (O1)."""
+    dropped = set(
+        cfg.ignore_from_all + cfg.ignore_from_groups + cfg.ignore_by_group.get(key, [])
+    ) | {key}
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("uses")]
+    for c in numeric_columns(df, exclude=dropped):
+        aggs.append(davg(c, f"avg_{c}", cfg.round_scale))
+    for c in cfg.show_as_sum:
+        if c in df.columns and c not in dropped:
+            aggs.append(dsum(c, f"sum_{c}", cfg.round_scale))
+    for c in cfg.show_as_list:
+        if c in df.columns and c not in dropped:
+            aggs.append(
+                F.slice(F.sort_array(F.collect_set(F.col(c))), 1, cfg.list_cap).alias(
+                    f"{c}_list"
+                )
+            )
+    return df.groupBy(key).agg(*aggs).orderBy(key)
+
+
+def report(df: DataFrame, cfg: ReportConfig) -> dict[str, DataFrame]:
+    """The full report plan: filters → dedup → one section per output group,
+    plus the raw (filtered) records under ``"raw"``."""
+    df = warmup_filter(df, cfg.warmup_buffer, cfg.iteration_col)
+    df = invalidator_filter(df, cfg.invalidators)
+    if cfg.remove_duplicate_containers and cfg.container_key in df.columns:
+        order = [F.col(c) for c in df.columns]
+        df = first_wins_dedup(df, cfg.container_key, order)
+    sections: dict[str, DataFrame] = {"raw": df}
+    for key in cfg.output_groups:
+        if key in df.columns:
+            sections[key] = group_section(df, key, cfg)
+    return sections

@@ -1,1 +1,144 @@
-"""(populated incrementally)"""
+"""Declared queries for join-shaped reference operators (SURVEY.md §2.4) over
+``events``: intervals are ``[ts, ts + value seconds]`` in epoch microseconds
+(exact integers on both engines), ``user_id`` plays the vm/container id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import runtime_overlap, tenancy_annotate
+from ..session import apply_runtime_conf
+from ..sources import star
+from .registry import query
+
+#: Interval bounds in epoch micros (bigint → exact on both engines).
+_ORACLE_START = "epoch_us(ts)"
+_ORACLE_END = "epoch_us(ts) + cast(value * 1000000.0 AS bigint)"
+
+
+def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    start = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        start.alias("start_us"),
+        (start + (F.col("value") * 1000000.0).cast("long")).alias("end_us"),
+    )
+
+
+@query(
+    "overlap_selfjoin",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_id, user_id, {_ORACLE_START} AS start_us, {_ORACLE_END} AS end_us
+      FROM events
+    )
+    SELECT a.event_id,
+           coalesce(sum(cast(floor(
+             cast(least(b.end_us, a.end_us) - greatest(b.start_us, a.start_us) AS double)
+             / greatest(a.end_us - a.start_us, 1) * 1000000) AS bigint)), 0)
+           / 1000000.0 AS overlap_score
+    FROM iv a LEFT JOIN iv b
+      ON a.user_id = b.user_id
+     AND b.start_us < a.end_us AND b.end_us > a.start_us
+     AND a.event_id != b.event_id
+    GROUP BY a.event_id
+    """,
+)
+def overlap_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 runtimeOverlap (report_generator.py:92-112) with ``overlapFilter =
+    user_id`` (test/README.md:20): equi+range self-join shuffled on the filter
+    key — per-key quadratic instead of globally quadratic, which is what makes
+    the operator feasible at 100 TB (SURVEY.md §4.1)."""
+    iv = _intervals(spark, sf_dir)
+    return runtime_overlap(
+        iv,
+        id_col="event_id",
+        start_col="start_us",
+        end_col="end_us",
+        overlap_filter="user_id",
+    )
+
+
+@query(
+    "tenancy_annotate",
+    oracle="""
+    SELECT event_id, user_id,
+           concat(event_type, ' - ', cast(count(*) OVER (PARTITION BY user_id) AS varchar)) AS tenancy
+    FROM events
+    """,
+)
+def tenancy_annotate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/W3 tenancy annotate-back (report_generator.py:231-255): the
+    reference's build-dict-then-stamp second pass is one window exchange."""
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return tenancy_annotate(ev, "user_id", "event_type").select(
+        "event_id", "user_id", "tenancy"
+    )
+
+
+@query(
+    "pipeline_cumulative",
+    oracle="""
+    WITH staged AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS stage
+      FROM events
+    )
+    SELECT user_id, event_id, stage,
+           round(cast(sum(cast(value AS decimal(28,4))) OVER (
+             PARTITION BY user_id ORDER BY stage
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double), 2) AS value_pipeline
+    FROM staged
+    """,
+)
+def pipeline_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+W1+A8+O4: pipeline-stage alignment and cumulative ``X + "Pipeline"``
+    running sums (report_generator.py:115-164): stage order is the per-thread
+    event order; running sum is decimal-exact so the hash is stable."""
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    stage_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("stage", F.row_number().over(stage_w))
+        .select(
+            "user_id",
+            "event_id",
+            "stage",
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,4)")).over(cum_w).cast("double"), 2
+            ).alias("value_pipeline"),
+        )
+    )
+
+
+@query(
+    "join_config_stamp",
+    oracle="""
+    SELECT e.event_id, e.user_id, r.r_name AS endpoint
+    FROM events e JOIN region r ON e.user_id % 5 = r.r_regionkey
+    """,
+)
+def join_config_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: stamp per-run config attributes onto every record
+    (experiment_caller.py:98-99) — a broadcast equi-join of a tiny config
+    dimension onto the fact stream (explicit ``broadcast()`` hint: the config
+    side is always driver-small)."""
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    region = star.table(spark, sf_dir, "region")
+    return ev.join(
+        F.broadcast(region), ev.user_id % 5 == region.r_regionkey
+    ).select("event_id", "user_id", F.col("r_name").alias("endpoint"))

@@ -1,1 +1,343 @@
-"""(populated incrementally)"""
+"""FaaS-Runner report-engine declared queries over the ``events`` fixture
+(FIXTURES.md §F2: ``events`` plays the runs table — ``user_id`` is the
+container/VM analogue, ``event_type`` the cpuType-like category, ``value`` the
+runtime-like metric, ``event_id`` the ingest ordinal).
+
+Covers SURVEY.md §2 rows: A1-A7, A9, A10, A12-A14, P6-P10, P12-P13, P17-P18,
+D3, U1/U2, O1 — each cited to the reference in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC, davg, dsum, sql_davg, sql_dsum
+from ..operators.report import ReportConfig, invalidator_filter, report, schema_unify, warmup_filter
+from ..session import apply_runtime_conf
+from ..sources import star
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return star.table(spark, sf_dir, "events")
+
+
+@query(
+    "report_group_avg",
+    oracle=f"""
+    SELECT event_type, count(*) AS uses, {sql_davg("value", "avg_value")}
+    FROM events GROUP BY event_type
+    """,
+)
+def report_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A3: per-category uses count and Decimal-exact rounded mean
+    (report_generator.py:337-339,372-381)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("uses"), davg("value", "avg_value")
+    )
+
+
+@query(
+    "report_group_sum",
+    oracle=f"""
+    SELECT event_type, {sql_dsum("value", "sum_value")} FROM events GROUP BY event_type
+    """,
+)
+def report_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: showAsSum column per category (report_generator.py:363-371)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(dsum("value", "sum_value"))
+
+
+@query(
+    "report_show_as_list",
+    oracle="""
+    SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_type_list,
+           count(DISTINCT event_type) AS n_distinct
+    FROM events GROUP BY user_id
+    """,
+)
+def report_show_as_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+D3+A4+O3: sorted distinct value list per group plus distinct count
+    (report_generator.py:352-362,384)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_type_list"),
+        F.countDistinct("event_type").alias("n_distinct"),
+    )
+
+
+@query(
+    "report_multi_group",
+    oracle=f"""
+    SELECT event_type, user_id, count(*) AS uses, {sql_davg("value", "avg_value")}
+    FROM events GROUP BY GROUPING SETS ((event_type), (user_id))
+    """,
+)
+def report_multi_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: one grouped breakdown per outputGroups key in a single pass via
+    GROUPING SETS (report_generator.py:261-284; SURVEY.md §4.2 rewrite) —
+    avoids re-scanning the fact table once per key at 100 TB."""
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events_mg")
+    return spark.sql(
+        f"""
+        SELECT event_type, user_id, count(*) AS uses,
+               round(cast(sum(cast(value AS {DEC})) AS double) / count(value), 2) AS avg_value
+        FROM events_mg GROUP BY GROUPING SETS ((event_type), (user_id))
+        """
+    )
+
+
+@query(
+    "report_global_zall",
+    oracle=f"""
+    SELECT 'Final Results:' AS zAll, count(*) AS uses,
+           {sql_davg("value", "avg_value")}, {sql_dsum("value", "sum_value")},
+           count(DISTINCT user_id) AS unique_users
+    FROM events GROUP BY 1
+    """,
+)
+def report_global_zall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+P9: whole-table aggregate via the constant ``zAll`` key
+    (experiment_caller.py:88; test/README.md:25)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("zAll", F.lit("Final Results:"))
+        .groupBy("zAll")
+        .agg(
+            F.count(F.lit(1)).alias("uses"),
+            davg("value", "avg_value"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )
+
+
+@query(
+    "report_invalidator_warmup",
+    oracle=f"""
+    SELECT event_type, count(*) AS uses, {sql_davg("value", "avg_value")}
+    FROM events
+    WHERE NOT coalesce(cast(event_type AS varchar) = 'error', false)
+      AND event_id >= 1000
+    GROUP BY event_type
+    """,
+)
+def report_invalidator_warmup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12+P13: invalidator row-drop (report_generator.py:203-225) composed
+    with the warm-up buffer filter (experiment_orchestrator.py:225-231);
+    ``event_id`` plays the iteration ordinal.  Both predicates push down to
+    the parquet scan."""
+    ev = _events(spark, sf_dir)
+    ev = warmup_filter(ev, 1000, iteration_col="event_id")
+    ev = invalidator_filter(ev, {"event_type": "error"})
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("uses"), davg("value", "avg_value")
+    )
+
+
+@query(
+    "report_union_sentinel",
+    oracle="""
+    WITH a AS (SELECT event_id, user_id, value, NULL AS props FROM events WHERE event_id % 2 = 0),
+         b AS (SELECT event_id, user_id, NULL AS value, props FROM events WHERE event_id % 2 = 1),
+         u AS (SELECT event_id, user_id,
+                      coalesce(value, -999999999999) AS value,
+                      props, event_id % 2 AS iteration
+               FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b))
+    SELECT iteration, count(*) AS uses,
+           round(cast(sum(cast(value AS decimal(28,4))) AS double) / count(value), 2) AS avg_value
+    FROM u GROUP BY iteration
+    """,
+)
+def report_union_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17+U1/U2: union-of-keys schema across batches with the reference's
+    ``-999999999999`` sentinel for missing values (report_generator.py:78-87)
+    and iteration tagging (experiment_orchestrator.py:222-237).  The sentinel
+    deliberately poisons the odd iteration's average, as in the reference."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "value")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "props")
+    u = schema_unify([a, b], use_sentinel=True).withColumn(
+        "iteration", F.col("event_id") % 2
+    )
+    return u.groupBy("iteration").agg(
+        F.count(F.lit(1)).alias("uses"), davg("value", "avg_value")
+    )
+
+
+@query(
+    "report_derive_row",
+    oracle="""
+    SELECT event_id,
+           round(value - user_id * 0.1, 2) AS latency,
+           concat(event_type, ' - Model ', cast(user_id AS varchar)) AS cpu_type_model,
+           replace(replace(props, ',', ';'), chr(10), '\\n') AS sanitized,
+           cast(event_id % 10 AS integer) AS thread_id
+    FROM events
+    """,
+)
+def report_derive_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7+P8+P10+P18: row-level derives — latency arithmetic
+    (experiment_caller.py:92-93), cpuType model concat (:95-96), CSV-safety
+    sanitize (:113-117), thread-id tagging (:85-87), round-2 (:163).
+
+    ``value - user_id*0.1`` plays roundTripTime − runtime; the true result has
+    two decimals, so round(…,2) never sits on a .xx5 boundary where Spark
+    (decimal-string HALF_UP) and DuckDB (binary) would disagree."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - F.col("user_id") * 0.1, 2).alias("latency"),
+        F.concat(
+            F.col("event_type"), F.lit(" - Model "), F.col("user_id").cast("string")
+        ).alias("cpu_type_model"),
+        F.regexp_replace(
+            F.regexp_replace("props", ",", ";"), "\n", r"\\n"
+        ).alias("sanitized"),
+        (F.col("event_id") % 10).cast("int").alias("thread_id"),
+    )
+
+
+@query(
+    "report_cold_start_count",
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS new_containers,
+           count(*) AS uses
+    FROM events GROUP BY user_id
+    """,
+)
+def report_cold_start_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: conditional count of cold starts (partestcpu.sh:166;
+    ``sum_newcontainer`` in reports) — ``signup`` plays newcontainer=1."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+            "new_containers"
+        ),
+        F.count(F.lit(1)).alias("uses"),
+    )
+
+
+@query(
+    "report_variance_uses",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS uses
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           count(*) AS containers,
+           round(cast(sum(cast(uses AS {DEC})) AS double) / count(*), 4) AS mean_uses,
+           round(cast(sum(cast(uses * uses AS {DEC})) AS double) / count(*)
+                 - (cast(sum(cast(uses AS {DEC})) AS double) / count(*))
+                   * (cast(sum(cast(uses AS {DEC})) AS double) / count(*)), 4) AS var_uses
+    FROM per_user GROUP BY event_type
+    """,
+)
+def report_variance_uses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: population variance of uses-per-container (partestcpu.sh:186-189,
+    283-309), computed with decimal-exact moments so the hash is
+    order-insensitive (E[X²] − E[X]² on exact sums)."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("uses"))
+    s1 = F.sum(F.col("uses").cast(DEC)).cast("double")
+    s2 = F.sum((F.col("uses") * F.col("uses")).cast(DEC)).cast("double")
+    n = F.count(F.lit(1))
+    return per_user.groupBy("event_type").agg(
+        n.alias("containers"),
+        F.round(s1 / n, 4).alias("mean_uses"),
+        F.round(s2 / n - (s1 / n) * (s1 / n), 4).alias("var_uses"),
+    )
+
+
+@query(
+    "report_summary_cost",
+    oracle=f"""
+    SELECT count(*) AS runs,
+           count(DISTINCT user_id) AS containers,
+           {sql_davg("value", "avg_runtime")},
+           round(cast(sum(cast(value AS {DEC})) AS double) / 1000 * 0.00001667 * (3008.0/1024), 6) AS total_cost
+    FROM events
+    """,
+)
+def report_summary_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+A13: the partest summary scalar row with GB-second cost model
+    (partestcpu.sh:22-24,421-427): $0.00001667/GB-s at 3008 MB; ``value``
+    plays runtime-ms."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).alias("runs"),
+        F.countDistinct("user_id").alias("containers"),
+        davg("value", "avg_runtime"),
+        F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            / 1000
+            * 0.00001667
+            * (3008.0 / 1024),
+            6,
+        ).alias("total_cost"),
+    )
+
+
+@query(
+    "report_tenancy_histogram",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS uses,
+             sum(cast(value AS {DEC})) AS sum_value
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, uses AS tenancy, count(*) AS n_tenants,
+           round(cast(sum(sum_value) AS double) / sum(uses), 2) AS avg_value_per_use
+    FROM per_user GROUP BY event_type, uses
+    """,
+)
+def report_tenancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11+A12: tenancy histogram — group by (category, uses) composite and
+    normalize averages per tenant (partestcputenancy.sh:448-470)."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("uses"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+    )
+    return per_user.groupBy("event_type", "uses").agg(
+        F.count(F.lit(1)).alias("n_tenants"),
+        F.round(F.sum("sum_value").cast("double") / F.sum("uses"), 2).alias(
+            "avg_value_per_use"
+        ),
+    ).withColumnRenamed("uses", "tenancy")
+
+
+@query(
+    "report_full",
+    oracle=f"""
+    SELECT event_type, count(*) AS uses,
+           {sql_davg("event_id", "avg_event_id")},
+           {sql_davg("user_id", "avg_user_id")},
+           {sql_davg("value", "avg_value")},
+           {sql_dsum("value", "sum_value")},
+           list_sort(list_distinct(list(user_id))) AS user_id_list
+    FROM events
+    WHERE NOT coalesce(cast(event_type AS varchar) = 'error', false)
+    GROUP BY event_type
+    """,
+)
+def report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite report plan end-to-end via :func:`operators.report.report`
+    driven by a ReportConfig, mirroring the reference's fixed pipeline
+    (report_generator.py:21-431): invalidators → per-category section with
+    uses / avg-of-every-numeric / showAsSum / showAsList."""
+    ev = _events(spark, sf_dir)
+    cfg = ReportConfig(
+        output_groups=["event_type"],
+        show_as_list=["user_id"],
+        show_as_sum=["value"],
+        invalidators={"event_type": "error"},
+    )
+    return report(ev, cfg)["event_type"]

@@ -30,6 +30,9 @@ ENGINE_RUNTIME_CONF = {
     # Broadcast threshold: dims (region/nation/customer/supplier/part at test SF)
     # should broadcast; at 100 TB the *fact* tables never fit, dims still do.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # The events fixture stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long and convert in the source layer (star.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
