@@ -23,20 +23,26 @@ DEC = "decimal(28,4)"
 
 
 def dsum(col: str | Column, alias: str | None = None, scale: int = 2) -> Column:
-    """Order-insensitive sum: decimal-exact then rounded double."""
+    """Order-insensitive sum: round the exact decimal (both engines round
+    decimals half-away-from-zero), then cast — never round a double, whose
+    string-vs-binary rounding differs between engines at .xx5 boundaries."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(F.sum(c.cast(DEC)).cast("double"), scale)
+    out = F.round(F.sum(c.cast(DEC)), scale).cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: str | Column, alias: str | None = None, scale: int = 2) -> Column:
-    """Order-insensitive mean: exact decimal sum / count, rounded double.
+    """Order-insensitive mean: exact decimal sum / count, then an explicit
+    ``floor(x*10^s + 0.5)/10^s`` rounding — every step is the same IEEE double
+    op on both engines, so results are bit-identical (library round() is not).
 
     Mirrors the reference's Decimal mean (`report_generator.py:372-381`, which
     rounds to 2 decimals).
     """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale)
+    mult = float(10**scale)
+    q = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    out = F.floor(q * F.lit(mult) + F.lit(0.5)) / F.lit(mult)
     return out.alias(alias) if alias else out
 
 
@@ -45,14 +51,39 @@ def dround(col: Column, scale: int = 2) -> Column:
     return F.round(col, scale)
 
 
+def fround(col: Column, scale: int = 2) -> Column:
+    """Cross-engine-deterministic round of a double: ``floor(x*10^s + 0.5)/10^s``.
+    Library round() on doubles diverges between Spark (decimal-string HALF_UP)
+    and DuckDB (binary) when the value sits at a .xx5 boundary; this formula is
+    the same IEEE ops on both engines.  Twin: :func:`sql_fround`."""
+    mult = float(10**scale)
+    return F.floor(col * F.lit(mult) + F.lit(0.5)) / F.lit(mult)
+
+
+def sql_fround(expr: str, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`fround`."""
+    mult = float(10**scale)
+    return f"floor(({expr}) * {mult} + 0.5) / {mult}"
+
+
+def dsum_exact(col: Column, alias: str | None = None, scale: int = 2) -> Column:
+    """Sum a column that is ALREADY exact decimal (built via decimal arithmetic
+    on decimal-cast inputs).  Use when the expression's true scale exceeds
+    DEC's 4 fractional digits — casting the double result would round it and
+    reintroduce cross-engine divergence."""
+    out = F.round(F.sum(col), scale).cast("double")
+    return out.alias(alias) if alias else out
+
+
 def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
     """DuckDB-side twin of :func:`dsum` for oracle strings."""
-    return f"round(cast(sum(cast(({expr}) as {DEC})) as double), {scale}) AS {alias}"
+    return f"cast(round(sum(cast(({expr}) as {DEC})), {scale}) as double) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 2) -> str:
     """DuckDB-side twin of :func:`davg`."""
+    mult = float(10**scale)
     return (
-        f"round(cast(sum(cast(({expr}) as {DEC})) as double)"
-        f" / count(({expr})), {scale}) AS {alias}"
+        f"floor((cast(sum(cast(({expr}) as {DEC})) as double)"
+        f" / count(({expr}))) * {mult} + 0.5) / {mult} AS {alias}"
     )

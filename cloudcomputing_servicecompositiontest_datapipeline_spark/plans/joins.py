@@ -93,9 +93,9 @@ def tenancy_annotate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id, stage,
-           round(cast(sum(cast(value AS decimal(28,4))) OVER (
+           cast(round(sum(cast(value AS decimal(28,4))) OVER (
              PARTITION BY user_id ORDER BY stage
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double), 2) AS value_pipeline
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS double) AS value_pipeline
     FROM staged
     """,
 )
@@ -118,8 +118,8 @@ def pipeline_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "stage",
             F.round(
-                F.sum(F.col("value").cast("decimal(28,4)")).over(cum_w).cast("double"), 2
-            ).alias("value_pipeline"),
+                F.sum(F.col("value").cast("decimal(28,4)")).over(cum_w), 2
+            ).cast("double").alias("value_pipeline"),
         )
     )
 

@@ -1,1 +1,563 @@
-"""(populated incrementally)"""
+"""Native star-schema declared queries (SURVEY.md §2.4 note, §2.5 extensions,
+§2.7-§2.9): the standard SQL surface a user of the reference's downstream
+"Query" stage (SURVEY.md §3.2 — it delegates to an external DBMS) would run,
+expressed Spark-first.  Dimension joins broadcast; fact aggregations are
+decimal-exact for hash stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC, davg, dsum, dsum_exact, sql_davg, sql_dsum
+from ..session import apply_runtime_conf
+from ..sources import star
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return star.table(spark, sf_dir, name)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           cast(round(sum(cast(l_extendedprice AS decimal(18,2))
+                          * (1 - cast(l_discount AS decimal(4,2)))
+                          * (1 + cast(l_tax AS decimal(4,2)))), 2) AS double) AS sum_charge,
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc", 4)},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical scan→filter→hash-agg
+    plan.  Predicate pushes to parquet; partial aggregation runs map-side so
+    the shuffle carries one row per (flag,status) per partition at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # charge has 6 true fractional digits → build it in exact decimal
+    # arithmetic (decimal-cast inputs) instead of casting the double product.
+    charge_dec = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum_exact(charge_dec, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", 4),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS order_id,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < timestamp '1998-01-01'
+      AND l.l_shipdate > timestamp '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, order_id
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter → fact join → agg → top-k.
+    Customer (dim) broadcasts; order-by carries a deterministic orderkey
+    tiebreak so LIMIT is hash-stable."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"), "o_orderdate", "o_orderpriority"
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "order_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= timestamp '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join through the full dimension chain.  All four
+    dims broadcast; only fact-fact (orders⋈lineitem) shuffles at scale, and
+    Catalyst/AQE reorders the join tree."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), (c.c_custkey == o.o_custkey))
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native left outer join with join-side predicate (count preserves
+    zero-match customers)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'with_urgent' AS side, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'without_urgent' AS side, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native left-semi and left-anti joins (EXISTS / NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_urgent").alias("side"), "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_urgent").alias("side"), "n")
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         ss AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cc.nk, ss.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native full outer join over pre-aggregated sides."""
+    c = _t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = _t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 native intersect (distinct semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "purchase").select("user_id"))
+    )
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 native except (distinct semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .subtract(ev.filter(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle=f"""
+    SELECT r.r_name, n.n_name, count(*) AS n_cust, {sql_davg("c.c_acctbal", "avg_bal")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ROLLUP over the dimension hierarchy (SURVEY.md §2.5 ext)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), davg("c_acctbal", "avg_bal"))
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE (SURVEY.md §2.5 ext)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "having_filter",
+    oracle=f"""
+    SELECT o_custkey, count(*) AS n_orders, {sql_dsum("o_totalprice", "total_spent")}
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native HAVING (post-aggregation filter)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spent"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "distinct_multi",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native multi-argument distinct count (SURVEY.md §2.5 ext; the
+    at-scale variant is approx_count_distinct, exercised rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 global top-k: Spark plans TakeOrderedAndProject (no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           trim(p_name) AS name_trim,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat_ws(' - Model ', p_brand, cast(p_size AS varchar)) AS brand_model,
+           length(p_name) AS name_len,
+           contains(p_type, 'BRUSHED') AS is_brushed,
+           starts_with(p_name, 'a') AS starts_a,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           replace(p_type, ' ', '_') AS type_snake,
+           printf('%s/%d', p_brand, p_size) AS brand_size_fmt
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 string surface: upper (Request.java:20-22), trim (Inspector.py:111),
+    substring/regexp_extract (Inspector.py:311-312), concat_ws
+    (experiment_caller.py:96), contains/startswith (Inspector.py:163),
+    replace (experiment_caller.py:116-117), format_string (HelloMain.java:36-37)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_name").alias("name_trim"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws(" - Model ", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_model"
+        ),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").contains("BRUSHED").alias("is_brushed"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.format_string("%s/%d", F.col("p_brand"), F.col("p_size")).alias(
+            "brand_size_fmt"
+        ),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dy,
+           quarter(o_orderdate) AS qtr,
+           cast(cast(date_trunc('month', o_orderdate) AS date) AS varchar) AS month_start,
+           datediff('day', timestamp '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           isodow(o_orderdate) AS iso_weekday,
+           cast(cast(last_day(cast(o_orderdate AS date)) AS date) AS varchar) AS month_end,
+           strftime(o_orderdate, '%m/%d/%Y') AS us_date
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date surface: MM/dd/yyyy formatting (Transform.java:97), datediff
+    (Transform.java:104), truncation/parts (partestcpu.sh:350-352 uptime
+    arithmetic analogue).  Spark weekday() is Mon=0 → +1 matches DuckDB
+    isodow (Mon=1)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        (F.weekday("o_orderdate") + 1).alias("iso_weekday"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("us_date"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           abs(l_discount - l_tax) AS abs_diff,
+           round(l_quantity * l_quantity, 2) AS qty_sq,
+           l_partkey % 7 AS pk_mod,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 math surface: divide/multiply (P1/A10), round (P18), max/clamp
+    (report_generator.py:97), squared deviation (partestcpu.sh:187-188),
+    modulo (experiment_caller.py:105).  sqrt is IEEE correctly-rounded so it
+    hash-matches; transcendentals (exp/log) are excluded from oracle checks
+    because libm results differ across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("abs_diff"),
+        F.round(F.col("l_quantity") * F.col("l_quantity"), 2).alias("qty_sq"),
+        (F.col("l_partkey") % 7).alias("pk_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_tokens,
+           array_to_string(string_split(text, ' ')[1:3], '|') AS head_joined,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark
+    FROM documents
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 array surface: split (Transform.java:122-128 delimiter scan),
+    size/len, sorted distinct (showAsList), slice, join, membership."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.slice(F.sort_array(F.array_distinct(toks)), 1, 5).alias("first_tokens"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("head_joined"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS integer) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 JSON surface: parse response text to record fields
+    (experiment_caller.py:84 ast.literal_eval → get_json_object)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@query(
+    "conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+           if(c_nationkey % 2 = 0, 'even', 'odd') AS nation_parity
+    FROM customer
+    """,
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 conditional surface: CASE/WHEN decode (P3), coalesce defaulting
+    (faas_runner.py:163-167), nullif, if/otherwise."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "seg_defaulted"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias(
+            "nation_parity"
+        ),
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           {sql_davg("l_quantity", "avg_qty")}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native exact percentile/median (SURVEY.md §2.5 ext): both engines use
+    linear interpolation for continuous quantiles.  At 100 TB the engine's
+    scale path is approx_percentile (rows-only variant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        davg("l_quantity", "avg_qty"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import DEC, davg, dsum, sql_davg, sql_dsum
+from ..functions.exact import DEC, davg, dsum, fround, sql_davg, sql_dsum, sql_fround
 from ..operators.report import ReportConfig, invalidator_filter, report, schema_unify, warmup_filter
 from ..session import apply_runtime_conf
 from ..sources import star
@@ -73,7 +73,8 @@ def report_show_as_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "report_multi_group",
     oracle=f"""
-    SELECT event_type, user_id, count(*) AS uses, {sql_davg("value", "avg_value")}
+    SELECT event_type, user_id, count(*) AS uses,
+           {sql_fround(f"cast(sum(cast(value AS {DEC})) AS double) / count(value)", 2)} AS avg_value
     FROM events GROUP BY GROUPING SETS ((event_type), (user_id))
     """,
 )
@@ -86,7 +87,7 @@ def report_multi_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT event_type, user_id, count(*) AS uses,
-               round(cast(sum(cast(value AS {DEC})) AS double) / count(value), 2) AS avg_value
+               floor((cast(sum(cast(value AS {DEC})) AS double) / count(value)) * 100.0 + 0.5) / 100.0 AS avg_value
         FROM events_mg GROUP BY GROUPING SETS ((event_type), (user_id))
         """
     )
@@ -150,7 +151,7 @@ def report_invalidator_warmup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       props, event_id % 2 AS iteration
                FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b))
     SELECT iteration, count(*) AS uses,
-           round(cast(sum(cast(value AS decimal(28,4))) AS double) / count(value), 2) AS avg_value
+           floor((cast(sum(cast(value AS decimal(28,4))) AS double) / count(value)) * 100.0 + 0.5) / 100.0 AS avg_value
     FROM u GROUP BY iteration
     """,
 )
@@ -233,10 +234,11 @@ def report_cold_start_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS containers,
-           round(cast(sum(cast(uses AS {DEC})) AS double) / count(*), 4) AS mean_uses,
-           round(cast(sum(cast(uses * uses AS {DEC})) AS double) / count(*)
-                 - (cast(sum(cast(uses AS {DEC})) AS double) / count(*))
-                   * (cast(sum(cast(uses AS {DEC})) AS double) / count(*)), 4) AS var_uses
+           {sql_fround(f"cast(sum(cast(uses AS {DEC})) AS double) / count(*)", 4)} AS mean_uses,
+           {sql_fround(
+               f"cast(sum(cast(uses * uses AS {DEC})) AS double) / count(*)"
+               f" - (cast(sum(cast(uses AS {DEC})) AS double) / count(*))"
+               f" * (cast(sum(cast(uses AS {DEC})) AS double) / count(*))", 4)} AS var_uses
     FROM per_user GROUP BY event_type
     """,
 )
@@ -251,8 +253,8 @@ def report_variance_uses(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     return per_user.groupBy("event_type").agg(
         n.alias("containers"),
-        F.round(s1 / n, 4).alias("mean_uses"),
-        F.round(s2 / n - (s1 / n) * (s1 / n), 4).alias("var_uses"),
+        fround(s1 / n, 4).alias("mean_uses"),
+        fround(s2 / n - (s1 / n) * (s1 / n), 4).alias("var_uses"),
     )
 
 
@@ -262,7 +264,7 @@ def report_variance_uses(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS runs,
            count(DISTINCT user_id) AS containers,
            {sql_davg("value", "avg_runtime")},
-           round(cast(sum(cast(value AS {DEC})) AS double) / 1000 * 0.00001667 * (3008.0/1024), 6) AS total_cost
+           {sql_fround(f"cast(sum(cast(value AS {DEC})) AS double) / 1000 * 0.00001667 * (3008.0/1024)", 6)} AS total_cost
     FROM events
     """,
 )
@@ -275,7 +277,7 @@ def report_summary_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("runs"),
         F.countDistinct("user_id").alias("containers"),
         davg("value", "avg_runtime"),
-        F.round(
+        fround(
             F.sum(F.col("value").cast(DEC)).cast("double")
             / 1000
             * 0.00001667
@@ -294,7 +296,7 @@ def report_summary_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, user_id
     )
     SELECT event_type, uses AS tenancy, count(*) AS n_tenants,
-           round(cast(sum(sum_value) AS double) / sum(uses), 2) AS avg_value_per_use
+           {sql_fround("cast(sum(sum_value) AS double) / sum(uses)", 2)} AS avg_value_per_use
     FROM per_user GROUP BY event_type, uses
     """,
 )
@@ -308,7 +310,7 @@ def report_tenancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_user.groupBy("event_type", "uses").agg(
         F.count(F.lit(1)).alias("n_tenants"),
-        F.round(F.sum("sum_value").cast("double") / F.sum("uses"), 2).alias(
+        fround(F.sum("sum_value").cast("double") / F.sum("uses"), 2).alias(
             "avg_value_per_use"
         ),
     ).withColumnRenamed("uses", "tenancy")
