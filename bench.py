@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query executes fully (noop sink — no driver collect cost) after a
+warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries: one per subsystem (TLQ, report, joins, windows, native
+#: star-schema, dedup, similarity, streaming-window).
+HEADLINE = [
+    "tlq_transform",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "report_full",
+    "report_multi_group",
+    "overlap_selfjoin",
+    "pipeline_cumulative",
+    "window_rank_topk",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_quality_score",
+    "events_tumbling_window",
+    "events_session_window",
+]
+
+
+def main() -> None:
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
+    import __spark_entry__ as em
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = em.queries()
+
+    # warm up JVM + parquet footer caches with a trivial action
+    qs["report_group_avg"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §2.12,
+BASELINE.json north star).  Beyond the reference's exact first-wins dedup
+(Transform.java:292-294, re-expressed in transform.py), this module adds the
+LLM-data-pipeline family: exact-hash, MinHash+LSH, SimHash, and n-gram
+Jaccard near-dup.
+
+Scale design: every path is expressible as hash-partitioned DataFrame ops —
+no driver-side pairwise loops.  MinHash/LSH candidate generation is
+band-bucket grouping (shuffle on band hash), so cost is O(docs × bands), not
+O(docs²); only candidate pairs within a bucket are verified exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: F.Column) -> F.Column:
+    """Normalization used for exact dedup: lower + trim + whitespace collapse."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X1: exact dedup by normalized content hash, keeping the lowest id
+    (deterministic analogue of first-wins, SURVEY.md §7.3).  One shuffle on
+    the 256-bit hash; at 100 TB the hash column is what you'd bucket by."""
+    h = F.sha2(normalized_text(F.col(text_col)), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct word set per document (basis for Jaccard / shingles)."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")).alias("tokens"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word-set Jaccard near-dup pairs with optional blocking (X2 exact
+    variant).  Blocking (e.g. language) bounds the per-block self-join the
+    same way ``overlapFilter`` bounds J1; at 100 TB you block on LSH buckets
+    (see :func:`minhash_signatures`) instead of an attribute."""
+    toks = token_sets(df, text_col, id_col)
+    cols = [F.col(id_col), F.col("tokens")]
+    if block_col:
+        toks = toks.join(df.select(id_col, block_col), id_col)
+        cols.append(F.col(block_col))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
+    union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document (exploded)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """X2: MinHash signature per document — ``num_hashes`` independent hash
+    functions simulated by salting xxhash64 (deterministic, JVM-side).
+    One explode + one groupBy; signature column is an array."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """X2: band the signatures and bucket-join — docs sharing any band bucket
+    become candidate pairs.  The shuffle key is (band, band_hash): this is
+    the O(n·bands) scale path that replaces the O(n²) all-pairs join."""
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 end-to-end: LSH candidates → exact Jaccard verification on token
+    sets → pairs ≥ threshold.  Candidates only are verified (bucket-bounded)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sig, id_col, bands=bands, rows_per_band=rows_per_band)
+    toks = token_sets(df, text_col, id_col)
+    ta = toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tokens", "tokens_a")
+    tb = toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tokens", "tokens_b")
+    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
+    union = F.size(F.array_union("tokens_a", "tokens_b"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(inter.cast("double") / union * 1000000 + 0.5) / 1000000).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """X2 variant: 64-bit SimHash per document, fully JVM-side — explode
+    tokens, take each token's xxhash64, vote per bit (+1/-1), sign → bit.
+    One explode + one groupBy; no Python in the loop."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias(
+            "tok"
+        ),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))

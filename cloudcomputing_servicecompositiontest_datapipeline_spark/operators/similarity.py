@@ -1,0 +1,141 @@
+"""Embedding similarity search (SURVEY.md §2.12 X3): brute-force cosine top-k
+as the exact baseline, plus a hyperplane-LSH bucketed variant as the scale
+path.
+
+Scale design: brute force is a broadcast join of the (small) query set
+against the (huge) corpus — linear scan, embarrassingly parallel, no shuffle
+of the corpus.  The LSH variant buckets both sides by sign-pattern so only
+same-bucket candidates are scored: sublinear scan at the cost of recall.
+All arithmetic is JVM-side (``zip_with``/``aggregate``); dot products are
+accumulated in decimal so results are partition-order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_ACC_DEC = "decimal(28,12)"
+
+
+def _dot_dec(a: F.Column, b: F.Column) -> F.Column:
+    """Exact decimal dot product: per-element double products (identical IEEE
+    on any engine) cast to decimal, then an order-fixed fold."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_ACC_DEC))
+    # Spark widens decimal addition (28,12)+(28,12)→(29,12); re-cast to keep
+    # the fold accumulator type fixed.
+    return F.aggregate(prods, F.lit(0).cast(_ACC_DEC), lambda acc, x: (acc + x).cast(_ACC_DEC))
+
+
+def cosine_score(a: F.Column, b: F.Column, scale: int = 6) -> F.Column:
+    """Cosine similarity with deterministic rounding (floor-based, cross-engine
+    stable)."""
+    dot = _dot_dec(a, b).cast("double")
+    na = F.sqrt(_dot_dec(a, a).cast("double"))
+    nb = F.sqrt(_dot_dec(b, b).cast("double"))
+    mult = float(10**scale)
+    return F.floor(dot / (na * nb) * mult + 0.5) / mult
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """X3 exact baseline: score every (query, candidate) pair, keep top-k per
+    query with a deterministic id tiebreak.  The query side is broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_score(F.col("query_vec"), F.col("cand_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def _hyperplane_sign(vec: F.Column, plane: int, dim: int) -> F.Column:
+    """Sign of ``vec · r_plane`` for a deterministic pseudo-random hyperplane:
+    component j of plane p is ``(xxhash64(p:j) % 1000)/1000 - 0.5`` — seedable,
+    engine-independent, no stored model."""
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.concat(F.lit(f"hp{plane}:"), j.cast("string"))), F.lit(1000)).cast(
+                "double"
+            )
+            / 1000.0
+            - 0.5
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(vec, comps, lambda x, r: x.cast("double") * r),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: F.Column, *, planes: int, dim: int) -> F.Column:
+    """Sign-pattern bucket id from ``planes`` hyperplanes (random projection)."""
+    bucket = None
+    for p in range(planes):
+        bit = F.shiftleft(_hyperplane_sign(vec, p, dim).cast("long"), p)
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """X3 scale path: bucket both sides by hyperplane signs, score only
+    same-bucket pairs.  At 100 TB the corpus is written bucketed/partitioned
+    by this key so a query touches one partition per probe."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        lsh_bucket(F.col(vec_col), planes=planes, dim=dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        lsh_bucket(F.col(vec_col), planes=planes, dim=dim).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_score(F.col("query_vec"), F.col("cand_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators (SURVEY.md §2.12 X4): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.  All JVM-side
+(built-in functions, no UDFs) so they run inside whole-stage codegen at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+#: Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des"],
+}
+
+#: A BPE-ish token pattern: runs of word chars, or single non-space symbols.
+BPE_TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _stopword_hits(tokens: F.Column, words: list[str]) -> F.Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def language_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Language-ID: per-language stopword hit counts + argmax guess.
+    (Heuristic n-gram/stopword scorer — the classic fastText-free fallback.)"""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    out = df.select(F.col(id_col), toks.alias("tokens"))
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"hits_{lang}", _stopword_hits(F.col("tokens"), words))
+    hit_cols = [F.col(f"hits_{lang}") for lang in STOPWORDS]
+    best = F.greatest(*hit_cols)
+    guess = None
+    for lang in STOPWORDS:
+        cond = F.col(f"hits_{lang}") == best
+        guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
+    return out.select(
+        id_col,
+        *[f"hits_{lang}" for lang in STOPWORDS],
+        F.when(best > 0, guess).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality scoring: length, token stats, punctuation/stopword ratios —
+    the standard cheap pre-filters of an LLM data pipeline."""
+    text = F.col(text_col)
+    toks = F.split(normalized_text(text), " ")
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    mult = 1000000.0
+    avg_word_len = F.floor(
+        (n_chars - n_tokens + 1).cast("double") / n_tokens * mult + 0.5
+    ) / mult
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_word_len.alias("avg_word_len"),
+        (F.floor(n_punct.cast("double") / n_chars * mult + 0.5) / mult).alias("punct_ratio"),
+        (F.floor(n_stop.cast("double") / n_tokens * mult + 0.5) / mult).alias("stopword_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex token count
+    (approximates LLM token budgeting at ingest)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(text), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).alias("bpe_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set (an
+    order-independent content signature; near-dup docs with identical
+    vocabulary collide — by design, like shingle fingerprinting)."""
+    toks = F.sort_array(F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+        F.sha2(F.array_join(toks, " "), 256).alias("fingerprint_sha"),
+    )

@@ -1,1 +1,203 @@
-"""(populated incrementally)"""
+"""Declared queries for the LLM-data-pipeline extensions (SURVEY.md §2.12)
+over ``documents`` / ``embeddings``.  SQL-expressible ops get DuckDB oracles;
+MinHash/SimHash/LSH (hash-function-dependent) and the multimodal stubs are
+rows-only + pytest-covered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..session import apply_runtime_conf
+from ..sources import star
+from .registry import query
+
+#: DuckDB twin of dedup.normalized_text.
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return star.table(spark, sf_dir, "documents")
+
+
+@query(
+    "dedup_exact_text",
+    oracle=f"""
+    SELECT sha256({_NORM}) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup by normalized sha256, first(-lowest-id)-wins."""
+    return dd.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_distinct(string_split({_NORM}, ' ')) AS tokens
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor(cast(len(list_intersect(a.tokens, b.tokens)) AS double)
+                 / len(list_distinct(list_concat(a.tokens, b.tokens))) * 1000000 + 0.5) / 1000000
+             AS jaccard
+    FROM toks a JOIN toks b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE floor(cast(len(list_intersect(a.tokens, b.tokens)) AS double)
+                / len(list_distinct(list_concat(a.tokens, b.tokens))) * 1000000 + 0.5) / 1000000 >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact variant: word-set Jaccard near-dup pairs, language-blocked
+    self-join (blocking bounds the pair space like J1's overlapFilter)."""
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", block_col="lang", threshold=0.5
+    )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    verify).  Hash-function-dependent → rows-only; recall vs the exact
+    Jaccard query is asserted in tests/test_extensions.py."""
+    return dd.minhash_near_dups(
+        _docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 variant: 64-bit SimHash signatures (JVM-side bit voting)."""
+    return dd.simhash(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        floor(
+          cast(list_sum(list_transform(q.qv, (x, i) -> cast(cast(x AS double) * cast(c.embedding[i] AS double) AS decimal(28,12)))) AS double)
+          / (sqrt(cast(list_sum(list_transform(q.qv, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double))
+             * sqrt(cast(list_sum(list_transform(c.embedding, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)))
+          * 1000000 + 0.5) / 1000000 AS cosine
+      FROM q, embeddings c WHERE q.query_id != c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 exact ANN baseline: brute-force cosine top-3 for query vectors
+    (vec_id < 10) against the corpus; decimal-accumulated dot products keep
+    the score hash partition-order-insensitive."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query("similarity_lsh_topk")
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: hyperplane-LSH bucketed top-k (recall-vs-cost traded by
+    plane count).  Rows-only; recall vs brute force asserted in tests."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, planes=4, dim=64)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tokens FROM documents),
+    hits AS (
+      SELECT doc_id,
+        len(list_filter(tokens, t -> list_contains(['the','and','of','to','in','is','a','for'], t))) AS hits_en,
+        len(list_filter(tokens, t -> list_contains(['der','die','das','und','ist','ein','zu','den'], t))) AS hits_de,
+        len(list_filter(tokens, t -> list_contains(['le','la','les','et','est','un','une','des'], t))) AS hits_fr
+      FROM toks)
+    SELECT doc_id, hits_en, hits_de, hits_fr,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr) = 0 THEN 'unknown'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_fr) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_fr) THEN 'de'
+                ELSE 'fr' END AS lang_guess
+    FROM hits
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: stopword-hit language heuristic with argmax guess."""
+    return tx.language_scores(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split({_NORM}, ' ') AS tokens,
+             length(text) AS n_chars,
+             len(string_split({_NORM}, ' ')) AS n_tokens,
+             length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split({_NORM}, ' '),
+                 t -> list_contains(['the','and','of','to','in','is','a','for'], t))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           floor(cast(n_chars - n_tokens + 1 AS double) / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len,
+           floor(cast(n_punct AS double) / n_chars * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor(cast(n_stop AS double) / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: cheap quality pre-filters (length / punctuation / stopword ratios)."""
+    return tx.quality_scores(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: whitespace + BPE-ish regex token counts."""
+    return tx.token_counts(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split({_NORM}, ' '))), ' ')) AS fingerprint,
+           sha256(array_to_string(list_sort(list_distinct(string_split({_NORM}, ' '))), ' ')) AS fingerprint_sha
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: order-independent content fingerprint (md5/sha256 of the sorted
+    vocabulary)."""
+    return tx.fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: binary carrier → Arrow-batched mapInPandas decode (deterministic
+    fake kernel — container ships no codecs; plumbing is real).  Rows-only."""
+    docs = _docs(spark, sf_dir)
+    return mm.decode_media(mm.attach_binary(docs, "text", "doc_id"))

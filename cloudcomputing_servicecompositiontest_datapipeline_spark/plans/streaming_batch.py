@@ -1,1 +1,143 @@
-"""(populated incrementally)"""
+"""Event-time window declared queries (SURVEY.md §2.10): the batch-expressible
+faces of the streaming layer, oracle-checked against equivalent bucket SQL.
+The same plans run on a streaming input (tests drive them through a real
+file-stream with Trigger.AvailableNow — see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_conf
+from ..sources import star
+from ..streaming import (
+    available_now_compile,
+    session_windowed_counts,
+    sliding_windowed_agg,
+    tumbling_windowed_agg,
+)
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return star.table(spark, sf_dir, "events")
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           cast(round(sum(cast(value AS decimal(28,4))), 2) AS double) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: event-time tumbling windows (1h) per event type — the batch face
+    of the cpuPolls time-series aggregation (Inspector.py:150-174).  Same
+    plan + watermark is the streaming face."""
+    ev = _events(spark, sf_dir)
+    out = tumbling_windowed_agg(ev, window="1 hour", keys=["event_type"])
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS ws FROM events
+      UNION ALL
+      SELECT to_timestamp(floor((epoch(ts) - 1800) / 3600) * 3600 + 1800) AS ws FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events
+    FROM starts GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 sliding variant: 1h windows every 30min — each event lands in two
+    windows (the oracle enumerates both aligned starts explicitly)."""
+    ev = _events(spark, sf_dir)
+    out = sliding_windowed_agg(ev, window="1 hour", slide="30 minutes")
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 300
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: sessionization (container lifetime analogue —
+    report_generator.py:209-213): 5-minute inactivity gap; the oracle is the
+    classic gaps-and-islands rewrite.  Second-precision session starts (the
+    fixture's timestamps carry micros; session_window keeps them — strftime
+    truncates identically on both engines)."""
+    ev = _events(spark, sf_dir)
+    out = session_windowed_counts(ev, gap="5 minutes")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+
+
+@query("streaming_available_now")
+def streaming_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the async-S3 drain (s3pull.py:46-94) as a REAL file stream: events
+    are staged as one-JSON-per-batch files, then drained with
+    Trigger.AvailableNow into a memory sink and aggregated like a report.
+    Rows-only (streaming trigger isn't SQL-expressible)."""
+    ev = _events(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="sg_stream_")
+    json_dir = os.path.join(workdir, "runs")
+    ev.select(
+        "event_id", "user_id", "event_type", "value", F.col("ts").cast("string").alias("ts")
+    ).coalesce(4).write.mode("overwrite").json(json_dir)
+    schema = (
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts STRING"
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    compiled = available_now_compile(
+        spark,
+        json_dir,
+        _parse_datatype_string(schema),
+        checkpoint=os.path.join(workdir, "ckpt"),
+        output_dir=os.path.join(workdir, "compiled"),
+    )
+    return compiled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("uses"),
+        F.round(F.sum(F.col("value").cast("decimal(28,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )

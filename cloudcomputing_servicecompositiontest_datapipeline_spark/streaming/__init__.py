@@ -1,0 +1,6 @@
+from .core import (  # noqa: F401
+    available_now_compile,
+    session_windowed_counts,
+    sliding_windowed_agg,
+    tumbling_windowed_agg,
+)

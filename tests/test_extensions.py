@@ -1,0 +1,108 @@
+"""Extension-operator tests: near-dup recall, simhash locality, similarity
+ranking sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import (
+    dedup as dd,
+    multimodal as mm,
+    similarity as sim,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (3, "completely different text about spark dataframes", "en"),
+        (4, "der schnelle braune fuchs springt ueber den hund", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup_groups_exact_copies(docs):
+    out = {r.keep_id: r.n_copies for r in dd.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0] == 2  # docs 0 and 2 collapse, lowest id kept
+    assert sum(out.values()) == 5
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, "text", "doc_id", block_col="lang", threshold=0.5
+        ).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert all(a != 4 and b != 4 for a, b in pairs)  # language blocking held
+
+
+def test_minhash_lsh_recalls_exact_and_near_dups(docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_near_dups(
+            docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (0, 2) in got  # exact dup always collides in every band
+
+
+def test_simhash_locality(docs):
+    sigs = {r.doc_id: r.simhash for r in dd.simhash(docs, "text", "doc_id").collect()}
+    assert sigs[0] == sigs[2]  # identical text → identical signature
+    ham_near = bin(sigs[0] ^ sigs[1]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated text
+
+
+def test_brute_force_topk_self_similarity_excluded_and_ranked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r.cand_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert ranked == [1, 2, 3]
+    assert all(r.cand_id != 0 for r in out)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = sim.brute_force_topk(emb, q, k=3).collect()
+    lsh = sim.lsh_topk(emb, q, k=3, planes=2, dim=64).collect()
+    brute_scores = {(r.query_id, r.cand_id): r.cosine for r in brute}
+    # every LSH hit that brute force also ranked must carry the same score
+    for r in lsh:
+        if (r.query_id, r.cand_id) in brute_scores:
+            assert abs(brute_scores[(r.query_id, r.cand_id)] - r.cosine) < 1e-9
+
+
+def test_multimodal_decode_schema_and_determinism(docs):
+    carrier = mm.attach_binary(docs, "text", "doc_id")
+    out1 = {r.doc_id: (r.width, r.height, r.channels, r.content_sha) for r in mm.decode_media(carrier).collect()}
+    out2 = {r.doc_id: (r.width, r.height, r.channels, r.content_sha) for r in mm.decode_media(carrier).collect()}
+    assert out1 == out2  # deterministic fake decode
+    assert out1[0] == out1[2]  # same payload → same "image"
+    assert set(mm.decode_media(carrier).columns) == {
+        "doc_id", "media_type", "n_bytes", "width", "height", "channels", "content_sha",
+    }
+
+
+def test_frame_sample_fanout(docs):
+    carrier = mm.attach_binary(docs, "text", "doc_id")
+    out = mm.frame_sample(carrier, every_n_bytes=16)
+    per_doc = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n >= 1 for n in per_doc.values())
+    assert per_doc[0] > 1  # 44-byte payload at 16-byte stride → multiple frames

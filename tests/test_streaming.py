@@ -1,0 +1,126 @@
+"""Streaming-layer tests: real file streams with Trigger.AvailableNow,
+event-time windows with watermark + late-data drop."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import _parse_datatype_string
+
+from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming import (
+    available_now_compile,
+    session_windowed_counts,
+    tumbling_windowed_agg,
+)
+
+SCHEMA = "run_id BIGINT, uuid STRING, value DOUBLE, ts STRING"
+
+
+@pytest.fixture()
+def run_dir(tmp_path):
+    d = tmp_path / "runs"
+    d.mkdir()
+    for i in range(6):
+        rec = {"run_id": i, "uuid": f"c{i % 2}", "value": float(i), "ts": f"2024-01-01 00:0{i}:00"}
+        (d / f"run{i}.json").write_text(json.dumps(rec))
+    return str(d)
+
+
+def test_available_now_drains_all_then_incrementally(spark, run_dir, tmp_path):
+    ckpt, outdir = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    out = available_now_compile(
+        spark, run_dir, _parse_datatype_string(SCHEMA), checkpoint=ckpt, output_dir=outdir
+    )
+    assert out.count() == 6
+    # a new record lands in the "bucket"; the re-drain is incremental (only
+    # the new file is read, cumulative table now holds all 7)
+    with open(os.path.join(run_dir, "run7.json"), "w") as f:
+        json.dump({"run_id": 7, "uuid": "c1", "value": 7.0, "ts": "2024-01-01 00:07:00"}, f)
+    out2 = available_now_compile(
+        spark, run_dir, _parse_datatype_string(SCHEMA), checkpoint=ckpt, output_dir=outdir
+    )
+    assert {r.run_id for r in out2.collect()} == set(range(6)) | {7}
+
+
+def test_streaming_tumbling_window_counts_match_batch(spark, run_dir, tmp_path):
+    stream = (
+        spark.readStream.schema(_parse_datatype_string(SCHEMA))
+        .json(run_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = tumbling_windowed_agg(stream, window="2 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["win"].start.strftime("%H:%M"): r.n_events
+        for r in spark.table("t_win").collect()
+    }
+    assert got == {"00:00": 2, "00:02": 2, "00:04": 2}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    d = tmp_path / "late"
+    d.mkdir()
+    # batch 1: on-time records advance the watermark far ahead
+    with open(d / "a.json", "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"run_id": i, "uuid": "c0", "value": 1.0, "ts": f"2024-01-01 02:0{i}:00"}) + "\n")
+    stream = (
+        spark.readStream.schema(_parse_datatype_string(SCHEMA))
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ckpt, outdir = str(tmp_path / "ckpt_late"), str(tmp_path / "out_late")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(_parse_datatype_string(SCHEMA))
+            .json(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = tumbling_windowed_agg(stream, window="1 minute", watermark="5 minutes")
+        out = agg.select(F.col("win.start").alias("ws"), "n_events")
+        q = (
+            out.writeStream.format("parquet").option("path", outdir)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # batch 2: a record an hour older than the watermark horizon → dropped
+    with open(d / "b.json", "w") as f:
+        f.write(json.dumps({"run_id": 9, "uuid": "c0", "value": 1.0, "ts": "2024-01-01 01:00:00"}) + "\n")
+    drain()
+    # a third drain gives finalized on-time windows a chance to flush
+    with open(d / "c.json", "w") as f:
+        f.write(json.dumps({"run_id": 10, "uuid": "c0", "value": 1.0, "ts": "2024-01-01 03:00:00"}) + "\n")
+    drain()
+    emitted = spark.read.parquet(outdir).collect()
+    assert all(r.ws.hour != 1 for r in emitted)  # late 01:00 window never emitted
+    assert any(r.ws.hour == 2 for r in emitted)  # on-time windows were emitted
+
+
+def test_session_window_batch(spark):
+    rows = [
+        (0, "u1", 1.0, "2024-01-01 00:00:00"),
+        (1, "u1", 1.0, "2024-01-01 00:03:00"),   # same session (< 5 min gap)
+        (2, "u1", 1.0, "2024-01-01 01:00:00"),   # new session
+        (3, "u2", 1.0, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["run_id", "user_id", "value", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = session_windowed_counts(df, gap="5 minutes")
+    got = sorted((r.user_id, r.n_events) for r in out.collect())
+    assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
