@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.star import ensure_parallelism
+
 
 def normalized_text(col: F.Column) -> F.Column:
     """Normalization used for exact dedup: lower + trim + whitespace collapse."""
@@ -35,7 +37,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Distinct word set per document (basis for Jaccard / shingles)."""
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")).alias("tokens"),
     )
@@ -84,7 +86,9 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
 
 
 def minhash_signatures(
@@ -94,8 +98,10 @@ def minhash_signatures(
     functions simulated by salting xxhash64 (deterministic, JVM-side).
     One explode + one groupBy; signature column is an array."""
     sh = shingles(df, text_col, id_col, shingle_n)
+    # k independent hash fns = multi-arg xxhash64 with a distinct int salt
+    # (cheaper than string concat: no per-row-per-k allocation).
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
         for k in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -182,7 +188,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     """X2 variant: 64-bit SimHash per document, fully JVM-side — explode
     tokens, take each token's xxhash64, vote per bit (+1/-1), sign → bit.
     One explode + one groupBy; no Python in the loop."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias(
             "tok"

@@ -47,8 +47,10 @@ def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from text — stands in for image bytes), content-addressed metadata struct.
     At 100 TB payloads live in parquet binary columns (or pointers to object
     storage) partitioned by content-hash prefix."""
+    from ..sources.star import ensure_parallelism
+
     payload = F.encode(F.col(text_col), "UTF-8")
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         payload.alias("payload"),
         F.struct(

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.star import ensure_parallelism
+
 _ACC_DEC = "decimal(28,12)"
 
 
@@ -37,6 +39,18 @@ def cosine_score(a: F.Column, b: F.Column, scale: int = 6) -> F.Column:
     return F.floor(dot / (na * nb) * mult + 0.5) / mult
 
 
+def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, id_col: str, vec_col: str) -> DataFrame:
+    """Project (id, vec, ||vec||) — norms are computed ONCE per vector here
+    instead of once per pair inside the join (3× fewer folds in the hot path)."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.sqrt(_dot_dec(F.col(vec_col), F.col(vec_col)).cast("double")).alias(
+            f"{vec_alias}_norm"
+        ),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,11 +60,13 @@ def brute_force_topk(
     k: int = 3,
 ) -> DataFrame:
     """X3 exact baseline: score every (query, candidate) pair, keep top-k per
-    query with a deterministic id tiebreak.  The query side is broadcast."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    query with a deterministic id tiebreak.  The query side is broadcast, the
+    corpus is never shuffled (linear scan), and per-vector norms are
+    precomputed outside the pair loop."""
+    mult = 1000000.0
+    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
+    dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -58,7 +74,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            cosine_score(F.col("query_vec"), F.col("cand_vec")).alias("cosine"),
+            (
+                F.floor(dot / (F.col("query_vec_norm") * F.col("cand_vec_norm")) * mult + 0.5)
+                / mult
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -113,16 +132,14 @@ def lsh_topk(
     """X3 scale path: bucket both sides by hyperplane signs, score only
     same-bucket pairs.  At 100 TB the corpus is written bucketed/partitioned
     by this key so a query touches one partition per probe."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        lsh_bucket(F.col(vec_col), planes=planes, dim=dim).alias("bucket"),
+    mult = 1000000.0
+    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("query_vec"), planes=planes, dim=dim)
     )
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cand_vec"),
-        lsh_bucket(F.col(vec_col), planes=planes, dim=dim).alias("bucket"),
+    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("cand_vec"), planes=planes, dim=dim)
     )
+    dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
@@ -130,7 +147,10 @@ def lsh_topk(
         .select(
             "query_id",
             "cand_id",
-            cosine_score(F.col("query_vec"), F.col("cand_vec")).alias("cosine"),
+            (
+                F.floor(dot / (F.col("query_vec_norm") * F.col("cand_vec_norm")) * mult + 0.5)
+                / mult
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.star import ensure_parallelism
 from .dedup import normalized_text
 
 #: Tiny per-language stopword lists for the n-gram/stopword language heuristic.
@@ -30,7 +31,7 @@ def language_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Language-ID: per-language stopword hit counts + argmax guess.
     (Heuristic n-gram/stopword scorer — the classic fastText-free fallback.)"""
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    out = df.select(F.col(id_col), toks.alias("tokens"))
+    out = ensure_parallelism(df).select(F.col(id_col), toks.alias("tokens"))
     for lang, words in STOPWORDS.items():
         out = out.withColumn(f"hits_{lang}", _stopword_hits(F.col("tokens"), words))
     hit_cols = [F.col(f"hits_{lang}") for lang in STOPWORDS]
@@ -60,7 +61,7 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     avg_word_len = F.floor(
         (n_chars - n_tokens + 1).cast("double") / n_tokens * mult + 0.5
     ) / mult
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -74,7 +75,7 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Token counting: whitespace tokens and a BPE-ish regex token count
     (approximates LLM token budgeting at ingest)."""
     text = F.col(text_col)
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.size(F.split(F.trim(text), r"\s+")).alias("ws_tokens"),
         F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).alias("bpe_tokens"),
@@ -87,7 +88,7 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     order-independent content signature; near-dup docs with identical
     vocabulary collide — by design, like shingle fingerprinting)."""
     toks = F.sort_array(F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
         F.sha2(F.array_join(toks, " "), 256).alias("fingerprint_sha"),

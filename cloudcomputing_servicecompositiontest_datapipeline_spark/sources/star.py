@@ -48,6 +48,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a narrow input so compute-heavy downstream ops use every
+    core.  Small single-file parquet arrives as ONE partition — fine for
+    scans, a 32× slowdown for CPU-bound ops (shingling, hashing, vector
+    math).  At real scale inputs already have thousands of partitions and
+    this is a no-op."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table as a dict of DataFrames."""
     return {name: table(spark, sf_dir, name) for name in TABLES}
