@@ -1,0 +1,97 @@
+"""IO layer: the reference's sources/sinks re-expressed (SURVEY.md §2.1).
+
+| Ref | This module |
+|-----|-------------|
+| S1/S2 CSV scan (Transform.java:115-151, LoadData.java:37-75) | :func:`read_csv` |
+| S4 CSV sink (Transform.java:153-183,328-338) | :func:`write_csv` |
+| S6 JSON-record-per-file source (report_generator.py:446-455) | :func:`read_runs` |
+| S7 JSON-record sink (report_generator.py:477-485) | :func:`write_runs` |
+| S9 multi-section CSV report (report_generator.py:176-198,285-430) | :func:`write_report_csv` |
+| S10 report splitter (report_splitter.py:26-40) | :func:`write_split_by_group` |
+| S5 JDBC batch-insert (LoadData.java:131-160) | :func:`write_jdbc` (env-gated) |
+| S3/S8 S3 get / bulk pull | any reader over ``s3a://`` URIs — no copy step |
+
+At 100 TB: CSV/JSON are ingest formats only — land them to parquet
+partitioned on query keys; the writers here take a ``partition_by`` for that.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """S1/S2: header CSV scan.  The reference parses row-wise (Transform) and
+    column-wise (LoadData); a DataFrame is both.  Schema given → no inference
+    pass (one read at scale); omitted → inferSchema for ad-hoc use."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+    """S4: header CSV sink (Transform_result.csv analogue)."""
+    w = df.write.mode("overwrite").option("header", True)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
+def read_runs(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """S6: a folder of one-JSON-object-per-run files → records table with
+    union-of-keys schema (missing keys → null, the Spark-idiomatic form of
+    report_generator.py:78-87's sentinel fill)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_runs(df: DataFrame, path: str) -> None:
+    """S7: JSON-record sink (run{i}.json folder analogue)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_report_csv(sections: dict[str, DataFrame], out_dir: str) -> dict[str, str]:
+    """S9: the reference emits ONE multi-section CSV (raw rows + one section
+    per group key, report_generator.py:285-430).  The scale-correct form is
+    one CSV directory per section (a single driver-assembled text file cannot
+    absorb a 100 TB raw section); section order and naming mirror the
+    reference layout.  Returns {section: path}."""
+    paths: dict[str, str] = {}
+    for section, df in sections.items():
+        p = os.path.join(out_dir, section)
+        # stable column order like the reference's sorted-report layout (O2)
+        write_csv(df.select(*sorted(df.columns)), p)
+        paths[section] = p
+    return paths
+
+
+def write_split_by_group(df: DataFrame, key: str, out_dir: str) -> None:
+    """S10: report splitter — per-group files via partitionBy (sections become
+    hive-style partitions instead of blank-line-delimited CSV chunks)."""
+    df.write.mode("overwrite").option("header", True).partitionBy(key).csv(out_dir)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 100,
+) -> None:
+    """S5: typed JDBC batch insert (LoadData.java:131-160; batch=100 at
+    LoadData.java:135).  Env-gated: needs a reachable database + driver jar —
+    signature and options mirror the reference's contract."""
+    props = {"batchsize": str(batchsize)}
+    props.update(properties or {})
+    df.write.mode("append").jdbc(url, table, properties=props)
