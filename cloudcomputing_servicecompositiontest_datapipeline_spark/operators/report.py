@@ -116,16 +116,54 @@ def group_section(df: DataFrame, key: str, cfg: ReportConfig) -> DataFrame:
     return df.groupBy(key).agg(*aggs).orderBy(key)
 
 
+def combine_sheets(frames: list[DataFrame], vm_col: str = "vmID") -> DataFrame:
+    """U1: union run batches across iterations, tagging each with its
+    iteration and deriving the iteration-scoped vm key ``vmID[iteration]``
+    (experiment_orchestrator.py:222-237) — the key the tenancy pass must use
+    when iterations > 1 (SURVEY.md §7.3 zTenancy caveat)."""
+    tagged = []
+    for i, f in enumerate(frames):
+        t = f.withColumn("iteration", F.lit(i))
+        if vm_col in f.columns:
+            t = t.withColumn(
+                f"{vm_col}_iter", F.concat(F.col(vm_col), F.lit(f"[{i}]"))
+            )
+        tagged.append(t)
+    return schema_unify(tagged)
+
+
+def resolve_group_conflicts(df: DataFrame, groups: list[str]) -> list[str]:
+    """U5: category-key conflict resolution (report_generator.py:62-71) —
+    drop the ``vmuptime`` group when ``vmID`` exists and ``uuid`` when
+    ``containerID`` exists (the finer key supersedes the coarser proxy)."""
+    out = list(groups)
+    if "vmID" in df.columns and "vmuptime" in out:
+        out.remove("vmuptime")
+    if "containerID" in df.columns and "uuid" in out:
+        out.remove("uuid")
+    return out
+
+
+def validity_gate(df: DataFrame, version_col: str = "version") -> DataFrame:
+    """P11: a record is a valid run only if the version field is present
+    (experiment_caller.py:101-102; test/README.md:12)."""
+    if version_col not in df.columns:
+        return df
+    return df.filter(F.col(version_col).isNotNull())
+
+
 def report(df: DataFrame, cfg: ReportConfig) -> dict[str, DataFrame]:
-    """The full report plan: filters → dedup → one section per output group,
-    plus the raw (filtered) records under ``"raw"``."""
+    """The full report plan: validity gate → filters → dedup → one section per
+    output group (after U5 conflict resolution), plus the raw (filtered)
+    records under ``"raw"``."""
+    df = validity_gate(df)
     df = warmup_filter(df, cfg.warmup_buffer, cfg.iteration_col)
     df = invalidator_filter(df, cfg.invalidators)
     if cfg.remove_duplicate_containers and cfg.container_key in df.columns:
         order = [F.col(c) for c in df.columns]
         df = first_wins_dedup(df, cfg.container_key, order)
     sections: dict[str, DataFrame] = {"raw": df}
-    for key in cfg.output_groups:
+    for key in resolve_group_conflicts(df, cfg.output_groups):
         if key in df.columns:
             sections[key] = group_section(df, key, cfg)
     return sections

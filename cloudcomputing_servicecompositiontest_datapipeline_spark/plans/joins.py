@@ -67,6 +67,35 @@ def overlap_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "overlap_global",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_id, {_ORACLE_START} AS start_us, {_ORACLE_END} AS end_us
+      FROM events WHERE event_id < 500
+    )
+    SELECT a.event_id,
+           coalesce(sum(cast(floor(
+             cast(least(b.end_us, a.end_us) - greatest(b.start_us, a.start_us) AS double)
+             / greatest(a.end_us - a.start_us, 1) * 1000000) AS bigint)), 0)
+           / 1000000.0 AS overlap_score
+    FROM iv a LEFT JOIN iv b
+      ON b.start_us < a.end_us AND b.end_us > a.start_us
+     AND a.event_id != b.event_id
+    GROUP BY a.event_id
+    """,
+)
+def overlap_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 in the reference's literal form — NO overlapFilter, all-pairs
+    (report_generator.py:92-112 loops over every j≠i).  Kept to a bounded
+    subset because the plan is a broadcast-nested-loop: this is exactly why
+    the engine's scale path requires the equality key (see overlap_selfjoin)."""
+    iv = _intervals(spark, sf_dir).filter(F.col("event_id") < 500)
+    return runtime_overlap(
+        iv, id_col="event_id", start_col="start_us", end_col="end_us", overlap_filter=None
+    )
+
+
+@query(
     "tenancy_annotate",
     oracle="""
     SELECT event_id, user_id,

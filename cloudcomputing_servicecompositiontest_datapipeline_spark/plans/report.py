@@ -343,3 +343,81 @@ def report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         invalidators={"event_type": "error"},
     )
     return report(ev, cfg)["event_type"]
+
+
+@query(
+    "report_dedup_containers",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def report_dedup_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: duplicate-container removal — first occurrence per container id
+    (report_generator.py:209-213); ``user_id`` plays uuid, ``event_id`` is
+    the deterministic ingest order."""
+    from ..operators.transform import first_wins_dedup
+
+    ev = _events(spark, sf_dir)
+    return first_wins_dedup(ev, "user_id", F.col("event_id")).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+@query(
+    "report_validity_gate",
+    oracle="""
+    SELECT count(*) AS n_valid FROM events WHERE props IS NOT NULL
+    """,
+)
+def report_validity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: row validity gate — record kept only if the version field is
+    present (experiment_caller.py:101-102); ``props`` plays version."""
+    from ..operators.report import validity_gate
+
+    ev = _events(spark, sf_dir)
+    return validity_gate(ev, version_col="props").agg(F.count(F.lit(1)).alias("n_valid"))
+
+
+@query(
+    "report_combine_sheets",
+    oracle=f"""
+    WITH a AS (SELECT *, 0 AS iteration, concat(cast(user_id AS varchar), '[0]') AS user_key
+               FROM events WHERE event_id % 2 = 0),
+         b AS (SELECT *, 1 AS iteration, concat(cast(user_id AS varchar), '[1]') AS user_key
+               FROM events WHERE event_id % 2 = 1)
+    SELECT user_key, count(*) AS uses, {sql_davg("value", "avg_value")}
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY user_key
+    """,
+)
+def report_combine_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + §7.3 zTenancy caveat: iteration-tagged union with the
+    iteration-scoped vm key ``vmID[iteration]`` — the tenancy grouping must
+    use it so containers from different iterations never merge
+    (experiment_orchestrator.py:222-237, report_generator.py:252-255)."""
+    from ..operators.report import combine_sheets
+
+    ev = _events(spark, sf_dir).withColumn("user_key", F.col("user_id").cast("string"))
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    combined = combine_sheets([a, b], vm_col="user_key")
+    return combined.groupBy(F.col("user_key_iter").alias("user_key")).agg(
+        F.count(F.lit(1)).alias("uses"), davg("value", "avg_value")
+    )
+
+
+@query("report_approx_stats")
+def report_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale variants of A4/percentiles (SURVEY.md §4.2):
+    approx_count_distinct (HLL) and approx_percentile (KLL-ish sketch) —
+    rows-only (sketches are engine-specific by design); accuracy vs exact is
+    asserted in tests/test_report_ops.py."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    )

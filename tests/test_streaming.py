@@ -111,6 +111,28 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert any(r.ws.hour == 2 for r in emitted)  # on-time windows were emitted
 
 
+def test_observe_progress_metrics(spark, run_dir, tmp_path):
+    """T2: progress tracking (experiment_caller.py:103-111 .progress.txt) →
+    observe() metrics surfaced in streaming progress."""
+    stream = spark.readStream.schema(_parse_datatype_string(SCHEMA)).json(run_dir)
+    observed = stream.observe(
+        "progress", F.count(F.lit(1)).alias("n_records"), F.sum("value").alias("sum_value")
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = [
+        p["observedMetrics"]["progress"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("progress")
+    ]
+    assert metrics and metrics[0]["n_records"] == 6
+
+
 def test_session_window_batch(spark):
     rows = [
         (0, "u1", 1.0, "2024-01-01 00:00:00"),
