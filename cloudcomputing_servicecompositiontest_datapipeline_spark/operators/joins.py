@@ -49,7 +49,11 @@ def runtime_overlap(
         F.col(f"b.{start_col}"), F.col(f"a.{start_col}")
     )
     length = F.greatest(F.col(f"a.{end_col}") - F.col(f"a.{start_col}"), F.lit(1))
-    term = F.floor(overlap.cast("double") / length * scale).cast("long")
+    # least/greatest SKIP nulls, so a partner-less (null-extended) row would
+    # otherwise score a bogus self-overlap — gate on the b side being present.
+    term = F.when(
+        F.col(f"b.{id_col}").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.floor(overlap.cast("double") / length * scale).cast("long"))
     joined = a.join(b, cond, "left")
     return (
         joined.groupBy(F.col(f"a.{id_col}").alias(id_col))

@@ -40,9 +40,9 @@ def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT a.event_id,
-           coalesce(sum(cast(floor(
+           coalesce(sum(CASE WHEN b.event_id IS NULL THEN 0 ELSE cast(floor(
              cast(least(b.end_us, a.end_us) - greatest(b.start_us, a.start_us) AS double)
-             / greatest(a.end_us - a.start_us, 1) * 1000000) AS bigint)), 0)
+             / greatest(a.end_us - a.start_us, 1) * 1000000) AS bigint) END), 0)
            / 1000000.0 AS overlap_score
     FROM iv a LEFT JOIN iv b
       ON a.user_id = b.user_id
@@ -74,9 +74,9 @@ def overlap_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id < 500
     )
     SELECT a.event_id,
-           coalesce(sum(cast(floor(
+           coalesce(sum(CASE WHEN b.event_id IS NULL THEN 0 ELSE cast(floor(
              cast(least(b.end_us, a.end_us) - greatest(b.start_us, a.start_us) AS double)
-             / greatest(a.end_us - a.start_us, 1) * 1000000) AS bigint)), 0)
+             / greatest(a.end_us - a.start_us, 1) * 1000000) AS bigint) END), 0)
            / 1000000.0 AS overlap_score
     FROM iv a LEFT JOIN iv b
       ON b.start_us < a.end_us AND b.end_us > a.start_us

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): Spark operators vs plain-Python models
+on arbitrary inputs, and partition-invariance of the exact aggregates."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.exact import davg, dsum
+from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.transform import (
+    first_wins_dedup,
+)
+
+SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=0, max_value=1000),  # ord (may collide)
+        st.integers(min_value=0, max_value=100),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_first_wins_dedup_matches_python_model(spark, rows):
+    # unique total order: (ord, payload, idx)
+    data = [(k, o, p, i) for i, (k, o, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "ord", "p", "idx"])
+    got = {
+        r.k: (r.ord, r.p, r.idx)
+        for r in first_wins_dedup(df, "k", [F.col("ord"), F.col("p"), F.col("idx")]).collect()
+    }
+    expect = {}
+    for k, o, p, i in sorted(data, key=lambda t: (t[1], t[2], t[3])):
+        expect.setdefault(k, (o, p, i))
+    assert got == expect
+
+
+values_strategy = st.lists(
+    st.decimals(
+        min_value=Decimal("-9999.99"), max_value=Decimal("9999.99"), places=2
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(vals=values_strategy, parts=st.integers(min_value=1, max_value=8))
+@SETTINGS
+def test_dsum_davg_partition_invariant_and_exact(spark, vals, parts):
+    data = [(float(v),) for v in vals]
+    df = spark.createDataFrame(data, ["v"]).repartition(parts)
+    row = df.agg(dsum("v", "s"), davg("v", "a")).first()
+    exact_sum = sum(vals)
+    assert Decimal(str(row.s)).quantize(Decimal("0.01")) == exact_sum.quantize(
+        Decimal("0.01")
+    )
+    # mean matches the floor(x*100+0.5)/100 model (round-half-toward-+inf)
+    import math
+
+    q = float(exact_sum) / len(vals)
+    model = math.floor(q * 100 + 0.5) / 100
+    assert abs(row.a - model) < 1e-9
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20)), min_size=1, max_size=15
+    )
+)
+@SETTINGS
+def test_overlap_matches_python_reference_model(spark, iv):
+    """runtime_overlap == the reference's nested loop (report_generator.py:
+    92-112) with clamp and max(len,1) divisor, on arbitrary intervals."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.joins import (
+        runtime_overlap,
+    )
+
+    data = [(i, s, s + d) for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(data, ["id", "start", "end"])
+    got = {
+        r.id: r.overlap_score
+        for r in runtime_overlap(df, id_col="id", start_col="start", end_col="end").collect()
+    }
+    for i, s1, e1 in data:
+        total = 0
+        for j, s2, e2 in data:
+            if i == j:
+                continue
+            ov = min(e1, e2) - max(s1, s2)
+            if ov > 0:
+                import math
+
+                total += math.floor(ov / max(e1 - s1, 1) * 1_000_000)
+        assert abs(got[i] - total / 1_000_000) < 1e-9, (i, got[i], total)
