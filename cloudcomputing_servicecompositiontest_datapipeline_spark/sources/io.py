@@ -75,6 +75,34 @@ def write_report_csv(sections: dict[str, DataFrame], out_dir: str) -> dict[str, 
     return paths
 
 
+def write_report_csv_compat(
+    sections: dict[str, DataFrame], path: str, *, max_rows: int = 100_000
+) -> str:
+    """S9 compat mode: ONE multi-section CSV text file in the reference's
+    layout (exampleOutput.csv: raw rows first, then one block per group key,
+    blank-line separated, columns sorted — report_generator.py:176-198,
+    285-430, write_file:464-508).
+
+    Driver-side assembly — explicitly bounded by ``max_rows`` because a single
+    text file cannot absorb a 100 TB raw section; the scale path is
+    :func:`write_report_csv` (one CSV directory per section)."""
+    blocks: list[str] = []
+    for section, df in sections.items():
+        cols = sorted(df.columns)
+        pdf = df.select(*cols).limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"section {section!r} exceeds compat max_rows={max_rows}; "
+                "use write_report_csv (per-section directories) at scale"
+            )
+        blocks.append(f"[{section}]\n" + pdf.to_csv(index=False).rstrip("\n"))
+    text = "\n\n".join(blocks) + "\n"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
 def write_split_by_group(df: DataFrame, key: str, out_dir: str) -> None:
     """S10: report splitter — per-group files via partitionBy (sections become
     hive-style partitions instead of blank-line-delimited CSV chunks)."""

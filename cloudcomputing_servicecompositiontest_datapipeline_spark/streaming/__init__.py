@@ -2,5 +2,6 @@ from .core import (  # noqa: F401
     available_now_compile,
     session_windowed_counts,
     sliding_windowed_agg,
+    stream_stream_overlap_join,
     tumbling_windowed_agg,
 )

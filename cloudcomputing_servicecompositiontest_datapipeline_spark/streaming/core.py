@@ -93,6 +93,38 @@ def sliding_windowed_agg(
     )
 
 
+def stream_stream_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    max_skew: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T4: the streaming form of J1 — concurrent-run detection as a
+    stream-stream self-join on the tenancy key with an event-time range
+    constraint.  Watermarks on BOTH sides bound the join state; events later
+    than the watermark horizon are dropped (the reference's late-data answer
+    is batch recompute — SURVEY.md §7.3 — which stays the source of truth).
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {max_skew}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {max_skew}"))
+        & (F.col("l.run_id") != F.col("r.run_id"))
+    )
+    return l.join(r, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.run_id").alias("run_a"),
+        F.col("r.run_id").alias("run_b"),
+        F.col(f"l.{ts_col}").alias("ts_a"),
+        F.col(f"r.{ts_col}").alias("ts_b"),
+    )
+
+
 def session_windowed_counts(
     events: DataFrame,
     *,

@@ -57,6 +57,26 @@ def test_write_report_csv_sections(spark, tmp_path):
     assert back.columns == sorted(back.columns)  # O2 stable layout
 
 
+def test_write_report_csv_compat_single_file(spark, tmp_path):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+
+    eng = Engine(spark)
+    runs = eng.read_runs(_write_runs(tmp_path))
+    cfg = ReportConfig(output_groups=["cpuType"])
+    path = sio.write_report_csv_compat(
+        eng.report(runs, cfg), str(tmp_path / "report.csv")
+    )
+    text = open(path).read()
+    assert text.startswith("[raw]")  # raw section first, like exampleOutput.csv
+    assert "\n\n[cpuType]\n" in text  # blank-line-separated group section
+    header = text.split("[cpuType]\n", 1)[1].splitlines()[0].split(",")
+    assert header == sorted(header)  # O2 sorted columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        sio.write_report_csv_compat(eng.report(runs, cfg), str(tmp_path / "r2.csv"), max_rows=2)
+
+
 def test_engine_sql_over_star(spark):
     eng = Engine(spark)
     eng.register_star_views("/root/testdata/sf0.001")

@@ -111,6 +111,43 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert any(r.ws.hour == 2 for r in emitted)  # on-time windows were emitted
 
 
+def test_stream_stream_overlap_join(spark, tmp_path):
+    """T4: concurrent runs on the same container are paired by the
+    stream-stream range join; distant-in-time runs are not."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming import (
+        stream_stream_overlap_join,
+    )
+
+    d = tmp_path / "ss"
+    d.mkdir()
+    recs = [
+        {"run_id": 0, "uuid": "c0", "value": 1.0, "ts": "2024-01-01 00:00:00"},
+        {"run_id": 1, "uuid": "c0", "value": 1.0, "ts": "2024-01-01 00:05:00"},  # within 10m of 0
+        {"run_id": 2, "uuid": "c0", "value": 1.0, "ts": "2024-01-01 06:00:00"},  # far away
+        {"run_id": 3, "uuid": "c1", "value": 1.0, "ts": "2024-01-01 00:05:00"},  # other container
+    ]
+    with open(d / "a.json", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    def stream():
+        return (
+            spark.readStream.schema(_parse_datatype_string(SCHEMA))
+            .json(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    joined = stream_stream_overlap_join(stream(), stream(), key="uuid")
+    q = (
+        joined.writeStream.format("memory").queryName("t_ss")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    pairs = {(r.run_a, r.run_b) for r in spark.table("t_ss").collect()}
+    assert pairs == {(0, 1), (1, 0)}  # only the concurrent same-container pair
+
+
 def test_observe_progress_metrics(spark, run_dir, tmp_path):
     """T2: progress tracking (experiment_caller.py:103-111 .progress.txt) →
     observe() metrics surfaced in streaming progress."""
