@@ -348,6 +348,83 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "subquery_cheapest_part",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def subquery_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native correlated scalar subquery (TPC-H Q2 shape): cheapest part per
+    brand, join-back form.  Catalyst decorrelates to an aggregate + join."""
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_partkey, p.p_retailprice
+        FROM part_sq p
+        WHERE p.p_retailprice = (
+          SELECT min(p2.p_retailprice) FROM part_sq p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — per-customer order counts,
+    then the distribution of those counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_totalprice, {sql_dsum("l.l_quantity", "total_qty")}
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING — Catalyst plans a
+    left-semi join against the aggregated subquery."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
+
+
+@query(
     "scalar_string_funcs",
     oracle="""
     SELECT p_partkey,

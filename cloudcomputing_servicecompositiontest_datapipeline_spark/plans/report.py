@@ -410,6 +410,23 @@ def report_combine_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS uses, {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew posture (SURVEY.md §4.2): two-phase salted aggregation — a hot
+    key spreads over N reducers in phase 1, partials combine in phase 2.
+    The oracle is the PLAIN group-by: the rewrite must be result-identical."""
+    from ..operators.skew import salted_count_sum
+
+    ev = _events(spark, sf_dir)
+    return salted_count_sum(ev, "event_type", "value", salts=8)
+
+
 @query("report_approx_stats")
 def report_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB scale variants of A4/percentiles (SURVEY.md §4.2):

@@ -1,0 +1,63 @@
+"""Config subsystem tests (defaults, typed overrides, per-index overrides,
+payload inheritance — faas_runner.py / experiment_orchestrator.py semantics)."""
+
+from __future__ import annotations
+
+import json
+
+from cloudcomputing_servicecompositiontest_datapipeline_spark.config import (
+    apply_overrides,
+    coerce_override,
+    load_config,
+    resolve_payloads,
+    to_report_config,
+)
+
+
+def test_load_config_fills_defaults(tmp_path):
+    p = tmp_path / "exp.json"
+    p.write_text(json.dumps({"outputGroups": ["cpuType"], "runs": 50}))
+    cfg = load_config(str(p))
+    assert cfg["runs"] == 50
+    assert cfg["threads"] == 10 and cfg["randomSeed"] == 42  # defaults
+    assert cfg["outputGroups"] == ["cpuType"]
+
+
+def test_override_coercion_int_json_string():
+    assert coerce_override("42") == 42
+    assert coerce_override('{"a": 1}') == {"a": 1}
+    assert coerce_override('["x","y"]') == ["x", "y"]
+    assert coerce_override("hello") == "hello"
+
+
+def test_apply_overrides_global_and_indexed():
+    cfgs = [{"runs": 1}, {"runs": 2}]
+    out = apply_overrides(cfgs, {"runs": "9", "threads[1]": "4"})
+    assert out[0]["runs"] == 9 and out[1]["runs"] == 9
+    assert "threads" not in out[0] and out[1]["threads"] == 4
+    assert cfgs[0]["runs"] == 1  # originals untouched
+
+
+def test_payload_inheritance_priority(tmp_path):
+    folder = tmp_path / "payloads"
+    folder.mkdir()
+    (folder / "a.json").write_text(json.dumps({"x": 1}))
+    (folder / "b.json").write_text(json.dumps({"x": 2, "y": 3}))
+    # payloads key wins over folder
+    cfg = {"payloads": [{"x": 7}], "payloadFolder": str(folder), "parentPayload": {"x": 0, "z": 9}}
+    assert resolve_payloads(cfg) == [{"x": 7, "z": 9}]  # child over parent
+    # folder used when payloads empty
+    cfg2 = {"payloads": [], "payloadFolder": str(folder), "parentPayload": {"z": 9}}
+    assert resolve_payloads(cfg2) == [{"x": 1, "z": 9}, {"x": 2, "y": 3, "z": 9}]
+    # parent alone
+    assert resolve_payloads({"parentPayload": {"z": 1}}) == [{"z": 1}]
+
+
+def test_to_report_config_projection():
+    cfg = load_config({"outputGroups": ["uuid"], "showAsSum": ["runtime"],
+                       "invalidators": {"uuid": "bad"}, "warmupBuffer": 2})
+    rc = to_report_config(cfg)
+    assert rc.output_groups == ["uuid"]
+    assert rc.show_as_sum == ["runtime"]
+    assert rc.invalidators == {"uuid": "bad"}
+    assert rc.warmup_buffer == 2
