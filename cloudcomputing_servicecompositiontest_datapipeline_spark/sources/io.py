@@ -109,6 +109,28 @@ def write_split_by_group(df: DataFrame, key: str, out_dir: str) -> None:
     df.write.mode("overwrite").option("header", True).partitionBy(key).csv(out_dir)
 
 
+def write_parquet_partitioned(
+    df: DataFrame, path: str, *, partition_by: list[str], buckets: tuple[int, str] | None = None
+) -> None:
+    """The 100 TB landing format: parquet partitioned on the columns queries
+    filter by (→ partition pruning) and optionally bucketed on the join key
+    (→ shuffle-free co-located joins).  Bucketing requires a table
+    (``saveAsTable``); plain directory write otherwise."""
+    if buckets is not None:
+        n, col = buckets
+        name = os.path.basename(path).replace("-", "_")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .bucketBy(n, col)
+            .sortBy(col)
+            .option("path", path)
+            .saveAsTable(name)
+        )
+    else:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

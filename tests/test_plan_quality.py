@@ -46,6 +46,47 @@ def test_single_shuffle_for_dedup_then_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """The 100 TB landing layout: a filter on the partition column must show
+    up as a PartitionFilter (pruned at planning), not a data filter."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    ev = star.table(spark, SF, "events")
+    out = str(tmp_path / "events_part")
+    sio.write_parquet_partitioned(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = back._jdf.queryExecution().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert back.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables on the join key ⇒ no Exchange on either side."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = star.table(spark, SF, "orders")
+        li = star.table(spark, SF, "lineitem")
+        for name, df, key in [("b_orders", orders, "o_orderkey"), ("b_lineitem", li, "l_orderkey")]:
+            (
+                df.write.mode("overwrite").bucketBy(4, key).sortBy(key)
+                .option("path", str(tmp_path / name)).saveAsTable(name)
+            )
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders").o_orderkey == spark.table("b_lineitem").l_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # co-located join
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_no_python_udfs_in_core_plans(spark):
     """Core reference operators stay JVM-side (no BatchEvalPython /
     ArrowEvalPython in the hot path)."""
