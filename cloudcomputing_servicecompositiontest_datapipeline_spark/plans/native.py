@@ -587,6 +587,35 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_map_struct_funcs",
+    oracle="""
+    SELECT event_id,
+           map_keys(MAP {'type': event_type, 'uid': cast(user_id AS varchar)}) AS meta_keys,
+           MAP {'type': event_type, 'uid': cast(user_id AS varchar)}['type'][1] AS type_val,
+           struct_pack(e := event_id, u := user_id).e AS s_event,
+           cast(struct_pack(e := event_id, u := user_id).u AS bigint) AS s_user
+    FROM events
+    """,
+)
+def scalar_map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 map/struct surface: dynamic key→value carrier like the run
+    record's map form (Inspector.py:138-139; P16 map merge) — create_map,
+    map_keys, element_at lookup, struct build + field access."""
+    ev = _t(spark, sf_dir, "events")
+    meta = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    s = F.struct(F.col("event_id").alias("e"), F.col("user_id").alias("u"))
+    return ev.select(
+        "event_id",
+        F.map_keys(meta).alias("meta_keys"),
+        F.element_at(meta, "type").alias("type_val"),
+        s.getField("e").alias("s_event"),
+        s.getField("u").alias("s_user"),
+    )
+
+
+@query(
     "conditional_funcs",
     oracle="""
     SELECT c_custkey,
