@@ -119,6 +119,78 @@ def lsh_bucket(vec: F.Column, *, planes: int, dim: int) -> F.Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """X3 IVF variant: k-means coarse quantizer → inverted lists by centroid →
+    each query probes its ``n_probe`` nearest lists only.
+
+    At 100 TB the corpus is written partitioned by ``centroid`` (the inverted
+    index IS the partitioning), so a query touches n_probe/n_centroids of the
+    data.  Training samples the corpus; assignment is one broadcast-join pass.
+    Recall vs brute force is tunable via n_probe (tested in
+    tests/test_extensions.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
+    ml_df = c.withColumn("features", array_to_vector(F.col("cand_vec").cast("array<double>")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid")
+    model = km.fit(ml_df)
+    assigned = model.transform(ml_df).select("cand_id", "cand_vec", "cand_vec_norm", "centroid")
+
+    # centroid table is tiny: broadcast to score query→centroid distances
+    centers = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    centers_df = corpus.sparkSession.createDataFrame(centers, ["centroid", "center_vec"])
+    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "dist",
+            -_dot_dec(F.col("query_vec"), F.col("center_vec").cast("array<double>")).cast(
+                "double"
+            ),
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("centroid"))
+    probes = (
+        qc.withColumn("prnk", F.row_number().over(probe_w))
+        .filter(F.col("prnk") <= n_probe)
+        .select("query_id", "query_vec", "query_vec_norm", "centroid")
+    )
+
+    mult = 1000000.0
+    dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "centroid")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.floor(dot / (F.col("query_vec_norm") * F.col("cand_vec_norm")) * mult + 0.5)
+                / mult
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

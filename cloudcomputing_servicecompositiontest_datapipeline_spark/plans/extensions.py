@@ -110,6 +110,18 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+@query("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 IVF variant: k-means inverted lists, n_probe nearest lists per
+    query (the partition-pruned ANN layout at scale).  Rows-only (k-means
+    training is engine-specific); recall vs brute force asserted in tests."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, n_centroids=8, n_probe=3
+    )
+
+
 @query("similarity_lsh_topk")
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: hyperplane-LSH bucketed top-k (recall-vs-cost traded by

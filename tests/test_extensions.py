@@ -89,6 +89,20 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
             assert abs(brute_scores[(r.query_id, r.cand_id)] - r.cosine) < 1e-9
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {(r.query_id, r.cand_id) for r in sim.brute_force_topk(emb, q, k=3).collect()}
+    ivf = sim.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=4)
+    got = ivf.collect()
+    hits = {(r.query_id, r.cand_id) for r in got}
+    recall = len(hits & brute) / len(brute)
+    assert recall >= 0.5  # 4/8 lists probed → decent recall on 500 vectors
+    assert all(1 <= r.rnk <= 3 for r in got)
+
+
 def test_multimodal_decode_schema_and_determinism(docs):
     carrier = mm.attach_binary(docs, "text", "doc_id")
     out1 = {r.doc_id: (r.width, r.height, r.channels, r.content_sha) for r in mm.decode_media(carrier).collect()}

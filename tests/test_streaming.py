@@ -170,6 +170,48 @@ def test_observe_progress_metrics(spark, run_dir, tmp_path):
     assert metrics and metrics[0]["n_records"] == 6
 
 
+def test_stateful_container_lifetimes_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-container state persists across
+    micro-batches (runs accumulate, cold starts counted once)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.stateful import (
+        container_lifetimes,
+    )
+
+    d = tmp_path / "stateful"
+    d.mkdir()
+    schema = "run_id BIGINT, uuid STRING, newcontainer INT, ts TIMESTAMP"
+    with open(d / "a.json", "w") as f:
+        f.write(json.dumps({"run_id": 0, "uuid": "c0", "newcontainer": 1, "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write(json.dumps({"run_id": 1, "uuid": "c0", "newcontainer": 0, "ts": "2024-01-01 00:01:00"}) + "\n")
+    ckpt = str(tmp_path / "ckpt_state")
+
+    def drain(qname):
+        stream = spark.readStream.schema(_parse_datatype_string(schema)).json(str(d))
+        out = container_lifetimes(stream)
+        rows = {}
+
+        def sink(batch_df, _epoch):
+            for r in batch_df.collect():
+                rows[r.uuid] = r
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return rows
+
+    got = drain("t_state1")
+    assert got["c0"].runs == 2 and got["c0"].cold_starts == 1 and got["c0"].recycled
+    # batch 2: one more run on c0 and a fresh container c1
+    with open(d / "b.json", "w") as f:
+        f.write(json.dumps({"run_id": 2, "uuid": "c0", "newcontainer": 0, "ts": "2024-01-01 00:05:00"}) + "\n")
+        f.write(json.dumps({"run_id": 3, "uuid": "c1", "newcontainer": 1, "ts": "2024-01-01 00:05:00"}) + "\n")
+    got2 = drain("t_state2")
+    assert got2["c0"].runs == 3  # state carried across drains
+    assert got2["c1"].runs == 1 and not got2["c1"].recycled
+
+
 def test_session_window_batch(spark):
     rows = [
         (0, "u1", 1.0, "2024-01-01 00:00:00"),
