@@ -87,7 +87,7 @@ def report_multi_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT event_type, user_id, count(*) AS uses,
-               floor((cast(sum(cast(value AS {DEC})) AS double) / count(value)) * 100.0 + 0.5) / 100.0 AS avg_value
+               cast(floor((cast(sum(cast(value AS {DEC})) AS double) / count(value)) * 100.0 + 0.5) / 100.0 AS double) AS avg_value
         FROM events_mg GROUP BY GROUPING SETS ((event_type), (user_id))
         """
     )

@@ -171,7 +171,7 @@ def tlq_invalid_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey AS order_id,
            l_linenumber AS line_number,
            cast(l_quantity AS integer) AS units_sold,
-           cast(l_extendedprice AS decimal(18,2)) AS unit_price_dec,
+           cast(cast(l_extendedprice AS decimal(18,2)) AS varchar) AS unit_price_dec,
            cast(cast(l_tax AS varchar) AS double) AS tax_roundtrip
     FROM lineitem
     """,
@@ -186,7 +186,9 @@ def tlq_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("order_id"),
         F.col("l_linenumber").alias("line_number"),
         F.col("l_quantity").cast("int").alias("units_sold"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("unit_price_dec"),
+        # decimal rendered as string: engines agree on '123.40' text, but
+        # pandas-side Decimal-vs-float64 representations would not hash alike
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("unit_price_dec"),
         F.col("l_tax").cast("string").cast("double").alias("tax_roundtrip"),
     )
 
