@@ -21,6 +21,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return star.table(spark, sf_dir, name)
 
 
+def _mk_ratio_oracle() -> str:
+    """DuckDB twin of q14's conditional-sum ratio (decimal sums, floor-round)."""
+    rev = f"cast(l.l_extendedprice * (1 - l.l_discount) AS {DEC})"
+    promo = f"CASE WHEN starts_with(p.p_type, 'PROMO') THEN {rev} ELSE cast(0 AS {DEC}) END"
+    return (
+        f"floor(cast(sum({promo}) AS double) / cast(sum({rev}) AS double)"
+        f" * 100 * 10000 + 0.5) / 10000 AS promo_revenue_pct"
+    )
+
+
 @query(
     "q1_pricing_summary",
     oracle=f"""
@@ -345,6 +355,212 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= timestamp '1997-01-01'
+      AND o.o_orderdate < timestamp '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS against the fact table → left-semi join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q12_shipmode_case_agg",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= timestamp '1997-01-01' AND l.l_shipdate < timestamp '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_shipmode_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation over a fact join."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_ratio",
+    oracle=f"""
+    SELECT {_mk_ratio_oracle()}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= timestamp '1997-09-01' AND l.l_shipdate < timestamp '1997-10-01'
+    """,
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio (promo revenue share), decimal
+    sums + floor-rounded double division for hash stability."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast(DEC))
+    num = F.sum(promo).cast("double")
+    den = F.sum(rev).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg((F.floor(num / den * 100 * 10000 + 0.5) / 10000).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}, count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 25)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates across both join sides."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 25))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q22_balance_anti",
+    oracle=f"""
+    WITH avg_bal AS (SELECT {sql_davg("c_acctbal", "ab")} FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey, count(*) AS numcust, {sql_dsum("c.c_acctbal", "totacctbal")}
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_balance_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti join (customers with
+    above-average balance and no pending orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    ab = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal", "ab"))
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
+    )
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT event_id,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(event_id) OVER w AS first_id,
+           last_value(event_id) OVER (PARTITION BY event_type ORDER BY value, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native distribution window functions: percent_rank/cume_dist (ratios
+    of ints — identical doubles on both engines) + first/last value frames."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(wfull).alias("last_id"),
+    )
+
+
+@query(
+    "json_struct_roundtrip",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS integer) + 1 AS k_plus,
+           json_extract_string('{"nested": {"deep": "v"}}', '$.nested.deep') AS deep_val
+    FROM events
+    """,
+)
+def json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 JSON depth: from_json into a typed struct then field access, and
+    a nested-path extraction (experiment_caller.py:84 record parsing)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        (parsed.getField("k") + 1).alias("k_plus"),
+        F.get_json_object(F.lit('{"nested": {"deep": "v"}}'), "$.nested.deep").alias(
+            "deep_val"
+        ),
+    )
+
+
+@query(
+    "explode_posexplode",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' ')[1:4], 1) - 1 AS pos,
+           unnest(string_split(text, ' ')[1:4]) AS token
+    FROM documents
+    """,
+)
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 array fan-out: posexplode (explode with position) — payload
+    fan-out shape (U3 / experiment_caller payload cycling)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 4)
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
 
 
 @query(
