@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.report import ReportConfig, report
+from .operators.report import ReportConfig, combine_sheets, report
 from .session import apply_runtime_conf, get_spark
 from .sources import io as sio
 from .sources import star
@@ -37,6 +37,12 @@ class Engine:
 
     def register_star_views(self, sf_dir: str) -> None:
         star.register_views(self.spark, sf_dir)
+
+    def compile_results(self, run_dirs: list[str], vm_col: str = "vmID") -> DataFrame:
+        """U2 (compile_results.py:62-72): merge several experiment history
+        folders into one records table — union-of-keys schema with iteration
+        tagging and iteration-scoped vm keys."""
+        return combine_sheets([self.read_runs(d) for d in run_dirs], vm_col=vm_col)
 
     # --- analytics ---------------------------------------------------------
     def report(self, runs: DataFrame, cfg: ReportConfig) -> dict[str, DataFrame]:

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -35,6 +35,8 @@ class ReportConfig:
     semantics test/README.md:93-148)."""
 
     output_groups: list[str] = field(default_factory=list)  # group-by keys (A6)
+    output_raw_of_group: list[str] = field(default_factory=list)  # per-group raw sections
+    cpu_type_col: str = "cpuType"  # tenancy label source (report_generator.py:243)
     show_as_list: list[str] = field(default_factory=list)  # A5 collect-distinct-sorted
     show_as_sum: list[str] = field(default_factory=list)  # A2 sum columns
     ignore_from_all: list[str] = field(default_factory=list)  # P14 drop everywhere
@@ -100,20 +102,68 @@ def group_section(df: DataFrame, key: str, cfg: ReportConfig) -> DataFrame:
     dropped = set(
         cfg.ignore_from_all + cfg.ignore_from_groups + cfg.ignore_by_group.get(key, [])
     ) | {key}
+    # df[c] (not F.col) so names containing brackets — zTenancy[vmID],
+    # tenants[vmID] — resolve as plain columns, not extraction expressions
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("uses")]
     for c in numeric_columns(df, exclude=dropped):
-        aggs.append(davg(c, f"avg_{c}", cfg.round_scale))
+        aggs.append(davg(df[c], f"avg_{c}", cfg.round_scale))
     for c in cfg.show_as_sum:
         if c in df.columns and c not in dropped:
-            aggs.append(dsum(c, f"sum_{c}", cfg.round_scale))
+            aggs.append(dsum(df[c], f"sum_{c}", cfg.round_scale))
     for c in cfg.show_as_list:
         if c in df.columns and c not in dropped:
             aggs.append(
-                F.slice(F.sort_array(F.collect_set(F.col(c))), 1, cfg.list_cap).alias(
+                F.slice(F.sort_array(F.collect_set(df[c])), 1, cfg.list_cap).alias(
                     f"{c}_list"
                 )
             )
-    return df.groupBy(key).agg(*aggs).orderBy(key)
+    return df.groupBy(df[key]).agg(*aggs).orderBy(df[key])
+
+
+def add_tenancy_columns(
+    df: DataFrame, vm_col: str, cpu_col: str = "cpuType", order_col: str | None = None
+) -> DataFrame:
+    """zTenancy semantics (report_generator.py:230-255): per-vm uses count and
+    the vm's cpuType (first occurrence), stamped onto every run as
+    ``zTenancy[vm] = "<cpuType> - <uses>"`` plus ``tenants[vm] = uses``.
+
+    ``order_col`` gives the deterministic "first" (the reference uses ingest
+    order); without one, ``min(cpuType)`` — identical when a vm has one
+    cpuType, which the data model guarantees."""
+    w = Window.partitionBy(vm_col)
+    uses = F.count(F.lit(1)).over(w)
+    if order_col is not None:
+        # first-in-ingest-order via min over (order, cpu) pairs
+        cpu = F.min(F.struct(F.col(order_col), F.col(cpu_col))).over(w).getField(cpu_col)
+    else:
+        cpu = F.min(cpu_col).over(w)
+    return df.withColumn(
+        f"zTenancy[{vm_col}]", F.concat(cpu.cast("string"), F.lit(" - "), uses.cast("string"))
+    ).withColumn(f"tenants[{vm_col}]", uses)
+
+
+def add_pipeline_metrics(
+    df: DataFrame,
+    metrics: list[str],
+    *,
+    run_col: str = "1_run_id",
+    thread_col: str = "2_thread_id",
+    stage_col: str = "3_pipeline_stage",
+) -> DataFrame:
+    """A8/W1: cumulative ``X + "Pipeline"`` columns — running sum of X over
+    pipeline stages within (run, thread) (report_generator.py:143-164)."""
+    w = (
+        Window.partitionBy(run_col, thread_col)
+        .orderBy(stage_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for m in metrics:
+        if m in df.columns:
+            df = df.withColumn(
+                f"{m}Pipeline",
+                F.round(F.sum(F.col(m).cast("decimal(28,4)")).over(w), 2).cast("double"),
+            )
+    return df
 
 
 def combine_sheets(frames: list[DataFrame], vm_col: str = "vmID") -> DataFrame:
@@ -153,17 +203,41 @@ def validity_gate(df: DataFrame, version_col: str = "version") -> DataFrame:
 
 
 def report(df: DataFrame, cfg: ReportConfig) -> dict[str, DataFrame]:
-    """The full report plan: validity gate → filters → dedup → one section per
-    output group (after U5 conflict resolution), plus the raw (filtered)
-    records under ``"raw"``."""
+    """The full report plan: validity gate → filters → dedup → tenancy
+    derivation (for ``zTenancy[...]`` group keys) → one section per output
+    group (after U5 conflict resolution), plus the raw (filtered) records
+    under ``"raw"`` and per-group raw splits under ``"raw:<key>"``
+    (outputRawOfGroup, report_generator.py:385-430)."""
     df = validity_gate(df)
     df = warmup_filter(df, cfg.warmup_buffer, cfg.iteration_col)
     df = invalidator_filter(df, cfg.invalidators)
     if cfg.remove_duplicate_containers and cfg.container_key in df.columns:
         order = [F.col(c) for c in df.columns]
         df = first_wins_dedup(df, cfg.container_key, order)
+    # zTenancy[vm] group keys require the derived tenancy columns
+    # (report_generator.py:230-255); zTenancy[vmID] is dropped when the
+    # iteration-scoped key is also requested (the §7.3 correctness caveat).
+    groups = list(cfg.output_groups)
+    if "zTenancy[vmID[iteration]]" in groups and "zTenancy[vmID]" in groups:
+        if "vmID_iter" in df.columns or "vmID[iteration]" in df.columns:
+            groups.remove("zTenancy[vmID]")
+    for g in groups:
+        if g.startswith("zTenancy[") and g.endswith("]"):
+            vm = g[len("zTenancy[") : -1]
+            vm_col = "vmID_iter" if vm == "vmID[iteration]" and "vmID_iter" in df.columns else vm
+            if vm_col in df.columns and cfg.cpu_type_col in df.columns and g not in df.columns:
+                df = add_tenancy_columns(df, vm_col, cfg.cpu_type_col)
+                if vm_col != vm:
+                    df = df.withColumnRenamed(f"zTenancy[{vm_col}]", g).withColumnRenamed(
+                        f"tenants[{vm_col}]", f"tenants[{vm}]"
+                    )
     sections: dict[str, DataFrame] = {"raw": df}
-    for key in resolve_group_conflicts(df, cfg.output_groups):
+    for key in resolve_group_conflicts(df, groups):
         if key in df.columns:
             sections[key] = group_section(df, key, cfg)
+    for key in cfg.output_raw_of_group:
+        if key in df.columns:
+            dropped = set(cfg.ignore_from_groups) | set(cfg.ignore_by_group.get(key, []))
+            keep = [c for c in df.columns if c not in dropped]
+            sections[f"raw:{key}"] = df.select(*keep)
     return sections
