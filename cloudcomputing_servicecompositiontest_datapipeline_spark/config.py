@@ -113,6 +113,8 @@ def to_report_config(cfg: dict[str, Any]) -> ReportConfig:
     """Project the experiment document onto the report plan's config."""
     return ReportConfig(
         output_groups=list(cfg.get("outputGroups") or []),
+        output_raw_of_group=list(cfg.get("outputRawOfGroup") or []),
+        overlap_filter=str(cfg.get("overlapFilter") or ""),
         show_as_list=list(cfg.get("showAsList") or []),
         show_as_sum=list(cfg.get("showAsSum") or []),
         ignore_from_all=list(cfg.get("ignoreFromAll") or []),

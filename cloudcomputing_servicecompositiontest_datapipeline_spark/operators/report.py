@@ -37,6 +37,11 @@ class ReportConfig:
     output_groups: list[str] = field(default_factory=list)  # group-by keys (A6)
     output_raw_of_group: list[str] = field(default_factory=list)  # per-group raw sections
     cpu_type_col: str = "cpuType"  # tenancy label source (report_generator.py:243)
+    overlap_filter: str = ""  # J1 equality predicate (report_generator.py:101-106)
+    start_col: str = "startTime"  # J1 interval bounds
+    end_col: str = "endTime"
+    run_id_col: str | None = None  # unique row id required to stamp runtimeOverlap
+    pipeline_metrics: bool = True  # A8 cumulative XPipeline columns when staged
     show_as_list: list[str] = field(default_factory=list)  # A5 collect-distinct-sorted
     show_as_sum: list[str] = field(default_factory=list)  # A2 sum columns
     ignore_from_all: list[str] = field(default_factory=list)  # P14 drop everywhere
@@ -214,6 +219,31 @@ def report(df: DataFrame, cfg: ReportConfig) -> dict[str, DataFrame]:
     if cfg.remove_duplicate_containers and cfg.container_key in df.columns:
         order = [F.col(c) for c in df.columns]
         df = first_wins_dedup(df, cfg.container_key, order)
+    # runtimeOverlap stamped automatically when interval bounds exist
+    # (report_generator.py:91-111); needs a unique row id to annotate back.
+    if (
+        cfg.run_id_col
+        and cfg.start_col in df.columns
+        and cfg.end_col in df.columns
+        and "runtimeOverlap" not in df.columns
+    ):
+        from .joins import runtime_overlap
+
+        scores = runtime_overlap(
+            df,
+            id_col=cfg.run_id_col,
+            start_col=cfg.start_col,
+            end_col=cfg.end_col,
+            overlap_filter=cfg.overlap_filter or None,
+        ).withColumnRenamed("overlap_score", "runtimeOverlap")
+        df = df.join(scores, cfg.run_id_col, "left").withColumn(
+            "runtimeOverlap", F.round(F.col("runtimeOverlap"), 2)
+        )
+    # cumulative pipeline metrics when the records are staged
+    # (report_generator.py:113-164)
+    if cfg.pipeline_metrics and "3_pipeline_stage" in df.columns:
+        skip = {"1_run_id", "2_thread_id", "3_pipeline_stage"}
+        df = add_pipeline_metrics(df, numeric_columns(df, exclude=skip))
     # zTenancy[vm] group keys require the derived tenancy columns
     # (report_generator.py:230-255); zTenancy[vmID] is dropped when the
     # iteration-scoped key is also requested (the §7.3 correctness caveat).

@@ -173,6 +173,33 @@ def test_golden_ztenancy_label_matches_reference_artifact(spark):
     assert labels == {raw["cpuType"].iloc[0] + " - 7"}
 
 
+def test_report_stamps_runtime_overlap_and_pipeline_metrics(spark):
+    """report() auto-derives runtimeOverlap (report_generator.py:91-111) and
+    cumulative pipeline columns (:113-164) when the record shape has them."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.report import (
+        ReportConfig,
+        report,
+    )
+
+    rows = [
+        # (rid, run, thread, stage, start, end, runtime)
+        (0, 0, 0, 1, 0, 10, 5.0),
+        (1, 0, 0, 2, 5, 15, 7.0),   # overlaps rid 0 by 5/10
+        (2, 1, 0, 1, 100, 110, 3.0),  # no overlap
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["rid", "1_run_id", "2_thread_id", "3_pipeline_stage", "startTime", "endTime", "runtime"],
+    )
+    sections = report(df, ReportConfig(run_id_col="rid"))
+    raw = {r.rid: r for r in sections["raw"].collect()}
+    assert raw[0]["runtimeOverlap"] == 0.5
+    assert raw[1]["runtimeOverlap"] == 0.5
+    assert raw[2]["runtimeOverlap"] == 0.0
+    assert raw[1]["runtimePipeline"] == 12.0  # 5 + 7 within (run 0, thread 0)
+    assert raw[2]["runtimePipeline"] == 3.0
+
+
 def test_approx_sketches_close_to_exact(spark, sf_dir):
     from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
 
