@@ -110,6 +110,78 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        floor(
+          cast(list_sum(list_transform(a.embedding, (x, i) -> cast(cast(x AS double) * cast(b.embedding[i] AS double) AS decimal(28,12)))) AS double)
+          / (sqrt(cast(list_sum(list_transform(a.embedding, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double))
+             * sqrt(cast(list_sum(list_transform(b.embedding, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)))
+          * 1000000 + 0.5) / 1000000 AS cosine
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 embedding-cosine near-dup: pairs above a high cosine threshold are
+    duplicate candidates (the semantic-dedup stage of an LLM pipeline).
+    Exact all-pairs on a bounded subset here; the scale path reuses the
+    LSH/IVF bucketing from similarity.py so only same-bucket pairs score."""
+    apply_runtime_conf(spark)
+    from ..operators.similarity import _dot_dec, _with_norm
+
+    emb = star.table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = _with_norm(emb, "id_a", "vec_a", "vec_id", "embedding")
+    b = _with_norm(emb, "id_b", "vec_b", "vec_id", "embedding")
+    dot = _dot_dec(F.col("vec_a"), F.col("vec_b")).cast("double")
+    mult = 1000000.0
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(dot / (F.col("vec_a_norm") * F.col("vec_b_norm")) * mult + 0.5) / mult).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@query(
+    "docs_join_embeddings",
+    oracle="""
+    SELECT d.lang, count(*) AS n_docs,
+           floor(cast(sum(cast(e.label AS decimal(28,4))) AS double) / count(*) * 100.0 + 0.5) / 100.0 AS avg_label,
+           min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+)
+def docs_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-adjacent: text table joined to its embedding table on the
+    shared id (the standard document↔vector layout) with per-language stats."""
+    apply_runtime_conf(spark)
+    d = star.table(spark, sf_dir, "documents")
+    e = star.table(spark, sf_dir, "embeddings")
+    s = F.sum(F.col("label").cast("decimal(28,4)")).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang")
+        .agg(
+            n.alias("n_docs"),
+            (F.floor(s / n * 100.0 + 0.5) / 100.0).alias("avg_label"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 @query("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 IVF variant: k-means inverted lists, n_probe nearest lists per
