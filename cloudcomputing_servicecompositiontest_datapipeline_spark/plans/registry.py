@@ -35,4 +35,4 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every plan module (side effect: registration)."""
-    from . import tlq, report, joins, windows, native, extensions, streaming_batch, io_udf  # noqa: F401
+    from . import tlq, report, joins, windows, native, tpch_more, extensions, streaming_batch, io_udf  # noqa: F401
