@@ -87,6 +87,41 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_q6_full_predicate_pushdown(spark):
+    """Q6 is the pure scan-dominated query: every conjunct must reach the
+    parquet scan and only the 4 referenced columns may be read."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    for field in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert f"IsNotNull({field})" in plan or f"({field}" in plan, field
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "l_orderkey" not in rs and "l_extendedprice" in rs
+
+
+def test_tpch_more_dims_broadcast_no_cartesian(spark):
+    """The new multi-join shapes must broadcast every dimension side and
+    never degrade to a cartesian product."""
+    for name in [
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q20_excess_shippers",
+    ]:
+        plan = _plan(spark, name).split("== Physical Plan ==")[-1]
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q21_sole_blame_semi_anti_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must plan as semi + anti joins on the
+    orderkey (per-key containment), never a cartesian blow-up."""
+    plan = _plan(spark, "q21_waiting_suppliers").split("== Physical Plan ==")[-1]
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_python_udfs_in_core_plans(spark):
     """Core reference operators stay JVM-side (no BatchEvalPython /
     ArrowEvalPython in the hot path)."""
