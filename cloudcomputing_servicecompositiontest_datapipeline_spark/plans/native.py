@@ -63,9 +63,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
         * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
     )
-    return (
+    # Fixture parquet has ~3 row groups → 3 scan tasks; fan out post-filter so
+    # the 9-aggregate decimal math uses every core.  No-op at real scale,
+    # where the fact already has ≥ cores partitions (SCALING.md).
+    filtered = star.ensure_parallelism(
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+    )
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
