@@ -207,3 +207,60 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def cluster_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """X2 completion: collapse near-dup *pairs* into clusters and elect one
+    canonical document per cluster (the component-minimum id) — the step a
+    dedup pipeline needs after pair detection to decide what to keep.
+
+    Connected components by iterative min-label propagation: every node
+    starts labelled with itself; each round every node takes the min label
+    among itself and its neighbors; fixpoint = component minimum.  Rounds are
+    bounded by component diameter — near-dup clusters are small and dense, so
+    this converges in a handful of rounds (GraphFrames' CC uses the same
+    scheme plus large-star contraction for adversarial graphs).
+    ``localCheckpoint`` truncates lineage each round so plans don't grow
+    exponentially; the convergence check is a cheap ``limit(1).count``.
+    Docs with no near-dup pair keep themselves as canonical.
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("node", F.col("label").alias("old")), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+    )

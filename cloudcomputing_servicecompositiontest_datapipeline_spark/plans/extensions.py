@@ -64,6 +64,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, list_distinct(string_split({_NORM}, ' ')) AS tokens
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b
+        ON a.doc_id < b.doc_id AND a.lang = b.lang
+      WHERE floor(cast(len(list_intersect(a.tokens, b.tokens)) AS double)
+                  / len(list_distinct(list_concat(a.tokens, b.tokens))) * 1000000 + 0.5) / 1000000 >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 completion: near-dup pairs → connected components → one canonical
+    doc per cluster (component-minimum id).  Iterative min-label propagation
+    on Spark (bounded by component diameter, lineage-truncated per round);
+    the DuckDB oracle computes the same fixpoint with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.5)
+    return dd.cluster_canonical(docs, pairs, "doc_id")
+
+
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→

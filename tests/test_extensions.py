@@ -120,3 +120,27 @@ def test_frame_sample_fanout(docs):
     per_doc = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
     assert all(n >= 1 for n in per_doc.values())
     assert per_doc[0] > 1  # 44-byte payload at 16-byte stride → multiple frames
+
+
+def test_cluster_canonical_transitive_chain(spark):
+    """a-b and b-c near-dup pairs must land a, b, c in ONE cluster with the
+    min id canonical, even though a-c is not itself a pair; isolated docs
+    keep themselves."""
+    docs = spark.createDataFrame(
+        [(10, "x"), (11, "x"), (12, "x"), (13, "y"), (14, "z")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (13, 13)], ["id_a", "id_b"]
+    ).filter(F.col("id_a") != F.col("id_b"))
+    out = {r.doc_id: r.canonical_id for r in dd.cluster_canonical(docs, pairs, "doc_id").collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 13: 13, 14: 14}
+
+
+def test_cluster_canonical_converges_on_long_chain(spark):
+    """A path graph is the worst case for label propagation (diameter =
+    n-1); the loop must still reach the fixpoint within max_iterations."""
+    n = 12
+    docs = spark.createDataFrame([(i, "t") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    out = dd.cluster_canonical(docs, pairs, "doc_id", max_iterations=n).collect()
+    assert {r.canonical_id for r in out} == {0}
