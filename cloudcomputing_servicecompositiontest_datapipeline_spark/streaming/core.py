@@ -141,3 +141,35 @@ def session_windowed_counts(
     return df.groupBy(
         F.session_window(F.col(ts_col), gap).alias("session"), F.col(key)
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup (dedup-on-arrival): drop any document whose
+    normalized content hash was already seen within the watermark horizon.
+
+    The ingest-side counterpart of operators/dedup.py:exact_dedup for a
+    training-data pipeline: duplicates are discarded as they arrive instead
+    of in a later batch pass.  ``dropDuplicatesWithinWatermark`` keys state
+    by the content hash and evicts entries older than the watermark, so
+    state is bounded by (arrival rate x horizon), not corpus size — the
+    property that keeps this viable on an unbounded 100 TB feed.  The batch
+    exact_dedup pass remains ground truth across horizons (same
+    batch-recompute posture as T4).
+    """
+    from ..operators.dedup import normalized_text
+
+    hashed = docs.withColumn(
+        "content_hash", F.sha2(normalized_text(F.col(text_col)), 256)
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select(id_col, "content_hash", ts_col)
+    )

@@ -225,3 +225,39 @@ def test_session_window_batch(spark):
     out = session_windowed_counts(df, gap="5 minutes")
     got = sorted((r.user_id, r.n_events) for r in out.collect())
     assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """Duplicate content arriving across micro-batches within the watermark
+    horizon is dropped; distinct content passes through."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.core import stream_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox", "ts": "2024-01-01 00:00:00"},
+        {"doc_id": 2, "text": "The  quick brown fox ", "ts": "2024-01-01 00:01:00"},  # dup after normalize
+        {"doc_id": 3, "text": "something else entirely", "ts": "2024-01-01 00:02:00"},
+    ]
+    for r in rows:
+        with open(src / f"doc{r['doc_id']}.json", "w") as f:
+            json.dump(r, f)
+    stream = (
+        spark.readStream.schema("doc_id INT, text STRING, ts STRING")
+        .option("maxFilesPerTrigger", 1)  # one doc per micro-batch
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.table("dedup_stream").collect()}
+    assert 3 in kept and len(kept) == 2  # one of {1,2} survives, never both
+    assert kept - {1, 2, 3} == set()
