@@ -71,3 +71,51 @@ def tenancy_annotate(
         out_col,
         F.concat_ws(" - ", F.col(type_col), F.count(F.lit(1)).over(w).cast("string")),
     )
+
+
+def asof_backward_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    out_col: str = "asof_ts",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the latest ``right_ts`` of
+    the same ``key`` with ``right_ts <= left_ts`` (null if none) — the
+    point-in-time lookup Spark lacks as a primitive (time-series enrichment:
+    "state as of this event").
+
+    Expressed as union + running window instead of an inequality join: both
+    sides shuffle ONCE on the key, sort by (ts, side) within the partition,
+    and a running ``max(right ts)`` answers every left row in one pass —
+    O(n log n) per key group and no quadratic candidate space, the shape that
+    survives 100 TB (an inequality join would be a per-key nested loop; a
+    naive broadcast of the right side would not fit).  Ties at equal ts sort
+    the right row first, preserving <= semantics.
+    """
+    row_t = F.struct(*[F.col(c) for c in left.columns])
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        row_t.alias("_row"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn(out_col, F.max(F.when(F.col("_side") == 0, F.col("_t"))).over(w))
+        .filter(F.col("_side") == 1)
+        .select("_row.*", out_col)
+    )

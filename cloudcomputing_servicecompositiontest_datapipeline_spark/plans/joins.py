@@ -171,3 +171,40 @@ def join_config_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(
         F.broadcast(region), ev.user_id % 5 == region.r_regionkey
     ).select("event_id", "user_id", F.col("r_name").alias("endpoint"))
+
+
+@query(
+    "join_asof_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS last_click_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join: stamp each purchase with the user's latest click
+    at-or-before it (point-in-time enrichment).  Implementation is
+    operators/joins.py:asof_backward_join — union + running window, one
+    shuffle on user_id, no inequality-join candidate blowup; the oracle is
+    DuckDB's native ASOF LEFT JOIN (an independent implementation of the
+    same semantics).  Timestamps as epoch micros (exact ints both engines)."""
+    from ..operators.joins import asof_backward_join
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("purchase_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("click_us")
+    )
+    return asof_backward_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_us",
+        right_ts="click_us",
+        out_col="last_click_us",
+    )

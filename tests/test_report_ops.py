@@ -214,3 +214,26 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     )
     assert abs(row.approx - row.exact) / row.exact < 0.05
     assert abs(row.approx_med - row.exact_med) <= 1.0
+
+
+def test_asof_backward_join_semantics(spark):
+    """<= tie inclusion, strictly-later exclusion, and null when no match."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.joins import asof_backward_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 70), (3, "v", 10), (4, "w", 99)],
+        ["id", "key", "t"],
+    )
+    right = spark.createDataFrame(
+        [("u", 100), ("u", 60), ("u", 200), ("v", 11)], ["key", "rt"]
+    )
+    out = {
+        r.id: r.asof_ts
+        for r in asof_backward_join(
+            left, right, key="key", left_ts="t", right_ts="rt"
+        ).collect()
+    }
+    assert out[1] == 100  # tie at equal ts is included (<=)
+    assert out[2] == 60   # later right rows (100, 200) excluded
+    assert out[3] is None  # v's only click is strictly later
+    assert out[4] is None  # key with no right rows at all
