@@ -6,7 +6,7 @@ rows-only + pytest-covered.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -321,3 +321,61 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake kernel — container ships no codecs; plumbing is real).  Rows-only."""
     docs = _docs(spark, sf_dir)
     return mm.decode_media(mm.attach_binary(docs, "text", "doc_id"))
+
+
+@query(
+    "text_quality_cutoff",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split({_NORM}, ' ')) AS n_tokens FROM documents),
+    thr AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS thr FROM t GROUP BY lang)
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM t JOIN thr USING (lang) WHERE t.n_tokens > thr.thr
+    """,
+)
+def text_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate: drop documents at or below their language's 25th
+    percentile of token count — the per-stratum quantile-cutoff pattern a
+    training-data pipeline uses for quality filtering.  The per-lang
+    threshold table is tiny → broadcast back; both engines interpolate
+    continuous quantiles identically."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(dd.normalized_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    thr = toks.groupBy("lang").agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("thr")
+    )
+    return (
+        toks.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_tokens") > F.col("thr"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@query(
+    "sample_stratified_systematic",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE (rn - 1) % 10 = 0
+    """,
+)
+def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: every 10th document per language in
+    doc_id order — reproducible data mixing without RNG state.  At 100 TB
+    the order-free equivalent is hash-mod sampling
+    (``pmod(xxhash64(doc_id), 10) = 0``): same statistical effect, no
+    per-stratum sort; this declared form keeps a total order so both engines
+    agree row-for-row."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 10 == 0)
+        .select("doc_id", "lang")
+    )
