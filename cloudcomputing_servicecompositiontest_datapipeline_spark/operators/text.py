@@ -93,3 +93,47 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
         F.sha2(F.array_join(toks, " "), 256).alias("fingerprint_sha"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_size: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Sequence chunking: split each document into fixed-size token windows
+    with overlap — the pre-tokenization packing step of an LLM data pipeline
+    (context-window-sized pieces, overlapping so no boundary context is
+    lost).
+
+    One ``posexplode`` over computed chunk starts; no UDFs, no shuffle —
+    chunking is embarrassingly parallel per document, so output partitioning
+    follows input partitioning at any scale.  Chunk starts stride by
+    ``chunk_size - overlap``; the final chunk is allowed to be short.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_size), F.size("_toks") - F.col("_start")
+            ).alias("n_tokens"),
+        )
+    )

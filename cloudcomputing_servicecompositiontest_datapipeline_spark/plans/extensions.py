@@ -379,3 +379,24 @@ def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") - 1) % 10 == 0)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start FROM t)
+    SELECT doc_id,
+           cast(start / 40 AS int) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
+           least(50, len(toks) - start) AS n_tokens
+    FROM s
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: 50-token windows with 10-token overlap
+    (stride 40) per document — posexplode over computed starts, no shuffle
+    (operators/text.py:chunk_documents)."""
+    return tx.chunk_documents(
+        _docs(spark, sf_dir), "text", "doc_id", chunk_size=50, overlap=10
+    )

@@ -144,3 +144,23 @@ def test_cluster_canonical_converges_on_long_chain(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
     out = dd.cluster_canonical(docs, pairs, "doc_id", max_iterations=n).collect()
     assert {r.canonical_id for r in out} == {0}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """Chunks stride by size-overlap, overlap regions repeat, tail chunk is
+    short; a doc smaller than one chunk yields exactly one chunk."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame([(1, words), (2, "a b c")], ["doc_id", "text"])
+    out = chunk_documents(docs, "text", "doc_id", chunk_size=5, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
+    c1 = sorted(by_doc[1])
+    assert [c[1].split()[0] for c in c1] == ["w0", "w3", "w6", "w9"]  # stride 3
+    assert c1[0][1].split()[-2:] == c1[1][1].split()[:2]  # 2-token overlap
+    assert c1[-1][2] == 3  # tail chunk short
+    assert by_doc[2] == [(0, "a b c", 3)]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "text", "doc_id", chunk_size=5, overlap=5)
