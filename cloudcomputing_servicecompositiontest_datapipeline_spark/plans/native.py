@@ -919,3 +919,28 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("error", F.lit(0)).alias("n_error"),
         )
     )
+
+
+@query(
+    "unpivot_event_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS n_click,
+             count(*) FILTER (WHERE event_type = 'view') AS n_view
+      FROM events GROUP BY user_id)
+    SELECT user_id, 'n_click' AS metric, n_click AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'n_view' AS metric, n_view AS n FROM wide
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot/melt (wide → long): the inverse reshape of
+    pivot_event_types — report_splitter.py's sections-to-rows direction.
+    ``unpivot`` is a narrow op (row-local expansion, no shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+    )
+    return wide.unpivot("user_id", ["n_click", "n_view"], "metric", "n")
