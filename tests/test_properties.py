@@ -102,3 +102,37 @@ def test_overlap_matches_python_reference_model(spark, iv):
 
                 total += math.floor(ov / max(e1 - s1, 1) * 1_000_000)
         assert abs(got[i] - total / 1_000_000) < 1e-9, (i, got[i], total)
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (id, key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(  # right: (key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+)
+
+
+@given(asof_strategy)
+@SETTINGS
+def test_asof_join_matches_python_model(spark, data):
+    """asof_backward_join vs the obvious O(n*m) Python model on arbitrary
+    keys/timestamps (duplicate ts, empty right side, all-later right rows)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.joins import asof_backward_join
+
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], ["id", "key", "t"]
+    )
+    right_schema = "key INT, rt INT"
+    right = spark.createDataFrame(right_rows or [], right_schema)
+    got = {
+        r.id: r.asof_ts
+        for r in asof_backward_join(
+            left, right, key="key", left_ts="t", right_ts="rt"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = [rt for (rk, rt) in right_rows if rk == k and rt <= t]
+        assert got[i] == (max(cands) if cands else None), (i, k, t)
