@@ -208,3 +208,67 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="click_us",
         out_col="last_click_us",
     )
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'click') AS first_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           count(first_click) AS n_clicked,
+           count(CASE WHEN first_purchase > first_click THEN 1 END) AS n_converted
+    FROM f
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis: users who clicked, then purchased strictly
+    after their first click.  One shuffle (groupBy user) then a 1-row global
+    agg — the per-entity-then-global pattern that holds at any event volume."""
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_click"), 1)
+        ).alias("n_converted"),
+    )
+
+
+@query(
+    "retention_week_over_week",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS date) AS w FROM events)
+    SELECT cast(a.w AS varchar) AS week_start, count(*) AS n_retained
+    FROM wk a JOIN wk b ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
+    GROUP BY a.w
+    """,
+)
+def retention_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active in week W who are also active in W+1.
+    The distinct (user, week) grid is tiny relative to raw events (one
+    map-side distinct prunes before the self-join on user_id+week)."""
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    nxt = wk.select(
+        F.col("user_id").alias("u2"), F.date_sub(F.col("w"), 7).alias("w2")
+    )
+    return (
+        wk.join(nxt, (wk.user_id == F.col("u2")) & (wk.w == F.col("w2")))
+        .groupBy(F.col("w").cast("string").alias("week_start"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
