@@ -135,3 +135,28 @@ def test_no_python_udfs_in_core_plans(spark):
     ]:
         plan = _plan(spark, name).split("== Physical Plan ==")[-1]
         assert "EvalPython" not in plan, name
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must cost one hash exchange per side (union aligns
+    them) and zero joins — the union+window form, not an inequality join."""
+    plan = _plan(spark, "join_asof_last_click").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # one shuffle on the key
+    assert "Window" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking is row-local: posexplode, no Exchange beyond the
+    small-input fan-out repartition (round-robin, not a hash shuffle)."""
+    plan = _plan(spark, "text_chunk_documents").split("== Physical Plan ==")[-1]
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate posexplode" in plan or "posexplode" in plan
+
+
+def test_funnel_two_stage_aggregate(spark):
+    """Funnel: per-user partial+final agg then a 1-row global agg — no joins,
+    no windows over the raw event stream."""
+    plan = _plan(spark, "funnel_click_to_purchase").split("== Physical Plan ==")[-1]
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
