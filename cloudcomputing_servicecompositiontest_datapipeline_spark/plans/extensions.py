@@ -400,3 +400,71 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(
         _docs(spark, sf_dir), "text", "doc_id", chunk_size=50, overlap=10
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lang, {_NORM} AS ntext FROM documents),
+    keep1 AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY sha256(ntext)),
+    d1 AS (SELECT n.* FROM norm n JOIN keep1 USING (doc_id)),
+    toks AS (SELECT doc_id, lang, list_distinct(string_split(ntext, ' ')) AS tokens FROM d1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.lang = b.lang
+      WHERE floor(cast(len(list_intersect(a.tokens, b.tokens)) AS double)
+                  / len(list_distinct(list_concat(a.tokens, b.tokens))) * 1000000 + 0.5) / 1000000 >= 0.8),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM d1
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+    canon AS (SELECT node AS doc_id, min(r) AS canonical FROM reach GROUP BY node),
+    d2 AS (SELECT d1.* FROM d1 JOIN canon USING (doc_id) WHERE d1.doc_id = canon.canonical),
+    tok2 AS (SELECT doc_id, lang, string_split(ntext, ' ') AS toks FROM d2),
+    thr AS (SELECT lang, quantile_cont(len(toks), 0.25) AS thr FROM tok2 GROUP BY lang),
+    d3 AS (SELECT tok2.* FROM tok2 JOIN thr USING (lang) WHERE len(toks) > thr.thr),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start FROM d3)
+    SELECT doc_id, cast(start / 40 AS int) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
+           least(50, len(toks) - start) AS n_tokens
+    FROM s
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE composed plan: exact dedup (keep
+    lowest id per normalized hash) → near-dup clustering (keep canonical
+    docs only) → per-language quality cutoff (> p25 token count among
+    survivors) → 50/10 chunking.  Each stage is the already-verified
+    operator; this query pins that they compose — the "switch your whole
+    pipeline to this engine" demonstration."""
+    docs = _docs(spark, sf_dir)
+    # 1. exact dedup survivors
+    keep = dd.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    d1 = docs.join(keep, "doc_id", "left_semi")
+    # 2. near-dup clustering → canonical docs only
+    pairs = dd.ngram_jaccard_pairs(d1, "text", "doc_id", block_col="lang", threshold=0.8)
+    canon = dd.cluster_canonical(d1, pairs, "doc_id")
+    d2 = d1.join(
+        canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # 3. per-language quality cutoff on survivors
+    toks = d2.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split(dd.normalized_text(F.col("text")), " ")).alias("n_toks"),
+    )
+    thr = toks.groupBy("lang").agg(F.percentile("n_toks", F.lit(0.25)).alias("thr"))
+    d3 = (
+        toks.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_toks") > F.col("thr"))
+        .select("doc_id", "text")
+    )
+    # 4. chunk for training
+    return tx.chunk_documents(d3, "text", "doc_id", chunk_size=50, overlap=10)
