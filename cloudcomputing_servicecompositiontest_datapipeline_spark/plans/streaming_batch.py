@@ -141,3 +141,40 @@ def streaming_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query("streaming_dedup_on_arrival")
+def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dedup-on-arrival) as a real file stream over the
+    documents table: docs staged as JSON, drained with Trigger.AvailableNow
+    through dropDuplicatesWithinWatermark on the normalized content hash
+    (streaming/core.py:stream_exact_dedup).  Rows-only: which duplicate
+    survives depends on micro-batch arrival order; the batch exact-dedup
+    query remains the hash-checked ground truth."""
+    from ..streaming.core import stream_exact_dedup
+
+    docs = star.table(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="sg_dedup_stream_")
+    json_dir = os.path.join(workdir, "docs")
+    docs.select(
+        "doc_id", "text", F.lit("2024-01-01 00:00:00").alias("ts")
+    ).coalesce(4).write.mode("overwrite").json(json_dir)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, ts STRING")
+        .json(json_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_exact_dedup(stream, watermark="10 minutes")
+    name = "sg_dedup_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
