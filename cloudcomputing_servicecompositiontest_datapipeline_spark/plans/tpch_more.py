@@ -499,3 +499,68 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH sold AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey, l.l_suppkey),
+    best AS (SELECT l_partkey, min(unit_price) AS best_price FROM sold GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           {sql_fround("sold.unit_price", 4)} AS unit_price
+    FROM part p
+    JOIN sold ON p.p_partkey = sold.l_partkey
+    JOIN best ON sold.l_partkey = best.l_partkey AND sold.unit_price = best.best_price
+    JOIN supplier s ON sold.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 15
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: cheapest observed unit price from lineitem
+    instead of partsupp supply cost): per-part minimum over a region-filtered
+    supplier set, then join-back to recover the winning suppliers' details —
+    the aggregate-then-rejoin decorrelation Catalyst applies to Q2's
+    correlated subquery.  Both mins are over identical IEEE doubles, so the
+    equality join-back is exact on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    sold = (
+        l.join(F.broadcast(euro_supp.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    best = sold.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        sold.join(
+            best,
+            (sold.l_partkey == F.col("bk")) & (sold.unit_price == F.col("best_price")),
+        )
+        .join(F.broadcast(p), sold.l_partkey == p.p_partkey)
+        .join(F.broadcast(euro_supp), sold.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            fround(F.col("unit_price"), 4).alias("unit_price"),
+        )
+    )
