@@ -27,8 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in driver-priority
+    order (the driver records the first 50; the window rotates per round —
+    see ``plans/registry.py:DRIVER_WINDOW``)."""
+    return _registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

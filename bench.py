@@ -69,17 +69,33 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Bench continuity: per-query delta vs the newest recorded BENCH_r{N}.json
+    # (same query set since r1), so regressions are visible round over round.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json"))
+    if prior:
+        try:
+            with open(os.path.join(here, prior[-1])) as f:
+                prev = json.load(f)
+            prev = prev.get("parsed", prev)  # driver files wrap under "parsed"
+            pq = prev.get("queries", {})
+            out["vs_prev"] = {
+                "round": prior[-1],
+                "total_delta_sec": round(out["value"] - prev.get("value", 0.0), 3),
+                "queries_delta_sec": {
+                    n: round(t - pq[n], 3) for n, t in timings.items() if n in pq
+                },
             }
-        )
-    )
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -143,8 +143,19 @@ def ivf_topk(
 
     c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
     ml_df = c.withColumn("features", array_to_vector(F.col("cand_vec").cast("array<double>")))
+    # Train on a bounded sample (seeded → deterministic), not the full corpus:
+    # k-means needs only enough points to place n_centroids centers, and a
+    # full-corpus fit would dominate cost at scale (it did at sf0.01 — ~17 s
+    # of a ~17.2 s query).  ~200 points per centroid is plenty.
+    target = 200 * n_centroids
+    n_rows = ml_df.count()
+    train = (
+        ml_df.sample(fraction=min(1.0, target / max(n_rows, 1)), seed=seed)
+        if n_rows > target
+        else ml_df
+    )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid")
-    model = km.fit(ml_df)
+    model = km.fit(train)
     assigned = model.transform(ml_df).select("cand_id", "cand_vec", "cand_vec_norm", "centroid")
 
     # centroid table is tiny: broadcast to score query→centroid distances

@@ -91,12 +91,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 completion: near-dup pairs → connected components → one canonical
-    doc per cluster (component-minimum id).  Iterative min-label propagation
-    on Spark (bounded by component diameter, lineage-truncated per round);
-    the DuckDB oracle computes the same fixpoint with a recursive CTE."""
+    """X2 completion, ORACLE TWIN: near-dup pairs → connected components →
+    one canonical doc per cluster (component-minimum id).  Iterative
+    min-label propagation on Spark (bounded by component diameter,
+    lineage-truncated per round); the DuckDB oracle computes the same
+    fixpoint with a recursive CTE.
+
+    The pair stage here is the exact language-blocked self-join — QUADRATIC
+    in block size, kept only because it is SQL-expressible and therefore
+    hash-checkable.  The production path at 100 TB is
+    ``dedup_cluster_canonical_lsh`` (O(n·bands) MinHash-LSH candidates)."""
     docs = _docs(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.5)
+    return dd.cluster_canonical(docs, pairs, "doc_id")
+
+
+@query("dedup_cluster_canonical_lsh")
+def dedup_cluster_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 at scale — the DEFAULT near-dup clustering path: MinHash-LSH
+    candidate pairs (O(n·bands) bucket join) → exact-Jaccard verify on
+    candidates only → connected components → canonical id.
+
+    The exact-Jaccard variant (:func:`dedup_cluster_canonical`) self-joins
+    within a language block, which is quadratic in block size — at 100 TB a
+    single language is most of the corpus, so that form is the ORACLE TWIN
+    only, never the scale path.  Rows-only (MinHash is hash-function-
+    dependent); cluster-level agreement vs the exact form is asserted in
+    tests/test_extensions.py::test_lsh_clustering_matches_exact."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_near_dups(
+        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
+    )
     return dd.cluster_canonical(docs, pairs, "doc_id")
 
 

@@ -391,8 +391,8 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_case_agg",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= timestamp '1997-01-01' AND l.l_shipdate < timestamp '1998-01-01'
     GROUP BY l.l_linestatus
@@ -410,8 +410,8 @@ def q12_shipmode_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
 
@@ -767,7 +767,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_tokens,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|') AS first_tokens,
            array_to_string(string_split(text, ' ')[1:3], '|') AS head_joined,
            list_contains(string_split(text, ' '), 'spark') AS has_spark
     FROM documents
@@ -781,7 +781,9 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.slice(F.sort_array(F.array_distinct(toks)), 1, 5).alias("first_tokens"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), "|").alias(
+            "first_tokens"
+        ),
         F.array_join(F.slice(toks, 1, 3), "|").alias("head_joined"),
         F.array_contains(toks, "spark").alias("has_spark"),
     )
@@ -811,7 +813,7 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_struct_funcs",
     oracle="""
     SELECT event_id,
-           map_keys(MAP {'type': event_type, 'uid': cast(user_id AS varchar)}) AS meta_keys,
+           array_to_string(map_keys(MAP {'type': event_type, 'uid': cast(user_id AS varchar)}), ',') AS meta_keys,
            MAP {'type': event_type, 'uid': cast(user_id AS varchar)}['type'][1] AS type_val,
            struct_pack(e := event_id, u := user_id).e AS s_event,
            cast(struct_pack(e := event_id, u := user_id).u AS bigint) AS s_user
@@ -829,7 +831,7 @@ def scalar_map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.struct(F.col("event_id").alias("e"), F.col("user_id").alias("u"))
     return ev.select(
         "event_id",
-        F.map_keys(meta).alias("meta_keys"),
+        F.array_join(F.map_keys(meta), ",").alias("meta_keys"),
         F.element_at(meta, "type").alias("type_val"),
         s.getField("e").alias("s_event"),
         s.getField("u").alias("s_user"),

@@ -55,17 +55,22 @@ def report_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "report_show_as_list",
     oracle="""
-    SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_type_list,
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_type_list,
            count(DISTINCT event_type) AS n_distinct
     FROM events GROUP BY user_id
     """,
 )
 def report_show_as_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+D3+A4+O3: sorted distinct value list per group plus distinct count
-    (report_generator.py:352-362,384)."""
+    (report_generator.py:352-362,384).  Emitted as a comma-joined string —
+    the reference's CSV cell form, and scalar so the result hashes cleanly
+    (ArrayType output crashed the r1 driver canonicalizer)."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_type_list"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_type_list"
+        ),
         F.countDistinct("event_type").alias("n_distinct"),
     )
 
@@ -208,19 +213,22 @@ def report_derive_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report_cold_start_count",
     oracle="""
     SELECT user_id,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS new_containers,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS new_containers,
            count(*) AS uses
     FROM events GROUP BY user_id
     """,
 )
 def report_cold_start_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14: conditional count of cold starts (partestcpu.sh:166;
-    ``sum_newcontainer`` in reports) — ``signup`` plays newcontainer=1."""
+    ``sum_newcontainer`` in reports) — ``signup`` plays newcontainer=1.
+    Both engines cast the conditional sum to 64-bit explicitly: DuckDB's
+    sum(int) yields HUGEINT, which the driver canonicalizer stringifies
+    differently from Spark's BIGINT (the one r1 hash mismatch)."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
-            "new_containers"
-        ),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("long")
+        .alias("new_containers"),
         F.count(F.lit(1)).alias("uses"),
     )
 
@@ -324,7 +332,7 @@ def report_tenancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_davg("user_id", "avg_user_id")},
            {sql_davg("value", "avg_value")},
            {sql_dsum("value", "sum_value")},
-           list_sort(list_distinct(list(user_id))) AS user_id_list
+           array_to_string(list_sort(list_distinct(list(user_id))), ',') AS user_id_list
     FROM events
     WHERE NOT coalesce(cast(event_type AS varchar) = 'error', false)
     GROUP BY event_type
@@ -334,7 +342,9 @@ def report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite report plan end-to-end via :func:`operators.report.report`
     driven by a ReportConfig, mirroring the reference's fixed pipeline
     (report_generator.py:21-431): invalidators → per-category section with
-    uses / avg-of-every-numeric / showAsSum / showAsList."""
+    uses / avg-of-every-numeric / showAsSum / showAsList.  The showAsList
+    column is emitted comma-joined (the reference's CSV cell form,
+    report_generator.py:359-362) so the declared result is all-scalar."""
     ev = _events(spark, sf_dir)
     cfg = ReportConfig(
         output_groups=["event_type"],
@@ -342,7 +352,11 @@ def report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         show_as_sum=["value"],
         invalidators={"event_type": "error"},
     )
-    return report(ev, cfg)["event_type"]
+    section = report(ev, cfg)["event_type"]
+    return section.withColumn(
+        "user_id_list",
+        F.array_join(F.transform("user_id_list", lambda x: x.cast("string")), ","),
+    )
 
 
 @query(
@@ -427,14 +441,30 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_sum(ev, "event_type", "value", salts=8)
 
 
-@query("report_approx_stats")
+@query(
+    "report_approx_stats",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
 def report_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB scale variants of A4/percentiles (SURVEY.md §4.2):
-    approx_count_distinct (HLL) and approx_percentile (KLL-ish sketch) —
-    rows-only (sketches are engine-specific by design); accuracy vs exact is
-    asserted in tests/test_report_ops.py."""
+    """A4-at-scale, declared as its EXACT twin so the driver can hash it:
+    count(DISTINCT) + percentile_disc (both engines return an actual data
+    element — no interpolation, so doubles hash identically).  The 100 TB
+    scale path swaps in the sketches — approx_count_distinct (HLL) and
+    percentile_approx (KLL-ish) — which are engine-specific by design;
+    their accuracy vs these exact values is asserted in
+    tests/test_report_ops.py."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    ev.createOrReplaceTempView("events_apx")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS median_value
+        FROM events_apx GROUP BY event_type
+        """
     )

@@ -164,3 +164,20 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert by_doc[2] == [(0, "a b c", 3)]
     with pytest.raises(ValueError):
         chunk_documents(docs, "text", "doc_id", chunk_size=5, overlap=5)
+
+
+def test_lsh_clustering_matches_exact(docs):
+    """dedup_cluster_canonical_lsh contract: clustering over MinHash-LSH
+    candidate pairs (the scale path) recovers the same canonical assignment
+    as clustering over the exact quadratic Jaccard pairs (the oracle twin)."""
+    exact_pairs = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.5
+    )
+    lsh_pairs = dd.minhash_near_dups(
+        docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5
+    )
+    exact = {r.doc_id: r.canonical_id for r in dd.cluster_canonical(docs, exact_pairs, "doc_id").collect()}
+    lsh = {r.doc_id: r.canonical_id for r in dd.cluster_canonical(docs, lsh_pairs, "doc_id").collect()}
+    agree = sum(1 for k in exact if lsh.get(k) == exact[k])
+    assert agree / len(exact) >= 0.8  # banded MinHash may miss borderline pairs
+    assert lsh[2] == 0  # the exact-dup cluster {0,2} always survives LSH
