@@ -137,3 +137,61 @@ def chunk_documents(
             ).alias("n_tokens"),
         )
     )
+
+
+#: PII patterns scrubbed by :func:`redact_pii` — email, E.164-ish / US phone,
+#: IPv4, and 13-16-digit card-like numbers.  Deliberately conservative regexes
+#: (high precision) — a production pipeline layers a learned NER pass on top;
+#: these are the deterministic regex tier every corpus pipeline runs first.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # country code only with a literal '+'; \b inside the optional '(' keeps
+    # (555) forms matching while the trailing \b stops the pattern matching
+    # the first 10 digits of a longer (card-like) digit run.  RE2-compatible:
+    # no lookaround, so the same pattern runs on DuckDB for the oracle.
+    ("phone", r"(\+\d{1,3}[-. ]?)?\(?\b\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{13,16}\b", "<CARD>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing: regex-redact emails/phones/IPs/card-like numbers and
+    count the hits per class — the compliance gate of a training-data
+    pipeline.  Chained ``regexp_replace`` stays in whole-stage codegen
+    (row-local, shuffle-free); counts come from ``regexp_count`` on the
+    ORIGINAL text so the redaction is auditable."""
+    text = F.col(text_col)
+    redacted = text
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return ensure_parallelism(df).select(
+        F.col(id_col), redacted.alias("redacted_text"), *counts
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Within-document repetition: fraction of duplicate tokens and duplicate
+    word n-grams — the classic boilerplate/spam signal (templated or
+    looping text scores high; clean prose scores low).  Pure array
+    expressions per row: no explode, no shuffle."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    mult = 1000000.0
+
+    def dup_ratio(arr: F.Column) -> F.Column:
+        total = F.size(arr)
+        uniq = F.size(F.array_distinct(arr))
+        return F.floor((total - uniq).cast("double") / total * mult + 0.5) / mult
+
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        dup_ratio(toks).alias("dup_token_ratio"),
+        dup_ratio(grams).alias(f"dup_{n}gram_ratio"),
+    )

@@ -381,6 +381,59 @@ def text_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '(\+\d{1,3}[-. ]?)?\(?\b\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{13,16}\b', '<CARD>', 'g') AS redacted_text,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '(\+\d{1,3}[-. ]?)?\(?\b\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{13,16}\b')) AS n_card
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline compliance gate: regex-redact emails / phones /
+    IPv4s / card-like numbers with per-class hit counts (audit trail).
+    Row-local chained regexp_replace — shuffle-free at any scale; redaction
+    behavior on PII-bearing text is pinned in tests/test_extensions.py."""
+    return tx.redact_pii(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                            i -> array_to_string(toks[i + 1 : i + 3], ' ')) AS grams
+      FROM t)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           floor(cast(len(toks) - len(list_distinct(toks)) AS double) / len(toks) * 1000000.0 + 0.5) / 1000000.0
+             AS dup_token_ratio,
+           floor(cast(len(grams) - len(list_distinct(grams)) AS double) / len(grams) * 1000000.0 + 0.5) / 1000000.0
+             AS dup_3gram_ratio
+    FROM g
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratios (duplicate tokens / duplicate word
+    3-grams) — the boilerplate/looping-text quality signal every corpus
+    pipeline computes.  Pure per-row array expressions: no explode, no
+    shuffle."""
+    return tx.repetition_scores(_docs(spark, sf_dir), "text", "doc_id", n=3)
+
+
+@query(
     "sample_stratified_systematic",
     oracle="""
     SELECT doc_id, lang FROM (

@@ -181,3 +181,34 @@ def test_lsh_clustering_matches_exact(docs):
     agree = sum(1 for k in exact if lsh.get(k) == exact[k])
     assert agree / len(exact) >= 0.8  # banded MinHash may miss borderline pairs
     assert lsh[2] == 0  # the exact-dup cluster {0,2} always survives LSH
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "mail me at alice.smith+x@example.co.uk or call 555-123-4567 now"),
+        (1, "server 192.168.0.1 charged card 4111111111111111 twice"),
+        (2, "no pii here, just words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.redact_pii(df, "text", "doc_id").collect()}
+    assert "<EMAIL>" in out[0].redacted_text and "example.co.uk" not in out[0].redacted_text
+    assert "<PHONE>" in out[0].redacted_text and out[0].n_email == 1 and out[0].n_phone == 1
+    assert "<IP>" in out[1].redacted_text and "<CARD>" in out[1].redacted_text
+    assert out[1].n_ipv4 == 1 and out[1].n_card == 1
+    assert out[2].redacted_text == "no pii here, just words"
+    assert out[2].n_email == out[2].n_phone == out[2].n_ipv4 == out[2].n_card == 0
+
+
+def test_repetition_scores_separate_loops_from_prose(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam"),     # pure loop
+        (1, "each word in this sentence appears just once"),  # clean prose
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.repetition_scores(df, "text", "doc_id").collect()}
+    assert out[0].dup_token_ratio > 0.8 and out[0].dup_3gram_ratio > 0.8
+    assert out[1].dup_token_ratio == 0.0 and out[1].dup_3gram_ratio == 0.0

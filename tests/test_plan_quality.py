@@ -160,3 +160,23 @@ def test_funnel_two_stage_aggregate(spark):
     plan = _plan(spark, "funnel_click_to_purchase").split("== Physical Plan ==")[-1]
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_inspector_nest_flatten_single_shuffle(spark):
+    """The nest→flatten roundtrip costs exactly the one groupBy shuffle that
+    builds the poll arrays; the flatten itself (array_sort + element_at) is
+    row-local projection."""
+    plan = _plan(spark, "inspector_nested_poll_agg").split("== Physical Plan ==")[-1]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_pii_and_repetition_are_shuffle_free_row_local(spark):
+    """PII redaction and repetition scoring are per-row expression chains —
+    any Exchange or Python eval here would be a scale bug."""
+    for name in ["text_redact_pii", "text_repetition_score"]:
+        plan = _plan(spark, name).split("== Physical Plan ==")[-1]
+        # ensure_parallelism adds a roundrobin fan-out on the 1-file fixture
+        # (a no-op at scale); what must never appear is a keyed shuffle.
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "EvalPython" not in plan, name
