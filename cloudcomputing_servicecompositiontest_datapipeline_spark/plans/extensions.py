@@ -546,3 +546,100 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 4. chunk for training
     return tx.chunk_documents(d3, "text", "doc_id", chunk_size=50, overlap=10)
+
+
+@query(
+    "sample_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(concat('epoch0:', cast(doc_id AS varchar))), doc_id)
+             AS shuffle_pos
+    FROM documents
+    """,
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: sort by
+    md5(epoch_salt || doc_id) — deterministic, seedable by epoch, identical
+    on any engine (md5 is md5), no RNG state to carry.
+
+    At 100 TB the scale path is the SORT ONLY (Spark range-partitions the
+    hash; output files come out in shuffled order, embarrassingly parallel).
+    The global ``shuffle_pos`` ordinal here exists so the oracle can
+    hash-check the permutation; a real pipeline never materializes a global
+    row number — it writes the sorted files directly."""
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    return docs.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+
+
+@query(
+    "sample_domain_mix",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(concat('mix0:', cast(doc_id AS varchar))), 1, 1) <
+          CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' ELSE '2' END
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain/source mixing: per-language keep rates in
+    sixteenths of the md5 hash space (en 8/16, de 4/16, others 2/16) — the
+    down-weighting step that shapes a training mixture.  Membership is a
+    pure function of (salt, doc_id): reproducible across engines and runs,
+    no RNG state, shuffle-free (row-local predicate), and the rate is exact
+    in expectation at any scale.  Hex-prefix comparison is lexicographic on
+    [0-9a-f] in both engines."""
+    docs = _docs(spark, sf_dir)
+    hexc = F.substring(
+        F.md5(F.concat(F.lit("mix0:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    thr = (
+        F.when(F.col("lang") == "en", "8").when(F.col("lang") == "de", "4").otherwise("2")
+    )
+    return docs.filter(hexc < thr).select("doc_id", "lang")
+
+
+@query(
+    "pack_chunks_token_budget",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split({_NORM}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang, toks, unnest(range(0, len(toks), 40)) AS start FROM t),
+    chunks AS (
+      SELECT doc_id, lang, cast(start / 40 AS int) AS chunk_idx,
+             least(50, len(toks) - start) AS n_tokens
+      FROM s),
+    packed AS (
+      SELECT doc_id, lang, chunk_idx, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM chunks)
+    SELECT doc_id, lang, chunk_idx, n_tokens,
+           cast(floor(cast(cum - n_tokens AS double) / 512) AS bigint) AS pack_id
+    FROM packed
+    """,
+)
+def pack_chunks_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-split): chunks are laid end-to-end in a
+    deterministic order and cut into 512-token packs — ``pack_id`` =
+    floor(running-token-offset / budget), the standard approximation that
+    wastes no padding.  Packing is per-language (PARTITION BY lang), so at
+    100 TB each stratum packs independently — one window shuffle on the
+    stratum key, no global sort; the cumulative sum is exact integer math,
+    hash-identical on both engines."""
+    docs = _docs(spark, sf_dir)
+    chunks = tx.chunk_documents(docs, "text", "doc_id", chunk_size=50, overlap=10).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return chunks.select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")).cast("double") / 512).cast("long").alias("pack_id"),
+    )

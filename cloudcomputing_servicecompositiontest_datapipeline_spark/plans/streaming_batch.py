@@ -178,3 +178,49 @@ def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("content_hash").agg(
         F.count(F.lit(1)).alias("n_kept")
     )
+
+
+@query("streaming_stateful_lifetimes")
+def streaming_stateful_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 custom-state form: per-container lifetime tracking via
+    ``applyInPandasWithState`` on a real file stream (events staged as JSON,
+    drained with Trigger.AvailableNow).  State per key = run count /
+    cold-start count / first-last event time; the memory sink's last update
+    per key is the final summary (partestcpu.sh:174-196 semantics).
+    Rows-only: state-store operators aren't SQL-expressible; cross-batch
+    state accumulation is asserted in tests/test_streaming.py."""
+    from ..streaming.stateful import container_lifetimes
+
+    ev = _events(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="sg_stateful_")
+    json_dir = os.path.join(workdir, "events")
+    ev.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        (F.col("event_type") == "signup").cast("int").alias("newcontainer"),
+        F.col("ts"),
+    ).coalesce(4).write.mode("overwrite").json(json_dir)
+    stream = (
+        spark.readStream.schema("uuid STRING, newcontainer INT, ts TIMESTAMP")
+        .json(json_dir)
+    )
+    out = container_lifetimes(stream)
+    name = "sg_stateful_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(name)
+    # last update per key = the final state summary
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("uuid").orderBy(F.col("runs").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("uuid", "runs", "cold_starts", "recycled")
+    )
