@@ -242,3 +242,31 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label centroid vectors, exploded to (label, dim, centroid) rows —
+    the building block of semantic clustering / IVF retraining / per-cluster
+    quality probes over an embedding corpus.
+
+    ``posexplode`` is row-local (no shuffle); the single shuffle is the
+    (label, dim) aggregation, whose cardinality is n_labels x dim — tiny at
+    any corpus scale, so the reduce side never skews.  Sums accumulate in
+    decimal so the per-partition additions are exact and the result is
+    partition-order-independent (see functions/exact.py rationale)."""
+    v = F.col("v").cast("double").cast("decimal(28,12)")
+    mult = 1000000.0
+    return (
+        ensure_parallelism(emb)
+        .select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.floor(
+                    F.sum(v).cast("double") / F.count(F.lit(1)) * mult + 0.5
+                )
+                / mult
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

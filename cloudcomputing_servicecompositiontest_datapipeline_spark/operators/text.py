@@ -195,3 +195,59 @@ def repetition_scores(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> 
         dup_ratio(toks).alias("dup_token_ratio"),
         dup_ratio(grams).alias(f"dup_{n}gram_ratio"),
     )
+
+
+def token_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Explode each document into its word n-grams (one row per gram).
+    Documents shorter than ``n`` tokens produce no rows.  Explode is
+    row-local — no shuffle; downstream joins/aggregations decide the
+    partitioning."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        ensure_parallelism(df)
+        .filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+
+
+def contamination_counts(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing word
+    n-grams with a held-out evaluation set (the standard pre-training
+    hygiene check — e.g. Brown et al. 2020 §C used 13-gram overlap).
+
+    Shape at 100 TB: the eval side is tiny (benchmarks are KBs-to-MBs), so
+    the distinct eval-gram set is BROADCAST and the train side never
+    shuffles on the gram — one row-local explode, a broadcast-hash
+    semi-ish join, then a single aggregation back on the document id.
+    Grams are compared via ``md5`` so join width stays 32 bytes regardless
+    of n.  Returns only contaminated docs: (id, n_hits = distinct shared
+    grams, n_grams = distinct grams in the doc).
+    """
+    t_grams = token_ngrams(train, text_col, id_col, n).select(
+        F.col(id_col), F.md5(F.col("gram")).alias("gh")
+    )
+    e_grams = (
+        token_ngrams(eval_df, text_col, id_col, n)
+        .select(F.md5(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    hit = F.broadcast(e_grams.withColumn("_hit", F.lit(1)))
+    return (
+        t_grams.join(hit, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(F.when(F.col("_hit") == 1, F.col("gh"))).alias("n_hits"),
+            F.count_distinct("gh").alias("n_grams"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

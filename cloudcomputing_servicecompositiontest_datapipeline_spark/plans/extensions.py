@@ -643,3 +643,81 @@ def pack_chunks_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((cum - F.col("n_tokens")).cast("double") / 512).cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, md5(array_to_string(t[s+1:s+5], ' ')) AS gh
+      FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS s
+            FROM toks WHERE len(t) >= 5)),
+    eval_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, gh FROM grams WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           count(DISTINCT CASE WHEN e.gh IS NOT NULL THEN t.gh END) AS n_hits,
+           count(DISTINCT t.gh) AS n_grams
+    FROM train t LEFT JOIN eval_g e ON t.gh = e.gh
+    GROUP BY t.doc_id
+    HAVING count(DISTINCT CASE WHEN e.gh IS NOT NULL THEN t.gh END) > 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs with ``doc_id % 97 == 0`` stand in for
+    a held-out benchmark; every training doc sharing a 5-word-gram with it
+    is flagged with overlap counts.  The eval gram set is broadcast (eval
+    sets are tiny), so at 100 TB the train side does one row-local explode
+    and one groupBy(doc_id) — no gram-keyed shuffle of the corpus."""
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return tx.contamination_counts(train, eval_df, "text", "doc_id", n=5)
+
+
+@query(
+    "embedding_centroid_by_label",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           floor(cast(sum(cast(cast(v AS double) AS decimal(28,12))) AS double)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS centroid,
+           count(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, centroid, n_vecs) rows —
+    the semantic-clustering primitive (IVF retraining, per-cluster probes).
+    Exploded output keeps the driver canonicalizer array-free; the one
+    shuffle reduces to n_labels x dim rows."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    return sim.label_centroids(emb)
+
+
+@query(
+    "text_length_histogram",
+    oracle=f"""
+    WITH t AS (SELECT cast(floor(len(string_split({_NORM}, ' ')) / 10) AS bigint) AS bucket
+               FROM documents)
+    SELECT bucket * 10 AS bucket_lo, count(*) AS n_docs
+    FROM t GROUP BY bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (bucket width 10) — the length-distribution
+    probe run before choosing chunking/packing budgets.  One tiny
+    aggregation; the bucket expression is row-local integer math, identical
+    on both engines."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    bucket = F.floor(F.size(toks) / 10).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select((F.col("bucket") * 10).alias("bucket_lo"), "n_docs")
+    )

@@ -212,3 +212,51 @@ def test_repetition_scores_separate_loops_from_prose(spark):
     out = {r.doc_id: r for r in tx.repetition_scores(df, "text", "doc_id").collect()}
     assert out[0].dup_token_ratio > 0.8 and out[0].dup_3gram_ratio > 0.8
     assert out[1].dup_token_ratio == 0.0 and out[1].dup_3gram_ratio == 0.0
+
+
+def test_contamination_counts_flags_shared_grams(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 5-gram w/ eval
+            (2, "one two three four five six seven"),  # disjoint
+            (3, "alpha beta gamma delta epsilon"),  # exactly the eval gram
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.n_grams)
+        for r in tx.contamination_counts(train, eval_df, "text", "doc_id", n=5).collect()
+    }
+    assert out[1] == (1, 2)  # one of doc-1's two 5-grams matches
+    assert out[3] == (1, 1)
+    assert 2 not in out  # clean doc not flagged
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = tx.contamination_counts(df, df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_label_centroids_matches_numpy(spark):
+    import numpy as np
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import similarity as sm
+
+    vecs = [(0, [1.0, 2.0], 7), (1, [3.0, 4.0], 7), (2, [10.0, 20.0], 8)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"])
+    out = {
+        (r.label, r.dim): (r.centroid, r.n_vecs)
+        for r in sm.label_centroids(emb).collect()
+    }
+    assert out[(7, 0)] == (2.0, 2) and out[(7, 1)] == (3.0, 2)
+    assert out[(8, 0)] == (10.0, 1) and out[(8, 1)] == (20.0, 1)
+    expected = np.mean([[1.0, 2.0], [3.0, 4.0]], axis=0)
+    assert [out[(7, d)][0] for d in (0, 1)] == list(expected)
