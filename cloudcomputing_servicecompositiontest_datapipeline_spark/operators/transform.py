@@ -94,3 +94,47 @@ def tlq_transform(
             order_processing_days(F.col(ship_col), F.col(order_date_col)),
         )
     )
+
+
+def global_ordinal(
+    df: DataFrame, order_cols: list[Column | str], *, out_col: str = "pos", partitions: int | None = None
+) -> DataFrame:
+    """Global 1-based rank over ``order_cols`` WITHOUT the single-partition
+    window (`Window.orderBy` with no partition moves every row to one task —
+    the classic global-sort anti-pattern).
+
+    The distributed shape: range-partition on the sort key so partition
+    *i*'s keys all precede partition *i+1*'s, rank within each partition,
+    then add per-partition offsets (a tiny count-per-partition aggregate,
+    broadcast back).  Two narrow passes over one shuffle — the same plan
+    ``zipWithIndex`` uses, expressed in the DataFrame API.  ``order_cols``
+    must be a total order for the result to be deterministic.
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(int(n), *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_cnt")
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_offset")).cast("int"))
+        .drop("_pid", "_rn", "_offset")
+    )

@@ -562,15 +562,20 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(epoch_salt || doc_id) — deterministic, seedable by epoch, identical
     on any engine (md5 is md5), no RNG state to carry.
 
-    At 100 TB the scale path is the SORT ONLY (Spark range-partitions the
-    hash; output files come out in shuffled order, embarrassingly parallel).
-    The global ``shuffle_pos`` ordinal here exists so the oracle can
-    hash-check the permutation; a real pipeline never materializes a global
-    row number — it writes the sorted files directly."""
+    The ordinal comes from :func:`~..operators.transform.global_ordinal` —
+    range-partition on the hash, rank within each partition, add broadcast
+    per-partition offsets — NOT a no-partition window (which would move the
+    whole corpus to one task).  Every stage is parallel; the only global
+    structure is the 32-row offset table."""
     docs = _docs(spark, sf_dir)
     key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id")
-    return docs.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+    from ..operators.transform import global_ordinal
+
+    return global_ordinal(
+        docs.select("doc_id", key.alias("_k")),
+        ["_k", "doc_id"],
+        out_col="shuffle_pos",
+    ).select("doc_id", "shuffle_pos")
 
 
 @query(

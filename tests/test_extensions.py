@@ -260,3 +260,18 @@ def test_label_centroids_matches_numpy(spark):
     assert out[(8, 0)] == (10.0, 1) and out[(8, 1)] == (20.0, 1)
     expected = np.mean([[1.0, 2.0], [3.0, 4.0]], axis=0)
     assert [out[(7, d)][0] for d in (0, 1)] == list(expected)
+
+
+def test_global_ordinal_matches_global_sort_without_single_partition_window(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.transform import global_ordinal
+
+    df = spark.range(0, 997).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("k")
+    )
+    out = global_ordinal(df, ["k", "id"], out_col="pos", partitions=7)
+    rows = out.orderBy("pos").collect()
+    assert [r.pos for r in rows] == list(range(1, 998))
+    expected = [r.id for r in df.orderBy("k", "id").collect()]
+    assert [r.id for r in rows] == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
