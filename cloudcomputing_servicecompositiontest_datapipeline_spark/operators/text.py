@@ -251,3 +251,41 @@ def contamination_counts(
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.  The score is
+    the log-free monotone form ``floor(tc * N * 1e6 / (doc_len * df))`` —
+    exact integer products and one IEEE division, so it hashes identically
+    across engines (``ln`` differs in the last ulp between libm builds;
+    swapping the log variant back in is a one-line change when cross-engine
+    hashing isn't needed).
+
+    Scale shape: one shuffle to (doc, term) counts, one vocabulary-keyed
+    aggregation for document frequency (stopword terms are hot keys — AQE
+    skew-join handles the join back), and a broadcast 1-row corpus count.
+    No driver-side collect."""
+    from pyspark.sql import Window
+
+    toks = F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term")
+    tf = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tc").alias("dlen"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.floor(
+        F.col("tc") * F.col("n_docs") * 1000000.0 / (F.col("dlen") * F.col("dfreq"))
+    ).cast("long")
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (
+        tf.join(dl, id_col)
+        .join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(id_col, "term", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

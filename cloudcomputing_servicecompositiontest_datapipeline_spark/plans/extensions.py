@@ -726,3 +726,55 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select((F.col("bucket") * 10).alias("bucket_lo"), "n_docs")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tc) AS dlen FROM tf GROUP BY doc_id),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             cast(floor(tf.tc * n.n_docs * 1000000.0 / (dl.dlen * dfq.dfreq)) AS bigint) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+               FROM scored)
+    SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 keyword extraction: top-3 TF-IDF terms per document (log-free
+    integer-exact score — see operator docstring for the determinism
+    rationale and the scale shape of the vocabulary join)."""
+    docs = _docs(spark, sf_dir)
+    return tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "text_quality_percentile",
+    oracle="""
+    SELECT doc_id, lang,
+           percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank,
+           ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+    FROM documents
+    """,
+)
+def text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality percentile + decile of document length — the
+    relative-quality gate (keep the top decile per stratum) that, unlike an
+    absolute threshold, survives distribution drift between strata.
+    ``percent_rank`` is an exact small-integer ratio (IEEE-identical on both
+    engines); ``ntile`` is made deterministic by the (n_chars, doc_id) total
+    order.  One window shuffle on the stratum key."""
+    docs = _docs(spark, sf_dir)
+    w_pr = Window.partitionBy("lang").orderBy("n_chars")
+    w_nt = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.percent_rank().over(w_pr).alias("pct_rank"),
+        F.ntile(10).over(w_nt).alias("decile"),
+    )

@@ -275,3 +275,21 @@ def test_global_ordinal_matches_global_sort_without_single_partition_window(spar
     assert [r.id for r in rows] == expected
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
+
+
+def test_tfidf_top_terms_prefers_rare_terms(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common rare"),
+            (1, "common common common"),
+            (2, "common unique common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tx.tfidf_top_terms(docs, "text", "doc_id", k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    assert top[0] == "rare" and top[2] == "unique"
+    assert top[1] == "common"
+    assert all(r.rnk == 1 for r in out)
