@@ -180,3 +180,52 @@ def test_pii_and_repetition_are_shuffle_free_row_local(spark):
         # (a no-op at scale); what must never appear is a keyed shuffle.
         assert "Exchange hashpartitioning" not in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_domain_mix_is_shuffle_free_scan_side_filter(spark):
+    """Hash-rate mixing is a row-local predicate: no Exchange, no join —
+    membership is a pure function of (salt, doc_id)."""
+    plan = _plan(spark, "sample_domain_mix").split("== Physical Plan ==")[-1]
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_packing_single_stratum_shuffle(spark):
+    """Sequence packing costs one hash shuffle (the per-language window);
+    the chunk join must broadcast, not add a second fact shuffle."""
+    plan = _plan(spark, "pack_chunks_token_budget").split("== Physical Plan ==")[-1]
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + (doc_id join at fixture size)
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-gram set must broadcast so the corpus never shuffles on the
+    gram key — the whole point of the decontamination shape."""
+    plan = _plan(spark, "text_decontaminate").split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_no_cartesian_and_broadcast_corpus_count(spark):
+    """TF-IDF: the 1-row corpus count joins as a broadcast nested loop over
+    1 row (fine); the term-DF join must stay a hash join, never cartesian."""
+    plan = _plan(spark, "text_tfidf_top_terms").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in plan
+
+
+def test_centroids_single_reduce_no_python(spark):
+    """Centroid aggregation: posexplode is row-local; the only keyed
+    exchange is the (label, dim) reduce, and nothing drops to Python."""
+    plan = _plan(spark, "embedding_centroid_by_label").split("== Physical Plan ==")[-1]
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_global_ordinal_range_partitions_not_single_task(spark):
+    """The global-shuffle ordinal must range-partition; a no-partition
+    window (single task for the whole corpus) is the anti-pattern."""
+    plan = _plan(spark, "sample_global_shuffle").split("== Physical Plan ==")[-1]
+    assert "rangepartitioning" in plan
+    # the corpus-side window must partition by _pid; the only SinglePartition
+    # exchange allowed is the tiny (n_partitions-row) offset table's window
+    assert plan.count("Exchange SinglePartition") <= 1
