@@ -145,3 +145,33 @@ def write_jdbc(
     props = {"batchsize": str(batchsize)}
     props.update(properties or {})
     df.write.mode("append").jdbc(url, table, properties=props)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar sink #2: ORC (built into Spark).  Same pushdown/pruning
+    behavior as parquet — gives mixed-format lakes a native path."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-text ingestion: one row per line (``value`` column) — the entry
+    point for log/corpus files that aren't yet structured.  Splittable and
+    parallel like any file source."""
+    return spark.read.text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, *, glob: str | None = None) -> DataFrame:
+    """Multimodal ingestion (X5): Spark's ``binaryFile`` source reads whole
+    files as (path, modificationTime, length, content) rows — images/audio
+    land as ``binary`` content plus file metadata, ready for the
+    ``mapInPandas`` decode stage.  Files are NOT splittable (one file = one
+    row), so at 100 TB the parallelism unit is the file; tiny-file corpora
+    should be compacted into parquet binary columns after this first hop."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

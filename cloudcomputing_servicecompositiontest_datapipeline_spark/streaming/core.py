@@ -173,3 +173,36 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["content_hash"])
         .select(id_col, "content_hash", ts_col)
     )
+
+
+def foreach_batch_idempotent_append(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Exactly-once file sink via ``foreachBatch``: each micro-batch appends
+    under a per-batch marker, and a replayed batch id (restart after a
+    failure between write and checkpoint commit) is skipped — the canonical
+    idempotent-sink pattern for sinks without native transactions.
+
+    Parallelism: the batch write is a normal distributed parquet append; the
+    only serial step is the marker existence check (one driver-side stat per
+    batch)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(out_dir, f"_committed_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch — already durable, skip
+        batch_df.write.mode("append").parquet(os.path.join(out_dir, "data"))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

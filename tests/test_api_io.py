@@ -193,3 +193,53 @@ def test_reader_uri_scheme_abstraction(spark, tmp_path):
     if not live:
         pytest.skip("no SG_S3_TEST_URI configured — s3a path exercised only via abstraction")
     assert spark.read.parquet(live).count() >= 0
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = str(tmp_path / "t.orc")
+    sio.write_orc(df, path)
+    back = sio.read_orc(spark, path)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+    # pushdown reaches the ORC scan too
+    plan = back.filter("k = 1")._jdf.queryExecution().toString()
+    assert "PushedFilters:" in plan
+
+
+def test_text_lines_read(spark, tmp_path):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("line one\nline two\n")
+    out = sio.read_text_lines(spark, str(p))
+    assert [r.value for r in out.orderBy("value").collect()] == ["line one", "line two"]
+
+
+def test_binary_file_ingestion_feeds_decode(spark, tmp_path):
+    """X5 ingestion: binaryFile source → rename → mapInPandas decode."""
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import multimodal as mm
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+
+    (tmp_path / "img0.bin").write_bytes(b"\x00fakeimage0")
+    (tmp_path / "img1.bin").write_bytes(b"\x01fakeimage-longer-1")
+    (tmp_path / "skip.txt").write_text("not media")
+    raw = sio.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert raw.count() == 2
+    assert {"path", "modificationTime", "length", "content"} <= set(raw.columns)
+    carrier = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.col("length").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        ).alias("meta"),
+    )
+    decoded = mm.decode_media(carrier)
+    rows = decoded.collect()
+    assert len(rows) == 2
+    assert all(r.n_bytes > 0 and r.width > 0 for r in rows)
