@@ -136,3 +136,58 @@ def test_asof_join_matches_python_model(spark, data):
     for i, (k, t) in enumerate(left_rows):
         cands = [rt for (rk, rt) in right_rows if rk == k and rt <= t]
         assert got[i] == (max(cands) if cands else None), (i, k, t)
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(texts=docs_strategy)
+@SETTINGS
+def test_global_ordinal_is_a_permutation_of_the_sorted_order(spark, texts):
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.transform import (
+        global_ordinal,
+    )
+
+    keyed = df.select("doc_id", F.md5(F.col("text")).alias("k"))
+    out = global_ordinal(keyed, ["k", "doc_id"], out_col="pos", partitions=3)
+    got = [(r.doc_id) for r in out.orderBy("pos").collect()]
+    expect = [d for d, _ in sorted(data, key=lambda t: (__import__("hashlib").md5(t[1].encode()).hexdigest(), t[0]))]
+    assert got == expect
+
+
+@given(texts=docs_strategy, n=st.integers(min_value=2, max_value=4))
+@SETTINGS
+def test_contamination_counts_match_python_model(spark, texts, n):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    eval_df = df.filter(F.col("doc_id") % 3 == 0)
+    train = df.filter(F.col("doc_id") % 3 != 0)
+
+    def grams(t):
+        toks = [w for w in t.strip().lower().split() if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_g = set().union(*(grams(t) for i, t in data if i % 3 == 0), set())
+    expect = {}
+    for i, t in data:
+        if i % 3 == 0:
+            continue
+        g = grams(t)
+        hits = len(g & eval_g)
+        if hits:
+            expect[i] = (hits, len(g))
+    got = {
+        r.doc_id: (r.n_hits, r.n_grams)
+        for r in tx.contamination_counts(train, eval_df, "text", "doc_id", n=n).collect()
+    }
+    assert got == expect
