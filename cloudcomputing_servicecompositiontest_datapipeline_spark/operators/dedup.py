@@ -209,6 +209,131 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def passage_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    passage_tokens: int = 10,
+) -> DataFrame:
+    """X2 passage-level exact dedup (the C4/CCNet "remove repeated
+    paragraphs" pass, expressed at passage granularity): split every document
+    into non-overlapping ``passage_tokens``-token passages, keep only the
+    globally FIRST occurrence of each distinct passage (ordered by
+    (id, passage index)), and reassemble the surviving passages into a
+    cleaned document.
+
+    Scale shape: the passage split is row-local (no shuffle); dedup is ONE
+    shuffle on the passage hash (md5 keeps the exchange key 16 bytes no
+    matter the passage length); reassembly is one shuffle back on the doc
+    id.  Both keys are high-cardinality and skew-free — the hottest passage
+    key only carries its duplicate count.  Documents whose passages are all
+    dropped disappear from the output (fully-boilerplate docs — the desired
+    semantics).
+
+    Reference analogue: the reference's first-wins row dedup
+    (Transform.java:292-294) at sub-document granularity.
+    """
+    stride = passage_tokens
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    passages = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start") + 1, stride), " "
+            ).alias("passage"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("passage")).orderBy(id_col, "chunk_idx")
+    n_total = Window.partitionBy(id_col)
+    kept = (
+        passages.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_passages", F.count(F.lit(1)).over(n_total))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "passage"))),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.first("n_passages") - F.count(F.lit(1))).alias("n_dropped"),
+        )
+    )
+
+
+def dedup_against_corpus(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    containment_threshold: float = 0.8,
+) -> DataFrame:
+    """X2 cross-corpus dedup: keep only incoming documents that are neither
+    (a) exact duplicates of a corpus document (normalized-hash anti-join)
+    nor (b) near-contained in the corpus — i.e. ≥ ``containment_threshold``
+    of their distinct ``shingle_n``-word shingles already appear somewhere
+    in the corpus.  This is the incremental-ingest gate of a training-data
+    pipeline: new crawl batches are checked against the existing corpus, not
+    against themselves.
+
+    Scale shape: the exact stage is a hash anti-join on a 32-byte key.  The
+    containment stage joins incoming shingles against the corpus's DISTINCT
+    shingle set on an md5 key — at 100 TB that set is far too big to
+    broadcast, so this is deliberately a partitioned shuffle hash join (both
+    sides hashed on the shingle key); the per-doc aggregation then reduces
+    on the incoming id.  Containment is directional (|inc ∩ corpus| /
+    |inc|), the right asymmetry for "is this NEW doc already covered?".
+
+    Returns surviving incoming docs: (id, containment rounded to 1e-6).
+    """
+    inc_hash = incoming.select(
+        F.col(id_col), F.sha2(normalized_text(F.col(text_col)), 256).alias("_h")
+    )
+    corp_hash = corpus.select(F.sha2(normalized_text(F.col(text_col)), 256).alias("_h"))
+    fresh = inc_hash.join(corp_hash, "_h", "left_anti").select(id_col)
+    inc_sh = shingles(incoming.join(fresh, id_col, "left_semi"), text_col, id_col, shingle_n).select(
+        F.col(id_col), F.md5("shingle").alias("sh")
+    )
+    corp_sh = (
+        shingles(corpus, text_col, id_col, shingle_n)
+        .select(F.md5("shingle").alias("sh"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    mult = 1000000.0
+    containment = F.floor(
+        F.sum(F.when(F.col("_in_corpus") == 1, 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1))
+        * mult
+        + 0.5
+    ) / mult
+    return (
+        inc_sh.join(corp_sh, "sh", "left")
+        .groupBy(id_col)
+        .agg(containment.alias("containment"))
+        .filter(F.col("containment") < containment_threshold)
+    )
+
+
 def cluster_canonical(
     df: DataFrame,
     pairs: DataFrame,

@@ -549,6 +549,76 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_passages",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 10)) AS start FROM t),
+    p AS (SELECT doc_id, cast(start / 10 AS int) AS chunk_idx,
+                 array_to_string(toks[start + 1 : start + 10], ' ') AS passage
+          FROM s),
+    r AS (SELECT *, row_number() OVER (PARTITION BY passage ORDER BY doc_id, chunk_idx) AS rn,
+                 count(*) OVER (PARTITION BY doc_id) AS n_passages
+          FROM p)
+    SELECT doc_id,
+           string_agg(passage, ' ' ORDER BY chunk_idx) AS clean_text,
+           count(*) AS n_kept,
+           any_value(n_passages) - count(*) AS n_dropped
+    FROM r WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 passage-level exact dedup (the C4-style repeated-paragraph pass):
+    10-token passages, globally first-wins by (doc_id, passage index),
+    surviving passages reassembled per document.  Two narrow-key shuffles
+    (passage md5, then doc_id) — see operators/dedup.py:passage_dedup for
+    the 100 TB shape."""
+    return dd.passage_dedup(_docs(spark, sf_dir), "text", "doc_id", passage_tokens=10)
+
+
+@query(
+    "dedup_against_corpus",
+    oracle=f"""
+    WITH inc AS (SELECT doc_id, {_NORM} AS ntext FROM documents WHERE doc_id % 2 = 1),
+    corp AS (SELECT doc_id, {_NORM} AS ntext FROM documents WHERE doc_id % 2 = 0),
+    fresh AS (SELECT i.doc_id, i.ntext FROM inc i
+              WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.ntext = i.ntext)),
+    inc_sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(string_split(ntext, ' ')) - 3, 0) + 1),
+               i -> array_to_string((string_split(ntext, ' '))[i + 1 : i + 3], ' ')))) AS sh
+      FROM fresh),
+    corp_sh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(0, greatest(len(string_split(ntext, ' ')) - 3, 0) + 1),
+               i -> array_to_string((string_split(ntext, ' '))[i + 1 : i + 3], ' ')))) AS sh
+      FROM corp)
+    SELECT i.doc_id,
+           floor(cast(sum(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) AS double)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS containment
+    FROM inc_sh i LEFT JOIN corp_sh c ON i.sh = c.sh
+    GROUP BY i.doc_id
+    HAVING floor(cast(sum(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) AS double)
+                 / count(*) * 1000000 + 0.5) / 1000000 < 0.8
+    """,
+)
+def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 cross-corpus (incremental-ingest) dedup: odd doc_ids stand in for
+    a new crawl batch, even doc_ids for the existing corpus.  Exact
+    normalized-hash anti-join drops verbatim re-crawls; then a directional
+    shingle-containment gate (|inc ∩ corpus| / |inc| ≥ 0.8) drops
+    near-contained docs.  The corpus shingle set is joined on an md5 key via
+    a partitioned shuffle hash join — NOT broadcast (at 100 TB it is far
+    larger than any executor) — see operators/dedup.py:dedup_against_corpus."""
+    docs = _docs(spark, sf_dir)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return dd.dedup_against_corpus(
+        incoming, corpus, "text", "doc_id", shingle_n=3, containment_threshold=0.8
+    )
+
+
+@query(
     "sample_global_shuffle",
     oracle="""
     SELECT doc_id,

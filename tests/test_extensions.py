@@ -293,3 +293,47 @@ def test_tfidf_top_terms_prefers_rare_terms(spark):
     assert top[0] == "rare" and top[2] == "unique"
     assert top[1] == "common"
     assert all(r.rnk == 1 for r in out)
+
+
+def test_passage_dedup_keeps_first_occurrence_and_reassembles(spark):
+    # passages of 3 tokens; doc 1 repeats doc 0's first passage, doc 2 is
+    # pure boilerplate (all its passages already seen) and must vanish.
+    rows = [
+        (0, "a b c d e f"),          # passages: "a b c", "d e f"
+        (1, "a b c x y z"),          # "a b c" dropped (seen in doc 0), keeps "x y z"
+        (2, "a b c d e f"),          # both passages seen → doc disappears
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in dd.passage_dedup(df, "text", "doc_id", passage_tokens=3).collect()
+    }
+    assert out[0] == ("a b c d e f", 2, 0)
+    assert out[1] == ("x y z", 1, 1)
+    assert 2 not in out
+
+
+def test_dedup_against_corpus_exact_and_containment(spark):
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "spark shuffles partition data across executors"),
+        ],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # exact dup → dropped
+            (1, "the quick brown fox jumps over the lazy cat"),  # 6/7 shingles contained → dropped
+            (2, "completely novel sentence about training data pipelines"),  # kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.containment
+        for r in dd.dedup_against_corpus(
+            incoming, corpus, "text", "doc_id", shingle_n=3, containment_threshold=0.8
+        ).collect()
+    }
+    assert set(out) == {2}
+    assert out[2] == 0.0
