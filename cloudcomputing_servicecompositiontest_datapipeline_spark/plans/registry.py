@@ -70,6 +70,8 @@ DRIVER_WINDOW: list[str] = [
     "sample_stratified_systematic",
     "text_chunk_documents",
     "corpus_curation_pipeline",
+    "dedup_passages",
+    "dedup_against_corpus",
     # TPC-H shapes beyond r1's q1/q3/q4/q5
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
@@ -94,10 +96,11 @@ DRIVER_WINDOW: list[str] = [
     "percentile_stats",
     "pivot_event_types",
     "unpivot_event_counts",
-    "events_tumbling_window",
-    "events_sliding_window",
     "events_session_window",
 ]
+# Rotated out to keep the window at 50 (r3 rotates them back in):
+# events_tumbling_window / events_sliding_window — both stay locally gated
+# and events_tumbling_window stays perf-visible in bench.py.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

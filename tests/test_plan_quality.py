@@ -229,3 +229,24 @@ def test_global_ordinal_range_partitions_not_single_task(spark):
     # the corpus-side window must partition by _pid; the only SinglePartition
     # exchange allowed is the tiny (n_partitions-row) offset table's window
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_passage_dedup_two_narrow_shuffles_no_python(spark):
+    """Passage dedup: the split is row-local (posexplode), then exactly two
+    keyed exchanges — passage-hash dedup window and doc_id reassembly —
+    and nothing drops to Python."""
+    plan = _plan(spark, "dedup_passages").split("== Physical Plan ==")[-1]
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_dedup_against_corpus_hash_joins_only(spark):
+    """Cross-corpus dedup: exact stage is an anti hash join; the containment
+    stage is a keyed join on the shingle hash — never cartesian, never a
+    single-partition collapse."""
+    plan = _plan(spark, "dedup_against_corpus").split("== Physical Plan ==")[-1]
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
