@@ -824,6 +824,98 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_vocabulary_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, count(*) AS cnt
+      FROM (SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents)
+      GROUP BY term),
+    ranked AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rnk,
+             sum(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS total
+      FROM tf)
+    SELECT term, cnt, rnk,
+           floor(cast(cum AS double) / total * 1000000 + 0.5) / 1000000 AS coverage
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary builder: top-20 corpus tokens by frequency with
+    cumulative coverage (the fraction of all token occurrences a vocabulary
+    prefix explains) — the probe that sizes a tokenizer vocab.
+
+    Scale shape: the heavy side is the corpus explode + (term) count — one
+    hash shuffle with map-side partial aggregation.  The ordered
+    cumulative-coverage window runs over the VOCABULARY (distinct terms),
+    which is orders of magnitude smaller than the corpus (Heaps' law), so
+    its single-partition sort is a deliberate, bounded collapse — never the
+    corpus itself."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            F.explode(F.split(dd.normalized_text(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_ord = Window.orderBy(F.col("cnt").desc(), "term")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    mult = 1000000.0
+    return (
+        tf.select(
+            "term",
+            "cnt",
+            F.row_number().over(w_ord).alias("rnk"),
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("total"),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "term",
+            "cnt",
+            "rnk",
+            (F.floor(F.col("cum").cast("double") / F.col("total") * mult + 0.5) / mult).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+@query(
+    "sample_weighted_hash",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE cast(('0x' || substr(md5(concat('w0:', cast(doc_id AS varchar))), 1, 6)) AS bigint)
+          < cast(floor(least(cast(n_chars AS double) / 400.0, 1.0) * 16777216) AS bigint)
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling: each document is kept with
+    probability proportional to its quality weight (here length/400 capped
+    at 1) by comparing a 24-bit md5-uniform draw against the scaled weight —
+    reproducible across engines and epochs (pure function of salt‖id), no
+    RNG state, shuffle-free row-local predicate.  This is the
+    quality-weighted mixing step of training-data curation (upweight good
+    docs without a global sort or an RNG sequence)."""
+    docs = _docs(spark, sf_dir)
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w0:"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    weight = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
+    thr = F.floor(weight * (1 << 24)).cast("long")
+    return docs.filter(draw < thr).select("doc_id", "n_chars")
+
+
+@query(
     "text_quality_percentile",
     oracle="""
     SELECT doc_id, lang,

@@ -337,3 +337,31 @@ def test_dedup_against_corpus_exact_and_containment(spark):
     }
     assert set(out) == {2}
     assert out[2] == 0.0
+
+
+def test_vocabulary_topk_coverage_monotone(spark, sf_dir):
+    import __spark_entry__ as em
+
+    rows = sorted(
+        em.queries()["text_vocabulary_topk"](spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert rows[0].cnt == max(r.cnt for r in rows)
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs) and 0 < covs[0] <= covs[-1] <= 1.0
+
+
+def test_weighted_hash_sampling_favors_long_docs(spark, sf_dir):
+    import __spark_entry__ as em
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    kept = em.queries()["sample_weighted_hash"](spark, sf_dir)
+    docs = star.table(spark, sf_dir, "documents")
+    # weight = min(n_chars/400, 1): docs at the cap are kept with p=1 minus
+    # 24-bit rounding; short docs are kept at roughly n_chars/400.
+    long_total = docs.filter("n_chars >= 400").count()
+    long_kept = kept.filter("n_chars >= 400").count()
+    assert long_kept == long_total  # weight 1.0 → always kept
+    short_total = docs.filter("n_chars < 200").count()
+    short_kept = kept.filter("n_chars < 200").count()
+    assert short_kept < short_total  # strictly downsampled
