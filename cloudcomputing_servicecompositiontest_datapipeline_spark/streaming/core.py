@@ -175,6 +175,23 @@ def stream_exact_dedup(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    key: str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Streaming form of J4 (config stamped onto every run record,
+    experiment_caller.py:98-99): a stream joined to a STATIC dimension.
+    Spark plans this as a broadcast hash join per micro-batch — the static
+    side is rebroadcast on restart, never shuffled with the stream, so at
+    100 TB/day of events the per-batch cost is the stream scan alone.
+    Left join keeps records whose key has no config row (annotate, don't
+    drop — matching the reference, which stamps defaults)."""
+    return stream.join(F.broadcast(static_dim), key, how)
+
+
 def foreach_batch_idempotent_append(
     stream: DataFrame,
     out_dir: str,

@@ -297,3 +297,33 @@ def test_foreach_batch_idempotent_append(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out + "/data").count() == 3
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, run_dir, tmp_path):
+    """J4 streaming form: every stream record is stamped with its static
+    config row via a per-batch broadcast join; keys missing from the dim
+    stay (left join, annotate-don't-drop)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming import (
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [("c0", "endpoint-a", 512)], ["uuid", "endpoint", "mem_mb"]
+    )
+    stream = spark.readStream.schema(_parse_datatype_string(SCHEMA)).json(run_dir)
+    enriched = stream_static_enrich(stream, dim, "uuid")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_enrich").collect()
+    assert len(rows) == 6
+    by_uuid = {}
+    for r in rows:
+        by_uuid.setdefault(r.uuid, set()).add((r.endpoint, r.mem_mb))
+    assert by_uuid["c0"] == {("endpoint-a", 512)}
+    assert by_uuid["c1"] == {(None, None)}  # unmatched keys annotated with nulls
