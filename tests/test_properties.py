@@ -191,3 +191,44 @@ def test_contamination_counts_match_python_model(spark, texts, n):
         for r in tx.contamination_counts(train, eval_df, "text", "doc_id", n=n).collect()
     }
     assert got == expect
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=texts_strategy)
+@SETTINGS
+def test_passage_dedup_matches_python_model(spark, texts):
+    """passage_dedup vs a plain-Python first-wins model: same surviving
+    passages, same reassembly, docs losing every passage vanish."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.dedup import (
+        passage_dedup,
+    )
+
+    n = 3
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in passage_dedup(df, "text", "doc_id", passage_tokens=n).collect()
+    }
+
+    seen: set[str] = set()
+    expect = {}
+    for i, t in data:
+        toks = t.split()
+        passages = [" ".join(toks[s : s + n]) for s in range(0, len(toks), n)]
+        kept = []
+        for p in passages:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            expect[i] = (" ".join(kept), len(kept), len(passages) - len(kept))
+    assert got == expect
