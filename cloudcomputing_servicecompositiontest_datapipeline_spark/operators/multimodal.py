@@ -99,6 +99,62 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODE_SCHEMA)
 
 
+#: Output schema of the feature-extract stage: id + fixed-width embedding.
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", StringType()),  # csv-joined floats: keeps the
+        # driver canonicalizer array-free; parse with split+cast downstream
+        StructField("dim", IntegerType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction over the binary carrier via ``mapInPandas`` — the
+    embedding stage of a multimodal pipeline (CLIP-style image encoder in
+    production; DETERMINISTIC FAKE here: byte-histogram moments from the
+    payload digest, stable across runs and engines).  Same Arrow-batch
+    pattern as :func:`decode_media`: Python kernel, vectorized transfer,
+    per-partition streaming, no shuffle introduced."""
+    if not isinstance(df.schema["payload"].dataType, BinaryType):
+        raise TypeError("payload column must be binary")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                d = hashlib.sha256(bytes(p)).digest()
+                vec = [round(d[i] / 255.0, 6) for i in range(dim)]
+                feats.append(",".join(f"{v:.6f}" for v in vec))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "feature": feats, "dim": [dim] * len(feats)}
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_media(df: DataFrame, *, max_side: int = 128) -> DataFrame:
+    """Resize stage: recompute target dimensions so the longest side is
+    ``max_side`` (aspect preserved, integer floor) and pass the payload
+    through.  The geometry math is JVM-side column arithmetic on the decoded
+    dims; only the (stubbed) pixel resample would live in a Python kernel —
+    at scale that keeps the common fast path (metadata-only resize planning)
+    out of Python entirely."""
+    decoded = decode_media(df).select("doc_id", "width", "height")
+    carrier = df.join(decoded, "doc_id")
+    longest = F.greatest("width", "height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / longest)
+    return carrier.select(
+        "doc_id",
+        "payload",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("out_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_height"),
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling analogue for video payloads: emit one row per sampled
     offset (explode is the Spark-side fan-out a real frame sampler uses).

@@ -348,6 +348,16 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_media(mm.attach_binary(docs, "text", "doc_id"))
 
 
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: binary carrier → Arrow-batched mapInPandas feature extraction
+    (deterministic fake encoder; CLIP-style in production).  Rows-only —
+    same rationale as multimodal_decode; determinism + batch shape pinned
+    in tests/test_extensions.py."""
+    docs = _docs(spark, sf_dir)
+    return mm.extract_features(mm.attach_binary(docs, "text", "doc_id"), dim=8)
+
+
 @query(
     "text_quality_cutoff",
     oracle=f"""

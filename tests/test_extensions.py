@@ -365,3 +365,24 @@ def test_weighted_hash_sampling_favors_long_docs(spark, sf_dir):
     short_total = docs.filter("n_chars < 200").count()
     short_kept = kept.filter("n_chars < 200").count()
     assert short_kept < short_total  # strictly downsampled
+
+
+def test_extract_features_deterministic_fixed_width(docs):
+    carrier = mm.attach_binary(docs, "text", "doc_id")
+    out1 = {r.doc_id: r.feature for r in mm.extract_features(carrier, dim=8).collect()}
+    out2 = {r.doc_id: r.feature for r in mm.extract_features(carrier, dim=8).collect()}
+    assert out1 == out2  # deterministic fake encoder
+    assert out1[0] == out1[2]  # same payload → same feature
+    assert all(len(v.split(",")) == 8 for v in out1.values())
+    vals = [float(x) for x in out1[0].split(",")]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_resize_media_aspect_preserved_never_upscaled(docs):
+    carrier = mm.attach_binary(docs, "text", "doc_id")
+    for r in mm.resize_media(carrier, max_side=100).collect():
+        assert max(r.out_width, r.out_height) <= 100
+        if max(r.width, r.height) <= 100:  # small media pass through
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+        else:  # aspect ratio preserved within integer floor
+            assert abs(r.out_width / r.out_height - r.width / r.height) < 0.05
