@@ -267,6 +267,74 @@ def report_variance_uses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "report_linear_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(cast(l_quantity AS decimal(19,4))) AS sx,
+             sum(cast(l_extendedprice AS decimal(19,4))) AS sy,
+             sum(cast(l_quantity AS decimal(19,4)) * cast(l_extendedprice AS decimal(19,4))) AS sxy,
+             sum(cast(l_quantity AS decimal(19,4)) * cast(l_quantity AS decimal(19,4))) AS sxx,
+             sum(cast(l_extendedprice AS decimal(19,4)) * cast(l_extendedprice AS decimal(19,4))) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           floor((cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
+                 / (cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double))
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor((cast(sxx AS double) * cast(sy AS double) - cast(sx AS double) * cast(sxy AS double))
+                 / (cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double))
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+           floor((cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
+                 * (cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
+                 / ((cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double))
+                    * (cast(n AS double) * cast(syy AS double) - cast(sy AS double) * cast(sy AS double)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def report_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Performance-modeling analogue: per-group simple OLS (slope, intercept,
+    r²) of extendedprice on quantity — the reference's research arm fits
+    runtime-prediction regressions the same way (research.md:19, ~3.49% MAPE;
+    research/performance_modeling/IC2E Data.csv).  Multiple regression is the
+    same normal-equations pattern over more exact-sum moments.
+
+    Determinism: all five moments are EXACT decimal sums (one partial-agg
+    shuffle, order-insensitive); the closed-form solution is then a fixed
+    tree of IEEE double ops, identical on both engines, floor-rounded at
+    1e-6.  No iterative fitting, no driver-side math — scales as one
+    aggregation regardless of row count."""
+    apply_runtime_conf(spark)
+    li = star.table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return s.select(
+        "l_returnflag",
+        "n",
+        fround(num / den, 6).alias("slope"),
+        fround((sxx * sy - sx * sxy) / den, 6).alias("intercept"),
+        fround(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+@query(
     "report_summary_cost",
     oracle=f"""
     SELECT count(*) AS runs,
