@@ -250,3 +250,12 @@ def test_dedup_against_corpus_hash_joins_only(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_linear_regression_single_aggregation_no_python(spark):
+    """OLS via exact moments must stay ONE partial-agg shuffle (closed-form,
+    no iterative fitting) with nothing dropping to Python."""
+    plan = _plan(spark, "report_linear_regression").split("== Physical Plan ==")[-1]
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
