@@ -119,6 +119,50 @@ def lsh_bucket(vec: F.Column, *, planes: int, dim: int) -> F.Column:
     return bucket
 
 
+def _train_centroids(sample_vecs: list[list[float]], n_centroids: int, n_iters: int = 10):
+    """Driver-side Lloyd's iterations on a BOUNDED training sample —
+    deterministic (evenly-spaced init over the sample, fixed iteration count,
+    numpy double arithmetic).  This is the FAISS recipe: IVF coarse
+    quantizers train on a few hundred points per centroid regardless of
+    corpus size; only assignment is distributed."""
+    import numpy as np
+
+    X = np.asarray(sample_vecs, dtype=np.float64)
+    idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
+    C = X[idx].copy()
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(n_centroids):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def _argmin_centroids(vec: F.Column, centers, n_pick: int = 1) -> F.Column:
+    """Row-local nearest-centroid expression: for each centroid j,
+    ``||x−c_j||² = ||c_j||² − 2·x·c_j + ||x||²`` (the ``||x||²`` term is
+    constant per row and dropped); centroids are LITERALS baked into the
+    plan, so assignment is pure narrow compute — no join, no shuffle.
+    Returns the ``n_pick`` nearest centroid ids as an array (struct sort on
+    (dist, id) keeps ties deterministic)."""
+    entries = []
+    for j, c in enumerate(centers):
+        c_list = [float(x) for x in c]
+        c_norm2 = float(sum(x * x for x in c_list))
+        dot = F.aggregate(
+            F.zip_with(vec, F.lit(c_list), lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(
+            F.struct((F.lit(c_norm2) - 2.0 * dot).alias("d"), F.lit(j).alias("c"))
+        )
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_pick)
+    return F.transform(ranked, lambda s: s["c"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -135,48 +179,40 @@ def ivf_topk(
 
     At 100 TB the corpus is written partitioned by ``centroid`` (the inverted
     index IS the partitioning), so a query touches n_probe/n_centroids of the
-    data.  Training samples the corpus; assignment is one broadcast-join pass.
+    data.  Training is the FAISS shape — a BOUNDED sample (~200 points per
+    centroid, seeded) collected to the driver and fit with plain Lloyd's
+    iterations (:func:`_train_centroids`); a distributed ML fit here would
+    pay per-iteration job overhead to cluster kilobytes.  Assignment bakes
+    the centroids into the plan as literals (:func:`_argmin_centroids`) —
+    row-local, shuffle-free, embarrassingly parallel at any corpus size.
     Recall vs brute force is tunable via n_probe (tested in
     tests/test_extensions.py)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
-    ml_df = c.withColumn("features", array_to_vector(F.col("cand_vec").cast("array<double>")))
-    # Train on a bounded sample (seeded → deterministic), not the full corpus:
-    # k-means needs only enough points to place n_centroids centers, and a
-    # full-corpus fit would dominate cost at scale (it did at sf0.01 — ~17 s
-    # of a ~17.2 s query).  ~200 points per centroid is plenty.
+    # Bounded, deterministic training sample WITHOUT a count job: take the
+    # `target` lowest salted-hash ids (TakeOrdered = per-partition heap,
+    # linear scan, no full sort) — a uniform pseudo-random spread that is a
+    # pure function of (seed, id).
     target = 200 * n_centroids
-    n_rows = ml_df.count()
-    train = (
-        ml_df.sample(fraction=min(1.0, target / max(n_rows, 1)), seed=seed)
-        if n_rows > target
-        else ml_df
-    )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid")
-    model = km.fit(train)
-    assigned = model.transform(ml_df).select("cand_id", "cand_vec", "cand_vec_norm", "centroid")
+    sample = [
+        [float(x) for x in r.cand_vec]
+        for r in c.select("cand_id", "cand_vec")
+        .orderBy(F.xxhash64(F.lit(seed), F.col("cand_id").cast("string")), "cand_id")
+        .limit(target)
+        .collect()
+    ]
+    centers = _train_centroids(sample, n_centroids)
 
-    # centroid table is tiny: broadcast to score query→centroid distances
-    centers = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
-    centers_df = corpus.sparkSession.createDataFrame(centers, ["centroid", "center_vec"])
-    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
-    qc = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(centers_df))
-        .withColumn(
-            "dist",
-            -_dot_dec(F.col("query_vec"), F.col("center_vec").cast("array<double>")).cast(
-                "double"
-            ),
-        )
+    assigned = c.withColumn(
+        "centroid", _argmin_centroids(F.col("cand_vec"), centers, 1)[0]
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("centroid"))
-    probes = (
-        qc.withColumn("prnk", F.row_number().over(probe_w))
-        .filter(F.col("prnk") <= n_probe)
-        .select("query_id", "query_vec", "query_vec_norm", "centroid")
+    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    probes = q.select(
+        "query_id",
+        "query_vec",
+        "query_vec_norm",
+        F.explode(
+            _argmin_centroids(F.col("query_vec"), centers, n_probe)
+        ).alias("centroid"),
     )
 
     mult = 1000000.0
