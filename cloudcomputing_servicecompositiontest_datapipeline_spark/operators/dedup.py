@@ -370,11 +370,14 @@ def cluster_canonical(
                 labels.select(F.col("node").alias("src"), "label"), "src"
             ).select(F.col("dst").alias("node"), "label")
         )
+        # One action per round: the lazy localCheckpoint materializes when the
+        # convergence probe runs, so each iteration schedules a single job
+        # (eager checkpoint + separate count was two).
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
