@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -145,6 +146,47 @@ def write_jdbc(
     props = {"batchsize": str(batchsize)}
     props.update(properties or {})
     df.write.mode("append").jdbc(url, table, properties=props)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    *,
+    sort_key: str | None = None,
+    target_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Small-files compaction — the maintenance pass every long-lived lake
+    needs: streaming sinks and per-batch appends leave thousands of KB-sized
+    files whose per-file open/footer overhead dominates scans at 100 TB.
+
+    Rewrites ``in_path`` into ``target_files`` outputs; with ``sort_key``
+    the rewrite is ``repartitionByRange`` + ``sortWithinPartitions`` so the
+    new files carry non-overlapping sorted key ranges — parquet min/max
+    footer stats then let later scans skip whole files (poor-man's
+    clustering, same idea as a Delta OPTIMIZE ZORDER on one key).
+    ``maxRecordsPerFile`` bounds individual file size regardless of
+    partition count.  Returns the number of files written."""
+    df = spark.read.parquet(in_path)
+    if target_files is None:
+        target_files = max(df.rdd.getNumPartitions() // 8, 1)
+    if sort_key is not None:
+        df = df.repartitionByRange(target_files, F.col(sort_key)).sortWithinPartitions(
+            sort_key
+        )
+    else:
+        df = df.coalesce(target_files)
+    w = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(out_path)
+    return sum(
+        1
+        for root, _d, files in os.walk(out_path)
+        for fn in files
+        if fn.endswith(".parquet")
+    )
 
 
 def write_orc(df: DataFrame, path: str) -> None:

@@ -4,6 +4,7 @@ multi-section CSV, SURVEY.md §3.3)."""
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -243,3 +244,36 @@ def test_binary_file_ingestion_feeds_decode(spark, tmp_path):
     rows = decoded.collect()
     assert len(rows) == 2
     assert all(r.n_bytes > 0 and r.width > 0 for r in rows)
+
+
+def test_compact_parquet_reduces_files_and_range_sorts(spark, tmp_path):
+    """Compaction: many small files → target_files outputs; with a sort key
+    the outputs carry non-overlapping sorted ranges (parquet footer stats
+    then skip whole files on key predicates)."""
+    import pyarrow.parquet as pq
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+
+    src = str(tmp_path / "small_files")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # simulate a fragmented sink
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 64
+
+    out = str(tmp_path / "compacted")
+    n_out = sio.compact_parquet(spark, src, out, sort_key="id", target_files=4)
+    assert n_out == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # non-overlapping sorted ranges across files
+    ranges = []
+    for fn in sorted(os.listdir(out)):
+        if fn.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out, fn), columns=["id"])
+            ids = t.column("id").to_pylist()
+            assert ids == sorted(ids)
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
