@@ -232,3 +232,53 @@ def test_passage_dedup_matches_python_model(spark, texts):
         if kept:
             expect[i] = (" ".join(kept), len(kept), len(passages) - len(kept))
     assert got == expect
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(inc_texts=corpus_strategy, corp_texts=corpus_strategy)
+@SETTINGS
+def test_dedup_against_corpus_matches_python_model(spark, inc_texts, corp_texts):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    n = 3
+    thr = 0.8
+    inc = spark.createDataFrame(list(enumerate(inc_texts)), ["doc_id", "text"])
+    corp = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(corp_texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.containment
+        for r in dedup_against_corpus(
+            inc, corp, "text", "doc_id", shingle_n=n, containment_threshold=thr
+        ).collect()
+    }
+
+    def sh(text: str) -> set[str]:
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    corp_texts_set = set(corp_texts)
+    corp_grams = set().union(*(sh(t) for t in corp_texts))
+    expect = {}
+    for i, t in enumerate(inc_texts):
+        if t in corp_texts_set:
+            continue  # exact dup dropped
+        grams = sh(t)
+        import math
+
+        containment = math.floor(len(grams & corp_grams) / len(grams) * 1e6 + 0.5) / 1e6
+        if containment < thr:
+            expect[i] = containment
+    assert got == expect
