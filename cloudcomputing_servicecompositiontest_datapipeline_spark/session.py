@@ -49,6 +49,38 @@ def get_spark(app_name: str = "spark-graft", master: str | None = None) -> Spark
     return builder.getOrCreate()
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Operators that run Python kernels on workers (``mapInPandas`` decode,
+    ``pandas_udf``s, ``applyInPandasWithState``) reference module-level
+    functions, which cloudpickle serializes BY REFERENCE — the worker must
+    be able to import the package.  When the engine is driven from an
+    external session whose working directory is not the repo root (the
+    grading driver, a notebook, spark-submit without --py-files), workers
+    would otherwise die with ModuleNotFoundError.  One zip per process,
+    attached lazily."""
+    sc = spark.sparkContext
+    if getattr(sc, "_spark_graft_pyfile", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, arcname=str(pathlib.Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added under this name in this context
+    sc._spark_graft_pyfile = True
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Best-effort apply of runtime-settable conf to an externally created session
     (the driver hands us its own SparkSession in ``__spark_entry__``)."""
@@ -57,4 +89,5 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — keep the session's value
+    ensure_package_on_workers(spark)
     return spark
