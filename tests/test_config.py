@@ -61,3 +61,17 @@ def test_to_report_config_projection():
     assert rc.show_as_sum == ["runtime"]
     assert rc.invalidators == {"uuid": "bad"}
     assert rc.warmup_buffer == 2
+
+
+def test_package_zip_ships_to_workers(spark):
+    """apply_runtime_conf must attach the package zip so executor Python
+    workers can unpickle module-level kernel functions when the driving
+    process's cwd is not the repo root (grading-driver scenario)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.session import (
+        apply_runtime_conf,
+    )
+
+    apply_runtime_conf(spark)
+    sc = spark.sparkContext
+    assert getattr(sc, "_spark_graft_pyfile", False)
+    assert any("spark_graft_pkg" in p for p in sc._python_includes)
