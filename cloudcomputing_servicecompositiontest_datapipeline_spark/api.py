@@ -55,3 +55,82 @@ class Engine:
 
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
+
+    # --- corpus pipeline (SURVEY.md §2.12) ---------------------------------
+    def dedup_exact(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """X1: normalized-hash exact dedup (lowest id wins)."""
+        from .operators import dedup as dd
+
+        return dd.exact_dedup(docs, text_col, id_col)
+
+    def near_dup_clusters(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        *,
+        threshold: float = 0.8,
+        num_hashes: int = 16,
+        bands: int = 4,
+    ) -> DataFrame:
+        """X2 scale path: MinHash-LSH candidates → exact verify → connected
+        components → (id, canonical_id)."""
+        from .operators import dedup as dd
+
+        pairs = dd.minhash_near_dups(
+            docs, text_col, id_col, num_hashes=num_hashes, bands=bands, threshold=threshold
+        )
+        return dd.cluster_canonical(docs, pairs, id_col)
+
+    def dedup_passages(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, passage_tokens: int = 10
+    ) -> DataFrame:
+        """X15: C4-style repeated-passage removal with per-doc reassembly."""
+        from .operators import dedup as dd
+
+        return dd.passage_dedup(docs, text_col, id_col, passage_tokens=passage_tokens)
+
+    def dedup_against(
+        self,
+        incoming: DataFrame,
+        corpus: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        *,
+        containment_threshold: float = 0.8,
+    ) -> DataFrame:
+        """X16: incremental-ingest gate vs an existing corpus."""
+        from .operators import dedup as dd
+
+        return dd.dedup_against_corpus(
+            incoming, corpus, text_col, id_col, containment_threshold=containment_threshold
+        )
+
+    def search_topk(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        *,
+        k: int = 3,
+        method: str = "brute",
+        **kw,
+    ) -> DataFrame:
+        """X3: cosine top-k — method in {'brute', 'lsh', 'ivf'}."""
+        from .operators import similarity as sim
+
+        fn = {"brute": sim.brute_force_topk, "lsh": sim.lsh_topk, "ivf": sim.ivf_topk}[method]
+        return fn(corpus, queries, k=k, **kw)
+
+    def chunk(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        *,
+        chunk_size: int = 50,
+        overlap: int = 10,
+    ) -> DataFrame:
+        """X4: token-window chunking (posexplode, shuffle-free)."""
+        from .operators import text as tx
+
+        return tx.chunk_documents(docs, text_col, id_col, chunk_size=chunk_size, overlap=overlap)

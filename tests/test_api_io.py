@@ -277,3 +277,27 @@ def test_compact_parquet_reduces_files_and_range_sorts(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_engine_corpus_facade(spark):
+    """The corpus-pipeline methods compose through the Engine facade."""
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {r.keep_id for r in eng.dedup_exact(docs).collect()}
+    assert exact == {0, 2}
+    clusters = {r.doc_id: r.canonical_id for r in eng.near_dup_clusters(docs).collect()}
+    assert clusters[1] == 0 and clusters[2] == 2
+    chunks = eng.chunk(docs, chunk_size=5, overlap=1)
+    assert chunks.filter("doc_id = 0").count() > 1
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    top = eng.search_topk(emb, emb.filter(F.col("vec_id") == 0), k=1)
+    assert [r.cand_id for r in top.collect()] == [1]
