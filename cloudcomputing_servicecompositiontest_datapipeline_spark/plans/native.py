@@ -810,6 +810,37 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_variant_ingest",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS integer)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS integer)) AS integer) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 JSON surface, Spark-4-native form: semi-dynamic records ingested
+    as VARIANT (``parse_json``) and fielded with ``variant_get`` — the
+    modern engine shape for the reference's union-of-keys run records
+    (report_generator.py:78-87): shredded-on-read, no schema inference pass,
+    unknown keys stay queryable.  Aggregates cast to fixed widths so both
+    engines hash identically."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "scalar_map_struct_funcs",
     oracle="""
     SELECT event_id,
