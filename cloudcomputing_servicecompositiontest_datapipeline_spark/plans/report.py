@@ -536,3 +536,29 @@ def report_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_apx GROUP BY event_type
         """
     )
+
+
+@query("sketch_distinct_rollup")
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL rollup (A4 as a stored artifact): one DataSketches HLL
+    sketch per (event_type, day) over ``user_id`` — kilobytes each — then a
+    union-merge per event_type that estimates distinct users WITHOUT
+    re-touching raw rows.  This is the store-and-merge architecture the
+    reference's report engine lacks (it recounts distinct from raw on every
+    report compile, report_generator.py:384); at 100 TB only the sketch
+    column moves through the rollup shuffle.  Estimates are
+    implementation-defined (no cross-engine oracle → rows-only check);
+    accuracy vs exact distinct counts is asserted in
+    tests/test_report_ops.py::test_hll_sketch_store_and_merge."""
+    from ..functions import sketch
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = sketch.group_sketches(ev, "user_id", ["event_type", "day"])
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("est_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -216,6 +216,28 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     assert abs(row.approx_med - row.exact_med) <= 1.0
 
 
+def test_hll_sketch_store_and_merge(spark, sf_dir):
+    """Stored per-group sketches merge to the same answer as counting raw:
+    per-group estimates and the union-merged global estimate both land
+    within HLL tolerance of exact distinct counts."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions import sketch
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    ev = star.table(spark, sf_dir, "events")
+    stored = sketch.group_sketches(ev, "user_id", ["event_type"])
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in sketch.estimate(stored).collect():
+        assert abs(r.estimate - exact[r.event_type]) / exact[r.event_type] < 0.05
+
+    global_exact = ev.agg(F.countDistinct("user_id")).first()[0]
+    merged = sketch.merged_estimate(stored).first().estimate
+    assert abs(merged - global_exact) / global_exact < 0.05
+
+
 def test_asof_backward_join_semantics(spark):
     """<= tie inclusion, strictly-later exclusion, and null when no match."""
     from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.joins import asof_backward_join
