@@ -1,0 +1,68 @@
+"""Declarative data-quality constraint checking (Deequ-style, single pass).
+
+A training-data pipeline gates every ingest batch on constraints — key
+uniqueness, completeness, value domains, length floors — before the batch
+may join the corpus.  The reference validates records one rule at a time
+inside the transform loop (``Transform.java:229-260`` null/format guards);
+this operator lifts validation to a declarative table-level report.
+
+Scale design: ALL checks compile into ONE aggregate pass over the table
+(map-side partial + final), so a 100 TB batch is scanned once regardless of
+how many constraints are declared.  The per-check rows come from exploding
+the single aggregate row — driver never touches data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_report(
+    df: DataFrame,
+    *,
+    unique: str | None = None,
+    not_null: list[str] | None = None,
+    row_checks: dict[str, Column] | None = None,
+) -> DataFrame:
+    """One row per declared check: ``(check_name, violations, passed)``.
+
+    ``unique``: column whose values must be distinct (violations = extra
+    copies).  ``not_null``: completeness per column.  ``row_checks``: named
+    boolean columns where TRUE marks a VIOLATING row.
+    """
+    aggs: list[Column] = []
+    names: list[str] = []
+
+    if unique is not None:
+        aggs.append(
+            (F.count(F.lit(1)) - F.countDistinct(unique)).cast("long").alias(f"unique_{unique}")
+        )
+        names.append(f"unique_{unique}")
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"not_null_{c}"))
+        names.append(f"not_null_{c}")
+    for nm, cond in (row_checks or {}).items():
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(nm))
+        names.append(nm)
+    if not aggs:
+        raise ValueError("no checks declared")
+
+    one = df.agg(*aggs)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(nm).alias("check_name"),
+                F.col(nm).cast("long").alias("violations"),
+            )
+            for nm in names
+        ]
+    )
+    return (
+        one.select(F.explode(packed).alias("c"))
+        .select(
+            "c.check_name",
+            "c.violations",
+            (F.col("c.violations") == 0).alias("passed"),
+        )
+    )

@@ -950,3 +950,98 @@ def text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w_pr).alias("pct_rank"),
         F.ntile(10).over(w_nt).alias("decile"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (SELECT doc_id, text FROM documents),
+    new_snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+           END AS change_type
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN md5(o.text) <> md5(n.text) THEN 'changed' END) IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC for incremental ingestion (operators/cdc.py): the
+    'new' crawl is derived deterministically from documents — every
+    doc_id%10==0 removed, every surviving doc_id%7==0 revised, every
+    doc_id%13==0 re-added under a new id — then hash-compare full-outer-join
+    emits ONLY the delta.  The reference re-pulls full objects per run
+    (s3pull.py:46-94); at 100 TB only this delta should flow downstream.
+    One id-shuffle per side (shuffle-free when snapshots are bucketed)."""
+    from ..operators.cdc import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    revised = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    arrived = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    return snapshot_diff(docs, revised.unionByName(arrived), "doc_id", ["text"])
+
+
+@query(
+    "quality_constraint_report",
+    oracle="""
+    WITH agg AS (
+      SELECT cast(count(*) - count(DISTINCT doc_id) AS bigint) AS unique_doc_id,
+             cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS bigint) AS not_null_text,
+             cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS bigint) AS not_null_lang,
+             cast(sum(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr','zh')
+                           THEN 1 ELSE 0 END) AS bigint) AS lang_in_domain,
+             cast(sum(CASE WHEN n_chars IS NULL OR n_chars <> length(text)
+                           THEN 1 ELSE 0 END) AS bigint) AS n_chars_consistent,
+             cast(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS bigint) AS min_length_100
+      FROM documents
+    )
+    SELECT check_name, violations, violations = 0 AS passed FROM (
+      SELECT 'unique_doc_id' AS check_name, unique_doc_id AS violations FROM agg
+      UNION ALL SELECT 'not_null_text', not_null_text FROM agg
+      UNION ALL SELECT 'not_null_lang', not_null_lang FROM agg
+      UNION ALL SELECT 'lang_in_domain', lang_in_domain FROM agg
+      UNION ALL SELECT 'n_chars_consistent', n_chars_consistent FROM agg
+      UNION ALL SELECT 'min_length_100', min_length_100 FROM agg
+    )
+    """,
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style ingest gate (operators/quality_checks.py): uniqueness,
+    completeness, domain, consistency, and length-floor constraints over an
+    arriving batch, ALL folded into one aggregate scan — constraint count
+    does not multiply 100 TB scan cost.  min_length_100 intentionally has
+    real violations in the fixture (shortest doc is 48 chars), so the report
+    exercises both pass and fail lanes."""
+    from ..operators.quality_checks import constraint_report
+
+    docs = _docs(spark, sf_dir)
+    return constraint_report(
+        docs,
+        unique="doc_id",
+        not_null=["text", "lang"],
+        row_checks={
+            "lang_in_domain": F.col("lang").isNull()
+            | ~F.col("lang").isin("de", "en", "es", "fr", "zh"),
+            "n_chars_consistent": F.col("n_chars").isNull()
+            | (F.col("n_chars") != F.length("text")),
+            "min_length_100": F.col("n_chars") < 100,
+        },
+    )

@@ -538,6 +538,35 @@ def report_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT event_type, cast(count(*) AS bigint) AS uses,
+           {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance twin of A2/A3: per-day PARTIAL aggregates
+    (count + exact decimal sum — the stored artifact an incremental pipeline
+    persists per ingest) merged to per-category totals by re-aggregating the
+    partials only.  The oracle is the direct group-by over raw — the merge
+    must be result-identical, which decimal sums guarantee (associative;
+    double sums are not).  At 100 TB each day's raw is scanned once at
+    ingest; every later rollup touches ~365 partial rows per group, not
+    rows-of-raw.  Complements sketch_distinct_rollup (same pattern for
+    distinct counts, where partials must be HLL sketches)."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast(DEC)).alias("psum"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("uses"),
+        F.round(F.sum("psum"), 2).cast("double").alias("sum_value"),
+    )
+
+
 @query("sketch_distinct_rollup")
 def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL rollup (A4 as a stored artifact): one DataSketches HLL

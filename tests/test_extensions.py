@@ -386,3 +386,73 @@ def test_resize_media_aspect_preserved_never_upscaled(docs):
             assert (r.out_width, r.out_height) == (r.width, r.height)
         else:  # aspect ratio preserved within integer floor
             assert abs(r.out_width / r.out_height - r.width / r.height) < 0.05
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, "e")], ["id", "text"]
+    )
+    out = {r.id: r.change_type for r in snapshot_diff(old, new, "id", ["text"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 5 added
+    assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_multi_column_content(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["id", "text", "meta"])
+    new = spark.createDataFrame([(1, "a", 11), (2, "b", 20)], ["id", "text", "meta"])
+    out = {r.id: r.change_type for r in snapshot_diff(old, new, "id", ["text", "meta"]).collect()}
+    assert out == {1: "changed"}  # meta-only edit still detected
+
+
+def test_constraint_report_counts_violations(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok", "en"), (1, "dup id", "en"), (2, None, "xx"), (3, "fine", None)],
+        ["id", "text", "lang"],
+    )
+    rep = {
+        r.check_name: (r.violations, r.passed)
+        for r in constraint_report(
+            df,
+            unique="id",
+            not_null=["text", "lang"],
+            row_checks={"lang_in_domain": F.col("lang").isNull() | ~F.col("lang").isin("en")},
+        ).collect()
+    }
+    assert rep["unique_id"] == (1, False)
+    assert rep["not_null_text"] == (1, False)
+    assert rep["not_null_lang"] == (1, False)
+    assert rep["lang_in_domain"] == (2, False)
+
+
+def test_constraint_report_single_scan(spark):
+    """All declared checks fold into ONE aggregate over the input — the plan
+    must contain exactly one scan of the source."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import (
+        constraint_report,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    rep = constraint_report(
+        df,
+        unique="id",
+        not_null=["v"],
+        row_checks={"v_small": F.col("v") > 5},
+    )
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("range (0, 100") == 1
+    assert {r.check_name: r.violations for r in rep.collect()} == {
+        "unique_id": 0,
+        "not_null_v": 0,
+        "v_small": 14,
+    }
