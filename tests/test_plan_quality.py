@@ -290,3 +290,42 @@ def test_sketch_rollup_moves_sketches_not_rows(spark):
     phys = _plan(spark, "sketch_distinct_rollup").split("== Physical Plan ==")[-1]
     assert "hll_sketch_agg" in phys.lower() or "hllsketchagg" in phys.lower()
     assert phys.count("Exchange hashpartitioning") == 2  # (type,day) build + type rollup
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime semi-join reduction: a selective dim filter on a shuffle join
+    must inject a bloom filter (`might_contain`) on the fact's join key, so
+    non-matching fact rows are dropped at the scan, before the shuffle.  At
+    100 TB this is the difference between shuffling the whole fact table and
+    shuffling the ~matching slice.  (Thresholds are lowered to make the
+    injection observable at test SF; the rule itself is size-driven and
+    fires unaided at scale.)"""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "l_orderkey" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
