@@ -119,3 +119,68 @@ def asof_backward_join(
         .filter(F.col("_side") == 1)
         .select("_row.*", out_col)
     )
+
+
+def binned_runtime_overlap(
+    df: DataFrame,
+    *,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """J1 WITHOUT an equality key, scale-safe: the binned interval self-join.
+
+    ``overlap_global``'s literal all-pairs form is a broadcast-nested-loop —
+    quadratic, bounded-input-only.  This operator computes the SAME scores
+    with a shuffleable equi-join: time is cut into ``bin_width`` buckets,
+    each interval replicates to the buckets it spans (``sequence`` +
+    ``explode`` — cost |interval|/W per row), candidate pairs meet only
+    inside a shared bucket, and each pair is counted exactly once, in the
+    canonical bucket holding ``max(start_a, start_b)`` (both intervals
+    provably replicate there).  Choose ``bin_width`` ≳ the typical interval
+    so replication stays O(1) per row; partner-less rows keep score 0 via
+    the final left join.
+    """
+    w = F.lit(bin_width)
+    binned = df.select(
+        F.col(id_col),
+        F.col(start_col),
+        F.col(end_col),
+        F.explode(
+            F.sequence(F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w))
+        ).alias("bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    cond = (
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col(f"b.{start_col}") < F.col(f"a.{end_col}"))
+        & (F.col(f"b.{end_col}") > F.col(f"a.{start_col}"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        # count each pair once: only in the bin containing the later start
+        & (
+            F.floor(F.greatest(F.col(f"a.{start_col}"), F.col(f"b.{start_col}")) / w)
+            == F.col("a.bin")
+        )
+    )
+    overlap = F.least(F.col(f"b.{end_col}"), F.col(f"a.{end_col}")) - F.greatest(
+        F.col(f"b.{start_col}"), F.col(f"a.{start_col}")
+    )
+    length = F.greatest(F.col(f"a.{end_col}") - F.col(f"a.{start_col}"), F.lit(1))
+    term = F.floor(overlap.cast("double") / length * scale).cast("long")
+    scores = (
+        a.join(b, cond, "inner")
+        .groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg(F.sum(term).alias("scaled"))
+    )
+    return (
+        df.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce(F.col("scaled"), F.lit(0)) / F.lit(float(scale))).alias(
+                "overlap_score"
+            ),
+        )
+    )

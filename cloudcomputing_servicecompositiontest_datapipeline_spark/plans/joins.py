@@ -8,14 +8,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.joins import runtime_overlap, tenancy_annotate
+from ..operators.joins import binned_runtime_overlap, runtime_overlap, tenancy_annotate
 from ..session import apply_runtime_conf
 from ..sources import star
 from .registry import query
 
 #: Interval bounds in epoch micros (bigint → exact on both engines).
+#: The seconds→micros conversion must FLOOR the double product on both
+#: engines: a bare cast truncates in Spark but rounds in DuckDB, so values
+#: whose ×1e6 product is not exactly representable (e.g. 39.83) would put
+#: the end a microsecond apart and flip floor-scaled overlap terms.
 _ORACLE_START = "epoch_us(ts)"
-_ORACLE_END = "epoch_us(ts) + cast(value * 1000000.0 AS bigint)"
+_ORACLE_END = "epoch_us(ts) + cast(floor(value * 1000000.0) AS bigint)"
 
 
 def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,7 +32,7 @@ def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         start.alias("start_us"),
-        (start + (F.col("value") * 1000000.0).cast("long")).alias("end_us"),
+        (start + F.floor(F.col("value") * 1000000.0)).alias("end_us"),
     )
 
 
@@ -92,6 +96,42 @@ def overlap_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = _intervals(spark, sf_dir).filter(F.col("event_id") < 500)
     return runtime_overlap(
         iv, id_col="event_id", start_col="start_us", end_col="end_us", overlap_filter=None
+    )
+
+
+@query(
+    "overlap_global_binned",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_id, {_ORACLE_START} AS start_us, {_ORACLE_END} AS end_us
+      FROM events
+    )
+    SELECT a.event_id,
+           coalesce(sum(CASE WHEN b.event_id IS NULL THEN 0 ELSE cast(floor(
+             cast(least(b.end_us, a.end_us) - greatest(b.start_us, a.start_us) AS double)
+             / greatest(a.end_us - a.start_us, 1) * 1000000) AS bigint) END), 0)
+           / 1000000.0 AS overlap_score
+    FROM iv a LEFT JOIN iv b
+      ON b.start_us < a.end_us AND b.end_us > a.start_us
+     AND a.event_id != b.event_id
+    GROUP BY a.event_id
+    """,
+)
+def overlap_global_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with NO overlapFilter over the FULL table — the scale path
+    overlap_global cannot take.  binned_runtime_overlap cuts time into
+    10-minute buckets (> the 490 s max interval, so each row replicates to
+    at most 2 buckets), pairs meet only inside a shared bucket (equi-join,
+    shuffled on bucket), and each pair counts once in the bucket holding the
+    later start.  Result-identical to the all-pairs oracle; the plan is a
+    SortMergeJoin, not the BNLJ that makes overlap_global bounded-input-only."""
+    iv = _intervals(spark, sf_dir)
+    return binned_runtime_overlap(
+        iv,
+        id_col="event_id",
+        start_col="start_us",
+        end_col="end_us",
+        bin_width=600_000_000,
     )
 
 

@@ -329,3 +329,15 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_binned_overlap_is_keyed_join_not_bnlj(spark):
+    """overlap_global_binned: the whole point — no-key interval overlap must
+    plan as a bucket equi-join (sort-merge/shuffled-hash), never the
+    broadcast-nested-loop that makes overlap_global bounded-input-only."""
+    phys = _plan(spark, "overlap_global_binned").split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in phys and "CartesianProduct" not in phys
+    # equi-join keyed on the time bucket (broadcast-hash at test SF; the same
+    # keyed plan becomes sort-merge when both sides are large)
+    import re
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[bin#", phys)

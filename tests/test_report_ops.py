@@ -259,3 +259,35 @@ def test_asof_backward_join_semantics(spark):
     assert out[2] == 60   # later right rows (100, 200) excluded
     assert out[3] is None  # v's only click is strictly later
     assert out[4] is None  # key with no right rows at all
+
+
+def test_binned_overlap_matches_allpairs(spark):
+    """Binned self-join must reproduce the all-pairs scores exactly,
+    including pairs spanning many bins (counted once) and partner-less rows
+    (score 0)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.joins import (
+        binned_runtime_overlap,
+        runtime_overlap,
+    )
+
+    rows = [
+        (1, 0, 100),      # overlaps 2, 3
+        (2, 50, 250),     # long: spans many bins at W=40
+        (3, 90, 100),     # touches 1 and 2
+        (4, 1000, 1100),  # isolated → 0
+        (5, 240, 260),    # overlaps 2 across a bin boundary
+        (6, 300, 300),    # zero-length inside nothing → 0
+    ]
+    df = spark.createDataFrame(rows, ["id", "s", "e"])
+    exact = {
+        r.id: r.overlap_score
+        for r in runtime_overlap(df, id_col="id", start_col="s", end_col="e").collect()
+    }
+    for w in (40, 64, 1000):  # bin width smaller, comparable, larger than spans
+        binned = {
+            r.id: r.overlap_score
+            for r in binned_runtime_overlap(
+                df, id_col="id", start_col="s", end_col="e", bin_width=w
+            ).collect()
+        }
+        assert binned == exact, f"bin_width={w}"
