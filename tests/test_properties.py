@@ -282,3 +282,44 @@ def test_dedup_against_corpus_matches_python_model(spark, inc_texts, corp_texts)
         if containment < thr:
             expect[i] = containment
     assert got == expect
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # start
+        st.integers(min_value=0, max_value=200),  # duration (0 = zero-length)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ivs=intervals_strategy, bin_width=st.sampled_from([1, 7, 64, 300, 10_000]))
+@SETTINGS
+def test_binned_overlap_matches_python_model(spark, ivs, bin_width):
+    """binned_runtime_overlap == the O(n²) Python model for ANY intervals and
+    ANY bin width (pairs spanning many bins count once; zero-length intervals
+    divide by max(len,1); partner-less rows score 0)."""
+    import math
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.joins import (
+        binned_runtime_overlap,
+    )
+
+    data = [(i, s, s + d) for i, (s, d) in enumerate(ivs)]
+    expect = {}
+    for i, s, e in data:
+        total = 0
+        for j, s2, e2 in data:
+            if j != i and s2 < e and e2 > s:
+                ov = min(e, e2) - max(s, s2)
+                total += math.floor(ov / max(e - s, 1) * 1_000_000)
+        expect[i] = total / 1_000_000
+    df = spark.createDataFrame(data, ["id", "s", "e"])
+    got = {
+        r.id: r.overlap_score
+        for r in binned_runtime_overlap(
+            df, id_col="id", start_col="s", end_col="e", bin_width=bin_width
+        ).collect()
+    }
+    assert got == expect
