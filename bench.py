@@ -38,6 +38,17 @@ HEADLINE = [
     "events_session_window",
 ]
 
+#: Added after r1 — timed outside the headline total for bench continuity.
+EXTRA = [
+    "overlap_global_binned",
+    "cdc_snapshot_diff",
+    "quality_constraint_report",
+    "incremental_agg_merge",
+    "sketch_distinct_rollup",
+    "dedup_passages",
+    "dedup_against_corpus",
+]
+
 
 def main() -> None:
     from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
@@ -82,12 +93,22 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # r2+ operators timed separately so "value" stays 1:1 comparable with
+    # r1's 15-query headline total (single pass — trend, not headline).
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name in qs:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            extra[name] = round(time.time() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Bench continuity: per-query delta vs the newest recorded BENCH_r{N}.json
