@@ -223,3 +223,81 @@ def foreach_batch_idempotent_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_keyed_upsert(
+    stream: DataFrame,
+    key: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    delete_col: str | None = None,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming keyed upsert: maintain a materialized table under
+    ``state_dir`` where the LATEST record per ``key`` wins — the serving-side
+    complement of snapshot CDC (operators/cdc.py): arriving
+    added/changed/removed deltas fold into the table instead of appending.
+
+    Each micro-batch: dedupe the batch per key (latest by arrival in the
+    batch), full-outer merge with current state (new version wins), drop
+    rows whose ``delete_col`` is true, then write a NEW versioned snapshot
+    directory and flip a pointer file — readers always see a complete
+    version, writers never mutate one in place (the swap pattern object
+    stores need; Delta/Iceberg do this with a transaction log).  Replayed
+    batch ids re-produce the same version deterministically, so restarts
+    are idempotent.
+
+    Scale: the merge is one keyed join per batch between the batch (small)
+    and state (pre-partitioned by key on disk); at 100 TB the state table
+    would be bucketed by key so the merge is shuffle-free on the state side.
+    """
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    pointer = os.path.join(state_dir, "_current")
+
+    def current_version() -> str | None:
+        try:
+            with open(pointer) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vdir = os.path.join(state_dir, f"v{batch_id}")
+        spark = batch_df.sparkSession
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            with open(pointer, "w") as f:  # replay: version already durable
+                f.write(vdir)
+            return
+        batch = batch_df.withColumn("_v", F.lit(batch_id + 1))
+        cur = current_version()
+        if cur is not None:
+            # state snapshots don't carry the tombstone column (deleted rows
+            # are gone); allowMissingColumns null-fills it → coalesced False
+            state = spark.read.parquet(cur).withColumn("_v", F.lit(0))
+            merged = state.unionByName(batch, allowMissingColumns=True)
+        else:
+            merged = batch
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.col("_v").desc())
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_v")
+        )
+        if delete_col is not None:
+            latest = latest.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+                delete_col
+            )
+        latest.write.mode("overwrite").parquet(vdir)
+        with open(pointer, "w") as f:
+            f.write(vdir)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

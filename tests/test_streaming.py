@@ -327,3 +327,49 @@ def test_stream_static_enrich_broadcasts_dim(spark, run_dir, tmp_path):
         by_uuid.setdefault(r.uuid, set()).add((r.endpoint, r.mem_mb))
     assert by_uuid["c0"] == {("endpoint-a", 512)}
     assert by_uuid["c1"] == {(None, None)}  # unmatched keys annotated with nulls
+
+
+def test_foreach_batch_keyed_upsert(spark, tmp_path):
+    """Latest record per key wins across drains; tombstones delete; replay
+    with the same checkpoint is a no-op."""
+    import pandas as pd
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.core import (
+        foreach_batch_keyed_upsert,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, val STRING, deleted BOOLEAN"
+
+    def drain():
+        q = foreach_batch_keyed_upsert(
+            spark.readStream.schema(schema).json(str(src)),
+            "k",
+            state,
+            ckpt,
+            delete_col="deleted",
+        )
+        q.awaitTermination()
+        with open(state + "/_current") as f:
+            return {r.k: r.val for r in spark.read.parquet(f.read().strip()).collect()}
+
+    pd.DataFrame(
+        [{"k": 1, "val": "a", "deleted": False}, {"k": 2, "val": "b", "deleted": False}]
+    ).to_json(src / "b0.json", orient="records", lines=True)
+    assert drain() == {1: "a", 2: "b"}
+
+    # batch 2: update k=1, delete k=2, insert k=3
+    pd.DataFrame(
+        [
+            {"k": 1, "val": "a2", "deleted": False},
+            {"k": 2, "val": "b", "deleted": True},
+            {"k": 3, "val": "c", "deleted": False},
+        ]
+    ).to_json(src / "b1.json", orient="records", lines=True)
+    assert drain() == {1: "a2", 3: "c"}
+
+    # re-drain with nothing new: state unchanged
+    assert drain() == {1: "a2", 3: "c"}
