@@ -25,22 +25,31 @@ def snapshot_diff(
     new: DataFrame,
     id_col: str,
     content_cols: list[str],
+    *,
+    include_payload: bool = False,
 ) -> DataFrame:
     """Hash-compare CDC between two snapshots of the same table.
 
     Returns ``(id_col, change_type)`` with ``change_type`` in ``added``
     (id only in ``new``), ``removed`` (id only in ``old``), ``changed``
     (both, differing content hash).  Unchanged rows are filtered inside the
-    joined projection, so only the delta survives the plan.
+    joined projection, so only the delta survives the plan.  With
+    ``include_payload`` the new-side content columns ride along (null for
+    ``removed``) so the delta can be applied downstream
+    (:func:`apply_changes`).
     """
 
-    def hashed(df: DataFrame, alias: str) -> DataFrame:
+    def hashed(df: DataFrame, alias: str, payload: bool) -> DataFrame:
         h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
-        return df.select(F.col(id_col), h.alias(f"{alias}_hash"))
+        cols = [F.col(id_col), h.alias(f"{alias}_hash")]
+        if payload:
+            cols += [F.col(c) for c in content_cols]
+        return df.select(*cols)
 
-    o = hashed(old, "old")
-    n = hashed(new, "new")
+    o = hashed(old, "old", payload=False)
+    n = hashed(new, "new", payload=include_payload)
     joined = o.join(n, on=id_col, how="full_outer")
+    extra = content_cols if include_payload else []
     return (
         joined.select(
             F.col(id_col),
@@ -48,6 +57,28 @@ def snapshot_diff(
             .when(F.col("new_hash").isNull(), F.lit("removed"))
             .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
             .alias("change_type"),
+            *extra,
         )
         .where(F.col("change_type").isNotNull())
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Apply a payload-carrying delta (:func:`snapshot_diff` with
+    ``include_payload=True``) onto ``base``: delete removed/changed ids
+    (anti-join), insert added/changed payloads.  Round-trip law (pinned by
+    the ``cdc_apply_delta`` oracle): ``apply(old, diff(old, new)) == new`` —
+    the invariant that lets a 100 TB pipeline ship deltas instead of
+    snapshots.  One anti-join shuffle on the id (shuffle-free with bucketed
+    base), delta side is the small one."""
+    gone = changes.where(F.col("change_type").isin("removed", "changed")).select(id_col)
+    upserts = changes.where(F.col("change_type").isin("added", "changed")).select(
+        id_col, *content_cols
+    )
+    kept = base.select(id_col, *content_cols).join(gone, id_col, "left_anti")
+    return kept.unionByName(upserts)

@@ -1045,3 +1045,39 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_length_100": F.col("n_chars") < 100,
         },
     )
+
+
+@query(
+    "cdc_apply_delta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def cdc_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip law: ``apply(old, diff(old, new)) == new``.  The delta
+    (with new-side payloads) from cdc_snapshot_diff's derived crawl is
+    applied back onto the old snapshot — anti-join deletes, union-by-name
+    upserts — and the oracle is the NEW snapshot computed directly, so the
+    driver hash-checks the invariant that lets a 100 TB pipeline ship
+    deltas instead of snapshots (operators/cdc.py:apply_changes)."""
+    from ..operators.cdc import apply_changes, snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    revised = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    arrived = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    new = revised.unionByName(arrived)
+    delta = snapshot_diff(docs, new, "doc_id", ["text"], include_payload=True)
+    return apply_changes(docs, delta, "doc_id", ["text"])

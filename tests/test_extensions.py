@@ -456,3 +456,22 @@ def test_constraint_report_single_scan(spark):
         "not_null_v": 0,
         "v_small": 14,
     }
+
+
+def test_cdc_apply_roundtrip(spark):
+    """apply(old, diff(old, new)) reconstructs new exactly, including pure
+    deletes and id reuse with different content."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e")], ["id", "text"]  # 3,4 deleted; 2 changed
+    )
+    delta = snapshot_diff(old, new, "id", ["text"], include_payload=True)
+    got = {(r.id, r.text) for r in apply_changes(old, delta, "id", ["text"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (5, "e")}
