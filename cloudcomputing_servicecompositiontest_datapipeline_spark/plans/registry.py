@@ -101,6 +101,13 @@ DRIVER_WINDOW: list[str] = [
 # Rotated out to keep the window at 50 (r3 rotates them back in):
 # events_tumbling_window / events_sliding_window — both stay locally gated
 # and events_tumbling_window stays perf-visible in bench.py.
+#
+# r3 rotation queue (registered + locally green, no driver row yet):
+# late-r2 additions cdc_snapshot_diff / cdc_apply_delta /
+# quality_constraint_report / incremental_agg_merge / overlap_global_binned /
+# sketch_distinct_rollup (rows-only), plus the never-windowed scalar_* /
+# io/udf / streaming-batch-twin / text_* analytics queries.  Keep any r2
+# driver FAILs at the front of the r3 window for re-check.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
