@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -217,3 +217,62 @@ def read_binary_files(spark: SparkSession, path: str, *, glob: str | None = None
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+def zorder_key(df: "DataFrame", cols: list[str], *, bits: int = 16) -> Column:
+    """Morton (Z-order) key over numeric columns: each value is min/max
+    scaled to ``bits`` bits, then the bits are interleaved, so rows close in
+    the z-value are close in EVERY dimension — files sorted by it carry
+    narrow parquet min/max footer ranges for all ``cols`` at once, where a
+    plain range-sort clusters only its single key.  The per-column min/max
+    is one tiny agg action (compaction is an offline maintenance pass); the
+    key itself is pure JVM bit arithmetic, codegen-friendly.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    n = len(cols)
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top).cast("long"),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("long"),
+        )
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return z
+
+
+def compact_parquet_zorder(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    cols: list[str],
+    *,
+    target_files: int = 8,
+    bits: int = 16,
+) -> int:
+    """Compaction with multi-dimensional clustering (Delta/Iceberg
+    OPTIMIZE ZORDER analogue): rewrite sorted by the interleaved
+    :func:`zorder_key` so later scans filtering on ANY of ``cols`` skip
+    most files on footer stats.  Returns files written."""
+    df = spark.read.parquet(in_path)
+    z = zorder_key(df, cols, bits=bits).alias("_z")
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode("overwrite").parquet(out_path)
+    return sum(
+        1
+        for root, _d, files in os.walk(out_path)
+        for fn in files
+        if fn.endswith(".parquet")
+    )

@@ -301,3 +301,44 @@ def test_engine_corpus_facade(spark):
     )
     top = eng.search_topk(emb, emb.filter(F.col("vec_id") == 0), k=1)
     assert [r.cand_id for r in top.collect()] == [1]
+
+
+def test_zorder_compaction_clusters_both_dims(spark, tmp_path):
+    """Z-order rewrite: per-file min/max ranges must be narrow for BOTH
+    clustering columns (a plain range-sort achieves this only for its one
+    sort key) — the property parquet footer-stat skipping depends on."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources.io import (
+        compact_parquet,
+        compact_parquet_zorder,
+    )
+
+    src = str(tmp_path / "src")
+    n = 64 * 1024
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "cast(id % 256 as long) AS x",
+            "cast(pmod(hash(id), 256) as long) AS y",
+        )
+    )
+    df.repartition(8).write.parquet(src)
+
+    def mean_file_span(path, col):
+        from pyspark.sql import functions as F
+
+        d = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        spans = d.groupBy("f").agg((F.max(col) - F.min(col)).alias("span"))
+        return spans.agg(F.avg("span")).first()[0]
+
+    zdir = str(tmp_path / "z")
+    nfiles = compact_parquet_zorder(spark, src, zdir, ["x", "y"], target_files=16)
+    assert nfiles >= 16
+    rdir = str(tmp_path / "r")
+    compact_parquet(spark, src, rdir, sort_key="x", target_files=16)
+
+    # range-sort: x clustered, y unclustered (span ~ full 0..255 range)
+    assert mean_file_span(rdir, "x") < 64
+    assert mean_file_span(rdir, "y") > 200
+    # z-order: BOTH dims clustered well below the full range
+    assert mean_file_span(zdir, "x") < 128
+    assert mean_file_span(zdir, "y") < 128
