@@ -39,11 +39,19 @@ def constraint_report(
             (F.count(F.lit(1)) - F.countDistinct(unique)).cast("long").alias(f"unique_{unique}")
         )
         names.append(f"unique_{unique}")
+    # sum() over an empty table is NULL — coalesce so an empty batch reads
+    # as zero violations (all checks pass), not as unknown
     for c in not_null or []:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"not_null_{c}"))
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"not_null_{c}")
+        )
         names.append(f"not_null_{c}")
     for nm, cond in (row_checks or {}).items():
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(nm))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long").alias(nm)
+        )
         names.append(nm)
     if not aggs:
         raise ValueError("no checks declared")

@@ -475,3 +475,29 @@ def test_cdc_apply_roundtrip(spark):
     delta = snapshot_diff(old, new, "id", ["text"], include_payload=True)
     got = {(r.id, r.text) for r in apply_changes(old, delta, "id", ["text"]).collect()}
     assert got == {(1, "a"), (2, "B"), (5, "e")}
+
+
+def test_cdc_and_constraints_on_empty_inputs(spark):
+    """Degenerate shapes: empty old snapshot → everything 'added'; empty new
+    → everything 'removed'; constraint report over an empty table passes all
+    checks with zero violations."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.cdc import snapshot_diff
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import (
+        constraint_report,
+    )
+
+    empty = spark.createDataFrame([], "id LONG, text STRING")
+    some = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "text"])
+
+    out = {r.id: r.change_type for r in snapshot_diff(empty, some, "id", ["text"]).collect()}
+    assert out == {1: "added", 2: "added"}
+    out = {r.id: r.change_type for r in snapshot_diff(some, empty, "id", ["text"]).collect()}
+    assert out == {1: "removed", 2: "removed"}
+
+    rep = {
+        r.check_name: (r.violations, r.passed)
+        for r in constraint_report(
+            empty, unique="id", not_null=["text"], row_checks={"neg": F.col("id") < 0}
+        ).collect()
+    }
+    assert rep == {"unique_id": (0, True), "not_null_text": (0, True), "neg": (0, True)}
