@@ -301,3 +301,81 @@ def foreach_batch_keyed_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_versions(state_dir: str, *, keep: int = 2) -> list[str]:
+    """Delete all but the newest ``keep`` snapshot versions written by
+    :func:`foreach_batch_keyed_upsert` / :func:`foreach_batch_sketch_merge`
+    (never the one the ``_current`` pointer references) — the retention pass
+    that bounds versioned-snapshot storage.  Returns removed dirs."""
+    import os
+    import shutil
+
+    try:
+        with open(os.path.join(state_dir, "_current")) as f:
+            current = f.read().strip()
+    except OSError:
+        current = ""
+    versions = sorted(
+        (d for d in os.listdir(state_dir) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = [d for d in versions[:-keep] if os.path.join(state_dir, d) != current]
+    for d in doomed:
+        shutil.rmtree(os.path.join(state_dir, d))
+    return doomed
+
+
+def foreach_batch_sketch_merge(
+    stream: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    state_dir: str,
+    checkpoint_dir: str,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: f821
+    """Streaming twin of the sketch_distinct_rollup pattern: maintain one
+    mergeable HLL sketch per group, folding each micro-batch's partial
+    sketches into the state with ``hll_union_agg`` — distinct-count state is
+    kilobytes per group FOREVER, regardless of how many events streamed
+    through (a running ``countDistinct`` would need unbounded key state).
+    Same versioned-snapshot/pointer discipline as
+    :func:`foreach_batch_keyed_upsert`; replays are idempotent."""
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    pointer = os.path.join(state_dir, "_current")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vdir = os.path.join(state_dir, f"v{batch_id}")
+        spark = batch_df.sparkSession
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            with open(pointer, "w") as f:
+                f.write(vdir)
+            return
+        part = batch_df.groupBy(*group_cols).agg(
+            F.hll_sketch_agg(key_col).alias("sketch")
+        )
+        try:
+            with open(pointer) as f:
+                cur = f.read().strip() or None
+        except OSError:
+            cur = None
+        if cur is not None:
+            merged = (
+                spark.read.parquet(cur)
+                .unionByName(part)
+                .groupBy(*group_cols)
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(vdir)
+        with open(pointer, "w") as f:
+            f.write(vdir)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -373,3 +373,57 @@ def test_foreach_batch_keyed_upsert(spark, tmp_path):
 
     # re-drain with nothing new: state unchanged
     assert drain() == {1: "a2", 3: "c"}
+
+
+def test_foreach_batch_sketch_merge_and_vacuum(spark, tmp_path):
+    """Per-group HLL state folds each drained batch in (estimates track the
+    union of everything seen); vacuum retains the newest versions only."""
+    import os
+
+    import pandas as pd
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.core import (
+        foreach_batch_sketch_merge,
+        vacuum_versions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = foreach_batch_sketch_merge(
+            spark.readStream.schema("g STRING, uid LONG").json(str(src)),
+            "uid",
+            ["g"],
+            state,
+            ckpt,
+        )
+        q.awaitTermination()
+        with open(state + "/_current") as f:
+            cur = f.read().strip()
+        return {
+            r.g: r.est
+            for r in spark.read.parquet(cur)
+            .select("g", F.expr("cast(hll_sketch_estimate(sketch) as long)").alias("est"))
+            .collect()
+        }
+
+    pd.DataFrame([{"g": "a", "uid": u} for u in range(50)]).to_json(
+        src / "b0.json", orient="records", lines=True
+    )
+    assert drain() == {"a": 50}
+
+    # second batch: 25 repeat uids (no-op for distinct) + 50 new + new group
+    recs = [{"g": "a", "uid": u} for u in range(25, 125)]
+    recs += [{"g": "b", "uid": u} for u in range(10)]
+    pd.DataFrame(recs).to_json(src / "b1.json", orient="records", lines=True)
+    est = drain()
+    assert est["b"] == 10
+    assert abs(est["a"] - 125) <= 3  # union of 0..124, HLL tolerance
+
+    removed = vacuum_versions(state, keep=1)
+    assert removed == ["v0"]
+    assert not os.path.exists(os.path.join(state, "v0"))
+    assert drain() == est  # state intact after vacuum
