@@ -323,3 +323,43 @@ def test_binned_overlap_matches_python_model(spark, ivs, bin_width):
         ).collect()
     }
     assert got == expect
+
+
+snapshot_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # id (collisions dedup below)
+        st.text(alphabet="abc", max_size=3),  # content
+    ),
+    max_size=20,
+)
+
+
+@given(old_rows=snapshot_strategy, new_rows=snapshot_strategy)
+@SETTINGS
+def test_cdc_diff_apply_roundtrip_matches_model(spark, old_rows, new_rows):
+    """apply(old, diff(old, new)) == new for ANY pair of snapshots, and the
+    diff's change kinds match a Python dict model."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = {k: v for k, v in old_rows}
+    new = {k: v for k, v in new_rows}
+    schema = "id LONG, text STRING"
+    old_df = spark.createDataFrame(list(old.items()), schema)
+    new_df = spark.createDataFrame(list(new.items()), schema)
+
+    expect_kinds = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            expect_kinds[k] = "added"
+        elif k not in new:
+            expect_kinds[k] = "removed"
+        elif old[k] != new[k]:
+            expect_kinds[k] = "changed"
+    delta = snapshot_diff(old_df, new_df, "id", ["text"], include_payload=True)
+    assert {r.id: r.change_type for r in delta.collect()} == expect_kinds
+
+    applied = {r.id: r.text for r in apply_changes(old_df, delta, "id", ["text"]).collect()}
+    assert applied == new
