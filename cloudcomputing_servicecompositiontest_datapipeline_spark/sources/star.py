@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -41,10 +41,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as a
-    # long; truncate nanos→micros (matches DuckDB's read of the same file).
+    # events.ts is parquet TIMESTAMP(NANOS) in some fixture generations: with
+    # nanosAsLong it arrives as a long; truncate nanos→micros (matches
+    # DuckDB's read of the same file).
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=0) arrives as TIMESTAMP_NTZ, which
+    # Spark refuses in tz-aware functions (unix_micros, window, watermarks).
+    # The session tz is pinned to UTC, so the cast is a pure re-tag: wall
+    # clock values — and therefore oracle hashes — are unchanged.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(TimestampType()))
     return df
 
 
