@@ -96,17 +96,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """X2: MinHash signature per document — ``num_hashes`` independent hash
     functions simulated by salting xxhash64 (deterministic, JVM-side).
-    One explode + one groupBy; signature column is an array."""
-    sh = shingles(df, text_col, id_col, shingle_n)
+
+    Entirely ROW-LOCAL: the k-th signature slot is
+    ``array_min(transform(shingles, s -> xxhash64(k, s)))`` over the
+    document's own shingle array — no explode, no groupBy, ZERO shuffle.
+    (min over the multiset equals min over the distinct set, so the earlier
+    explode→groupBy(min) formulation computes byte-identical signatures at
+    the cost of shuffling ~|shingles|× the row count.)  At 100 TB this is a
+    pure map stage that pipelines into the LSH banding projection."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
+    )
     # k independent hash fns = multi-arg xxhash64 with a distinct int salt
     # (cheaper than string concat: no per-row-per-k allocation).
     mins = [
-        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+        F.array_min(F.transform(F.col("__sh"), lambda s: F.xxhash64(F.lit(k), s)))
         for k in range(num_hashes)
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
+    return (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), sh.alias("__sh"))
+        .select(F.col(id_col), F.array(*mins).alias("sig"))
     )
 
 
@@ -185,28 +198,36 @@ def minhash_near_dups(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """X2 variant: 64-bit SimHash per document, fully JVM-side — explode
-    tokens, take each token's xxhash64, vote per bit (+1/-1), sign → bit.
-    One explode + one groupBy; no Python in the loop."""
-    toks = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias(
-            "tok"
-        ),
-    ).withColumn("h", F.xxhash64("tok"))
+    """X2 variant: 64-bit SimHash per document, fully JVM-side and ROW-LOCAL:
+    hash each distinct token once (``transform``), then per bit vote +1/-1
+    over the document's own hash array (``aggregate``), sign → bit.  No
+    explode, no groupBy, ZERO shuffle — a pure map stage at any scale.
+    (The earlier explode→groupBy(64 sums) formulation computes identical
+    signatures but shuffles ~|tokens|× the row count.)"""
+    hashes = F.transform(
+        F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")),
+        lambda t: F.xxhash64(t),
+    )
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.aggregate(
+            F.col("__hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
         for b in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(votes[b] > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), hashes.alias("__hs"))
+        .select(F.col(id_col), sig.alias("simhash"))
+    )
 
 
 def passage_dedup(
