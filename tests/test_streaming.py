@@ -427,3 +427,59 @@ def test_foreach_batch_sketch_merge_and_vacuum(spark, tmp_path):
     assert removed == ["v0"]
     assert not os.path.exists(os.path.join(state, "v0"))
     assert drain() == est  # state intact after vacuum
+
+
+def test_stateful_container_lifetimes_tws_across_batches(spark, tmp_path):
+    """transformWithStateInPandas twin: same semantics as the
+    applyInPandasWithState form, state persists across drains (RocksDB
+    state store, as the API requires)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        container_lifetimes_tws,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip("no usable transformWithStateInPandas runtime (pyspark < 4.0 or no protobuf)")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path / "tws"
+        d.mkdir()
+        schema = "run_id BIGINT, uuid STRING, newcontainer INT, ts TIMESTAMP"
+        with open(d / "a.json", "w") as f:
+            f.write(json.dumps({"run_id": 0, "uuid": "c0", "newcontainer": 1, "ts": "2024-01-01 00:00:00"}) + "\n")
+            f.write(json.dumps({"run_id": 1, "uuid": "c0", "newcontainer": 0, "ts": "2024-01-01 00:01:00"}) + "\n")
+        ckpt = str(tmp_path / "ckpt_tws")
+
+        def drain():
+            stream = spark.readStream.schema(_parse_datatype_string(schema)).json(str(d))
+            out = container_lifetimes_tws(stream)
+            rows = {}
+
+            def sink(batch_df, _epoch):
+                for r in batch_df.collect():
+                    rows[r.uuid] = r
+
+            q = (
+                out.writeStream.foreachBatch(sink).outputMode("update")
+                .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            return rows
+
+        got = drain()
+        assert got["c0"].runs == 2 and got["c0"].cold_starts == 1 and got["c0"].recycled
+        with open(d / "b.json", "w") as f:
+            f.write(json.dumps({"run_id": 2, "uuid": "c0", "newcontainer": 0, "ts": "2024-01-01 00:05:00"}) + "\n")
+            f.write(json.dumps({"run_id": 3, "uuid": "c1", "newcontainer": 1, "ts": "2024-01-01 00:05:00"}) + "\n")
+        got2 = drain()
+        assert got2["c0"].runs == 3  # state carried across drains
+        assert got2["c1"].runs == 1 and not got2["c1"].recycled
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
