@@ -74,3 +74,49 @@ def constraint_report(
             (F.col("c.violations") == 0).alias("passed"),
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str], *, exact_distinct: bool = True) -> DataFrame:
+    """Column-profile report (the ANALYZE TABLE / Deequ-profile analogue a
+    curation pipeline runs before declaring constraints): one output row per
+    profiled column — ``(col_name, n_rows, n_null, n_distinct, min_value,
+    max_value)``, min/max rendered as strings so heterogeneous column types
+    share one report schema.
+
+    Scale design: every statistic for every column folds into ONE aggregate
+    over ONE scan.  ``exact_distinct=True`` uses ``count(distinct c)`` —
+    Spark plans the multi-distinct via a single Expand (still one scan, but
+    the expand multiplies rows by the column count); at 100 TB pass
+    ``exact_distinct=False`` to swap in ``approx_count_distinct`` (HLL,
+    no Expand) — the profile is advisory, ±2% is fine there.
+    """
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        distinct = (
+            F.countDistinct(c) if exact_distinct else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__null_{c}"),
+            distinct.cast("long").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(packed).alias("p")).select("p.*")

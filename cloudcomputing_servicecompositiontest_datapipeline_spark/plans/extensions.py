@@ -1081,3 +1081,51 @@ def cdc_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = revised.unionByName(arrived)
     delta = snapshot_diff(docs, new, "doc_id", ["text"], include_payload=True)
     return apply_changes(docs, delta, "doc_id", ["text"])
+
+
+@query(
+    "profile_documents",
+    oracle="""
+    WITH agg AS (
+      SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_doc_id,
+             cast(count(DISTINCT doc_id) AS bigint) AS nd_doc_id,
+             cast(min(doc_id) AS varchar) AS min_doc_id,
+             cast(max(doc_id) AS varchar) AS max_doc_id,
+             cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_lang,
+             cast(count(DISTINCT lang) AS bigint) AS nd_lang,
+             cast(min(lang) AS varchar) AS min_lang,
+             cast(max(lang) AS varchar) AS max_lang,
+             cast(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_source,
+             cast(count(DISTINCT source) AS bigint) AS nd_source,
+             cast(min(source) AS varchar) AS min_source,
+             cast(max(source) AS varchar) AS max_source,
+             cast(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_n_chars,
+             cast(count(DISTINCT n_chars) AS bigint) AS nd_n_chars,
+             cast(min(n_chars) AS varchar) AS min_n_chars,
+             cast(max(n_chars) AS varchar) AS max_n_chars
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'doc_id' AS col_name, n AS n_rows, null_doc_id AS n_null,
+             nd_doc_id AS n_distinct, min_doc_id AS min_value, max_doc_id AS max_value FROM agg
+      UNION ALL SELECT 'lang', n, null_lang, nd_lang, min_lang, max_lang FROM agg
+      UNION ALL SELECT 'source', n, null_source, nd_source, min_source, max_source FROM agg
+      UNION ALL SELECT 'n_chars', n, null_n_chars, nd_n_chars, min_n_chars, max_n_chars FROM agg
+    )
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report over the corpus (operators/quality_checks.py:
+    profile_columns): per-column rows / nulls / exact distinct / min / max,
+    every statistic folded into ONE aggregate over ONE scan.  The profile is
+    what a curation pipeline runs FIRST — its output (null fractions, value
+    domains, cardinalities) is where the quality_constraint_report
+    thresholds come from.  At 100 TB the exact multi-distinct (one Expand ×
+    column count) swaps to approx_count_distinct via exact_distinct=False;
+    the report is advisory there, so HLL's ±2% is acceptable."""
+    from ..operators.quality_checks import profile_columns
+
+    return profile_columns(
+        _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"]
+    )

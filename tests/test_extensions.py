@@ -501,3 +501,32 @@ def test_cdc_and_constraints_on_empty_inputs(spark):
         ).collect()
     }
     assert rep == {"unique_id": (0, True), "not_null_text": (0, True), "neg": (0, True)}
+
+
+def test_profile_columns_stats_and_single_scan(spark):
+    """profile_columns: exact per-column stats, native-typed min/max (no
+    lexicographic '99' > '100' confusion), one scan for all columns."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import (
+        profile_columns,
+    )
+
+    rows = [(1, "en", 150), (2, "en", 99), (3, None, 1000), (4, "de", None)]
+    df = spark.createDataFrame(rows, "id LONG, lang STRING, n LONG")
+    prof = {r.col_name: r for r in profile_columns(df, ["id", "lang", "n"]).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_null == 0 and prof["id"].n_distinct == 4
+    assert prof["lang"].n_null == 1 and prof["lang"].n_distinct == 2
+    # numeric min/max aggregate natively THEN stringify: max is 1000, not "99"
+    assert prof["n"].min_value == "99" and prof["n"].max_value == "1000"
+    plan = profile_columns(df, ["id", "lang", "n"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+    # approx path keeps schema, skips the Expand; counts stay exact enough
+    # to land on the true value at this cardinality
+    approx = {
+        r.col_name: r
+        for r in profile_columns(df, ["id"], exact_distinct=False).collect()
+    }
+    assert approx["id"].n_distinct == 4
+
+    empty = profile_columns(df.where(F.lit(False)), ["id"]).collect()
+    assert empty[0].n_rows == 0 and empty[0].n_null == 0
