@@ -189,6 +189,47 @@ def compact_parquet(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    *,
+    salt: str = "",
+    max_records_per_file: int | None = None,
+) -> int:
+    """Shard a curated corpus into ``n_shards`` REPRODUCIBLE parquet files —
+    the hand-off format a training dataloader wants: uniform sizes, a fixed
+    shard count, and byte-stable membership/order across re-runs so a
+    resumed or re-executed export feeds workers identically.
+
+    Determinism: shard membership is ``hash(salt‖id) mod n`` (NOT
+    ``repartitionByRange``, whose sampled boundaries change run to run) and
+    rows sort within each shard by the same salted hash — every run of the
+    same input produces the same (shard, row-order) assignment, and the
+    salt re-deals both membership and order for a fresh epoch shuffle.
+    Uniformity: md5 spreads any id skew flat, so shards differ by ~√(n/N).
+    ONE shuffle; ``max_records_per_file`` caps file size as a safety cut.
+    Returns the number of files written."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    out = (
+        df.withColumn("__shard_key", key)
+        .repartition(n_shards, F.col("__shard_key"))
+        .sortWithinPartitions("__shard_key")
+        .drop("__shard_key")
+    )
+    w = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+    return sum(
+        1
+        for root, _d, files in os.walk(path)
+        for fn in files
+        if fn.endswith(".parquet")
+    )
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     """Columnar sink #2: ORC (built into Spark).  Same pushdown/pruning
     behavior as parquet — gives mixed-format lakes a native path."""

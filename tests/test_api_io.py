@@ -342,3 +342,35 @@ def test_zorder_compaction_clusters_both_dims(spark, tmp_path):
     # z-order: BOTH dims clustered well below the full range
     assert mean_file_span(zdir, "x") < 128
     assert mean_file_span(zdir, "y") < 128
+
+
+def test_write_training_shards_deterministic_and_uniform(spark, tmp_path):
+    """Shard writer: fixed shard count, all rows survive, and two runs with
+    the same salt produce IDENTICAL per-shard membership and order; a new
+    salt re-deals the rows."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources.io import write_training_shards
+
+    df = spark.range(1000).withColumn("text", F.concat(F.lit("doc "), F.col("id")))
+
+    def shard_map(path):
+        got = (
+            spark.read.parquet(path)
+            .withColumn("f", F.regexp_extract(F.input_file_name(), r"(part-\d+)", 1))
+        )
+        out = {}
+        for r in got.collect():
+            out.setdefault(r.f.split("-")[1], []).append(r.id)
+        return {k: v for k, v in out.items()}
+
+    p1, p2, p3 = (str(tmp_path / d) for d in ("s1", "s2", "s3"))
+    n1 = write_training_shards(df, p1, 8, "id", salt="epoch0")
+    n2 = write_training_shards(df, p2, 8, "id", salt="epoch0")
+    assert n1 == n2 == 8
+    m1, m2 = shard_map(p1), shard_map(p2)
+    assert m1 == m2  # byte-stable membership AND order across re-runs
+    assert sum(len(v) for v in m1.values()) == 1000
+    # md5 spreads ids flat: no shard more than 2x the uniform share
+    assert max(len(v) for v in m1.values()) < 2 * (1000 / 8)
+    # fresh salt = fresh epoch deal
+    write_training_shards(df, p3, 8, "id", salt="epoch1")
+    assert shard_map(p3) != m1
