@@ -37,3 +37,92 @@ def merged_estimate(df: DataFrame, sketch_col: str = "sketch") -> DataFrame:
     return df.agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).cast("long").alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch — the FREQUENCY counterpart of the HLL distinct
+# sketch, hand-rolled on built-in expressions (Spark ships no CM function).
+# Same store-and-merge architecture: one (depth × width) counter array per
+# group/shard/day (kilobytes), merged by element-wise sum, point-queried
+# for heavy-hitter estimates.  Guarantees: estimate >= true count always
+# (counters only over-count on hash collisions); width w bounds the
+# overestimate by ~2N/w per row, and taking the min over depth independent
+# rows drives the failure probability down exponentially.
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """One Count-Min sketch per group: a flat ``depth*width`` LONG array
+    in column ``cm``.
+
+    Build shape: explode each item into its ``depth`` (row, bucket) cells,
+    ONE groupBy counts cell hits (partial agg compresses the explode
+    map-side), then cells collapse to the flat array via an O(size) map
+    lookup — the shuffles move (group, cell, count) triples, never items."""
+    cells = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(r * width)
+                        + F.pmod(F.xxhash64(F.lit(r), F.col(item_col)), F.lit(width))
+                    ).cast("int").alias("c")
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    )
+    counts = cells.groupBy(*group_cols, "cell").agg(F.count(F.lit(1)).alias("n"))
+    size = depth * width
+    cell_map = F.map_from_entries(F.collect_list(F.struct("cell", "n")))
+    return counts.groupBy(*group_cols).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(size - 1)),
+            lambda i: F.coalesce(
+                F.element_at(cell_map, i.cast("int")), F.lit(0).cast("long")
+            ),
+        ).alias("cm")
+    )
+
+
+def cm_merge(df: DataFrame, group_cols: list[str] | None = None, sketch_col: str = "cm") -> DataFrame:
+    """Element-wise-sum sketches (optionally per coarser group) — the rollup
+    step.  Only kilobyte arrays move; raw data is never re-touched."""
+    sketches = F.collect_list(sketch_col)
+    # aggregate() needs a typed zero: an all-zero array the length of the
+    # first collected sketch — built from that sketch itself, so the merge
+    # never hardcodes depth×width.
+    merged = F.aggregate(
+        sketches,
+        F.transform(F.element_at(sketches, 1), lambda _: F.lit(0).cast("long")),
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b),
+    )
+    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return gb.agg(merged.alias(sketch_col))
+
+
+def cm_query(df: DataFrame, item_col, *, depth: int = 4, width: int = 256, sketch_col: str = "cm") -> DataFrame:
+    """Point-query: estimated frequency of ``item_col``'s value in each
+    row's sketch = min over the depth rows of that item's counter."""
+    est = F.least(
+        *[
+            F.element_at(
+                F.col(sketch_col),
+                (
+                    F.lit(r * width)
+                    + F.pmod(F.xxhash64(F.lit(r), item_col), F.lit(width))
+                ).cast("int")
+                + 1,
+            )
+            for r in range(depth)
+        ]
+    )
+    return df.withColumn("cm_estimate", est)

@@ -591,3 +591,27 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("sketch_frequency_heavy_hitters")
+def sketch_frequency_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency rollup (functions/sketch.py:cm_sketch) — the
+    frequency twin of sketch_distinct_rollup: one CM counter array per day
+    over event_type, element-wise-sum-merged into a global sketch WITHOUT
+    re-touching raw rows, then point-queried for each event type's
+    estimated total.  The merge law (sum of shard sketches == sketch of
+    union, element-wise) and the never-undercount bound are pinned in
+    tests/test_report_ops.py::test_cm_sketch_frequency_bounds_and_merge_law;
+    xxhash64 buckets have no cross-engine twin → rows-only check.  Output:
+    (event_type, cm_estimate) — deterministic, estimate >= true count."""
+    from ..functions.sketch import cm_merge, cm_query, cm_sketch
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = cm_sketch(ev, "event_type", ["day"])
+    merged = cm_merge(daily)
+    types = ev.select("event_type").distinct()
+    return (
+        cm_query(types.crossJoin(merged), F.col("event_type"))
+        .select("event_type", "cm_estimate")
+        .orderBy("event_type")
+    )

@@ -291,3 +291,38 @@ def test_binned_overlap_matches_allpairs(spark):
             ).collect()
         }
         assert binned == exact, f"bin_width={w}"
+
+
+def test_cm_sketch_frequency_bounds_and_merge_law(spark):
+    """Count-Min sketch: estimates never undercount, hit exactly at
+    low collision rates, and merging per-shard sketches is element-wise
+    IDENTICAL to sketching the union (the law that makes them storable)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.sketch import (
+        cm_merge,
+        cm_query,
+        cm_sketch,
+    )
+
+    # 3 items with known counts, dealt across 2 shards
+    rows = [("a",)] * 100 + [("b",)] * 30 + [("c",)] * 7
+    df = spark.createDataFrame(rows, "item STRING").withColumn(
+        "shard", (F.monotonically_increasing_id() % 2).cast("int")
+    )
+    exact = {"a": 100, "b": 30, "c": 7}
+
+    whole = cm_sketch(df, "item", [])
+    per_shard = cm_sketch(df, "item", ["shard"])
+    merged = cm_merge(per_shard)
+    w = whole.collect()[0].cm
+    m = merged.collect()[0].cm
+    assert w == m  # merge law: sum of shard sketches == sketch of union
+    assert sum(w) == 4 * 137  # every occurrence lands in each of 4 rows
+
+    items = spark.createDataFrame([(k,) for k in exact], "item STRING")
+    est = {
+        r.item: r.cm_estimate
+        for r in cm_query(items.crossJoin(whole), F.col("item")).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n  # CM never undercounts
+        assert est[k] == n  # 3 items in 4x256 cells: collision-free
