@@ -47,6 +47,8 @@ EXTRA = [
     "sketch_distinct_rollup",
     "dedup_passages",
     "dedup_against_corpus",
+    "profile_documents",
+    "sketch_frequency_heavy_hitters",
 ]
 
 

@@ -124,11 +124,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, *, bands: int = 4, rows_per_band: int = 4
+    sig: DataFrame,
+    id_col: str,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """X2: band the signatures and bucket-join — docs sharing any band bucket
     become candidate pairs.  The shuffle key is (band, band_hash): this is
-    the O(n·bands) scale path that replaces the O(n²) all-pairs join."""
+    the O(n·bands) scale path that replaces the O(n²) all-pairs join.
+
+    ``max_bucket_size`` is the skew guard for real corpora: a degenerate
+    bucket (boilerplate pages, empty docs — thousands of members) turns the
+    within-bucket self-join quadratic.  Buckets above the cap are DROPPED
+    from candidate generation (the standard production-LSH move: their
+    members are wholesale near-identical and belong to exact dedup /
+    passage dedup, which handle them linearly).  The sizing count reuses
+    the same (band, bucket) partitioning the join shuffles on, so the
+    guard adds no extra exchange of the banded rows."""
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -151,6 +165,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -172,12 +195,16 @@ def minhash_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates → exact Jaccard verification on token
-    sets → pairs ≥ threshold.  Candidates only are verified (bucket-bounded)."""
+    sets → pairs ≥ threshold.  Candidates only are verified (bucket-bounded);
+    ``max_bucket_size`` passes through as the degenerate-bucket skew guard."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sig, id_col, bands=bands, rows_per_band=rows_per_band)
+    cands = lsh_candidate_pairs(
+        sig, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    )
     toks = token_sets(df, text_col, id_col)
     ta = toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tokens", "tokens_a")
     tb = toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tokens", "tokens_b")

@@ -530,3 +530,25 @@ def test_profile_columns_stats_and_single_scan(spark):
 
     empty = profile_columns(df.where(F.lit(False)), ["id"]).collect()
     assert empty[0].n_rows == 0 and empty[0].n_null == 0
+
+
+def test_lsh_max_bucket_size_drops_degenerate_buckets(spark):
+    """Skew guard: a mega-bucket of identical docs (the quadratic hazard)
+    is dropped from candidate generation once over the cap, while normal
+    near-dup pairs keep flowing."""
+    boiler = [(i, "the same boilerplate page text repeated here") for i in range(20)]
+    near = [
+        (100, "a unique document about spark partitioning and shuffles today"),
+        (101, "a unique document about spark partitioning and shuffles tomorrow"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id LONG, text STRING")
+
+    uncapped = dd.minhash_near_dups(df, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5)
+    capped = dd.minhash_near_dups(
+        df, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5, max_bucket_size=10
+    )
+    got_un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    got_cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got_un and (100, 101) in got_cap  # normal pair survives
+    assert any(a < 20 and b < 20 for a, b in got_un)  # uncapped sees the blob
+    assert not any(a < 20 and b < 20 for a, b in got_cap)  # capped drops it
