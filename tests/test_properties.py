@@ -363,3 +363,37 @@ def test_cdc_diff_apply_roundtrip_matches_model(spark, old_rows, new_rows):
 
     applied = {r.id: r.text for r in apply_changes(old_df, delta, "id", ["text"]).collect()}
     assert applied == new
+
+
+@given(
+    items=st.lists(st.text(alphabet="xyz", min_size=1, max_size=2), min_size=1, max_size=40),
+    n_shards=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_cm_sketch_never_undercounts_and_merge_is_shard_invariant(spark, items, n_shards):
+    """Count-Min: for ANY item multiset and ANY sharding, (a) the merged
+    sketch equals the whole-data sketch element-wise, (b) point estimates
+    never undercount the true frequency."""
+    from collections import Counter
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.sketch import (
+        cm_merge,
+        cm_query,
+        cm_sketch,
+    )
+
+    exact = Counter(items)
+    df = spark.createDataFrame(
+        [(it, i % n_shards) for i, it in enumerate(items)], "item STRING, shard INT"
+    )
+    whole = cm_sketch(df, "item", [], depth=2, width=16)
+    merged = cm_merge(cm_sketch(df, "item", ["shard"], depth=2, width=16))
+    assert whole.collect()[0].cm == merged.collect()[0].cm
+
+    probe = spark.createDataFrame([(k,) for k in exact], "item STRING")
+    est = {
+        r.item: r.cm_estimate
+        for r in cm_query(probe.crossJoin(whole), F.col("item"), depth=2, width=16).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n
