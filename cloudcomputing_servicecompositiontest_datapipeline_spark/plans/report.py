@@ -603,7 +603,11 @@ def sketch_frequency_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     union, element-wise) and the never-undercount bound are pinned in
     tests/test_report_ops.py::test_cm_sketch_frequency_bounds_and_merge_law;
     xxhash64 buckets have no cross-engine twin → rows-only check.  Output:
-    (event_type, cm_estimate) — deterministic, estimate >= true count."""
+    (event_type, cm_estimate) — deterministic, estimate >= true count.
+
+    Plan note: the probe crossJoin plans as a BroadcastNestedLoopJoin whose
+    broadcast side is the ONE merged-sketch row — a kilobyte fanned out to
+    every probe row, the intended shape (not an all-pairs hazard)."""
     from ..functions.sketch import cm_merge, cm_query, cm_sketch
 
     ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
