@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Plan-hygiene audit over every declared query.
+
+For each query in ``__spark_entry__.queries()`` prints the physical plan's
+exchange/broadcast counts and flags the scale anti-patterns:
+
+- ``BroadcastNestedLoopJoin`` / ``CartesianProduct`` — all-pairs hazards
+  (quadratic at scale) unless the broadcast side is provably tiny;
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan (the slow
+  path; Arrow-vectorized ``ArrowEvalPython``/``MapInPandas``/
+  ``FlatMapGroupsInPandas`` are the sanctioned Python surfaces).
+
+Known-intentional shapes are allowlisted with the reason printed, so a
+clean run is "every flag is either absent or explained".
+
+Usage: python tools/plan_audit.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+#: query -> (flag, why it is intentional)
+ALLOWLIST = {
+    # reference-literal no-filter overlap: bounded demo of WHY the keyed /
+    # binned forms exist; overlap_global_binned is the scale path
+    "overlap_global": ("BroadcastNestedLoopJoin", "bounded 500-row demo of the no-key form"),
+    # the broadcast side is the ONE merged-sketch row (kilobytes)
+    "sketch_frequency_heavy_hitters": ("BroadcastNestedLoopJoin", "single merged-sketch row fan-out"),
+    # brute-force ANN baseline: broadcast(queries) x linear corpus scan —
+    # the documented exact twin; LSH/IVF are the scale paths
+    "similarity_bruteforce_topk": ("BroadcastNestedLoopJoin", "broadcast query set, corpus scanned once"),
+    # exact all-pairs cosine on a bounded 200-vector subset (oracle twin of
+    # the LSH/IVF-bucketed scale path)
+    "dedup_embedding_cosine": ("BroadcastNestedLoopJoin", "bounded exact twin of bucketed semantic dedup"),
+    # TPC-H scalar-subquery shapes: the broadcast side is ONE scalar row
+    "q11_important_parts": ("BroadcastNestedLoopJoin", "scalar subquery (global sum threshold) row"),
+    "q22_balance_anti": ("BroadcastNestedLoopJoin", "scalar subquery (global avg acctbal) row"),
+    # broadcast side is the single corpus-doc-count row for the IDF term
+    "text_tfidf_top_terms": ("BroadcastNestedLoopJoin", "single corpus-count row for IDF"),
+}
+
+FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
+    import __spark_entry__ as em
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = em.queries()
+    bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # streaming-only plans etc.
+            print(f"SKIP  {name}: {str(e).splitlines()[0][:90]}")
+            continue
+        hits = [f for f in FLAGS if f in plan]
+        allowed = ALLOWLIST.get(name)
+        if allowed and allowed[0] in hits:
+            hits.remove(allowed[0])
+            note = f" [allowed: {allowed[0]} — {allowed[1]}]"
+        else:
+            note = ""
+        status = "FLAG" if hits else "ok"
+        if hits:
+            bad += 1
+        print(
+            f"{status:4s}  {name:36s} exch={plan.count('Exchange'):2d} "
+            f"bcast={plan.count('BroadcastExchange'):2d}"
+            f"{' ' + ';'.join(hits) if hits else ''}{note}"
+        )
+    print(f"{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
