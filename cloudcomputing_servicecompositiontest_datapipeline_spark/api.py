@@ -134,3 +134,24 @@ class Engine:
         from .operators import text as tx
 
         return tx.chunk_documents(docs, text_col, id_col, chunk_size=chunk_size, overlap=overlap)
+
+    def profile(self, df: DataFrame, cols: list[str], *, exact_distinct: bool = True) -> DataFrame:
+        """X21: single-scan column profile (rows/nulls/distinct/min/max) —
+        run FIRST; its output is where constraint thresholds come from."""
+        from .operators.quality_checks import profile_columns
+
+        return profile_columns(df, cols, exact_distinct=exact_distinct)
+
+    def constraint_gate(self, df: DataFrame, **checks) -> DataFrame:
+        """X18: Deequ-style ingest gate — one aggregate scan for all checks."""
+        from .operators.quality_checks import constraint_report
+
+        return constraint_report(df, **checks)
+
+    def export_shards(
+        self, df: DataFrame, path: str, n_shards: int, id_col: str, *, salt: str = ""
+    ) -> int:
+        """S18: reproducible training-shard export (salt = epoch re-deal)."""
+        from .sources.io import write_training_shards
+
+        return write_training_shards(df, path, n_shards, id_col, salt=salt)

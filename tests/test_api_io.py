@@ -374,3 +374,21 @@ def test_write_training_shards_deterministic_and_uniform(spark, tmp_path):
     # fresh salt = fresh epoch deal
     write_training_shards(df, p3, 8, "id", salt="epoch1")
     assert shard_map(p3) != m1
+
+
+def test_engine_profile_and_gate_facade(spark):
+    """Facade: profile → thresholds → constraint gate, the intended
+    curation-pipeline order."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.api import Engine
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None)], "id LONG, lang STRING"
+    )
+    prof = {r.col_name: r for r in eng.profile(df, ["id", "lang"]).collect()}
+    assert prof["lang"].n_null == 1
+    gate = {
+        r.check_name: r.passed
+        for r in eng.constraint_gate(df, unique="id", not_null=["lang"]).collect()
+    }
+    assert gate["unique_id"] and not gate["not_null_lang"]
