@@ -379,3 +379,59 @@ def foreach_batch_sketch_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_cm_merge(
+    stream: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: f821
+    """Frequency twin of :func:`foreach_batch_sketch_merge`: maintain one
+    Count-Min counter array per group, element-wise-summing each
+    micro-batch's partial sketch into the state — heavy-hitter-queryable
+    frequency state stays ``depth*width`` longs per group FOREVER, while an
+    exact running count-per-item would grow with item cardinality.  The CM
+    merge law (sum of partials == sketch of the union, exactly) makes
+    batch-boundary effects impossible.  Same versioned-snapshot/pointer
+    discipline; replays are idempotent."""
+    import os
+
+    from ..functions.sketch import cm_merge, cm_sketch
+
+    os.makedirs(state_dir, exist_ok=True)
+    pointer = os.path.join(state_dir, "_current")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vdir = os.path.join(state_dir, f"v{batch_id}")
+        spark = batch_df.sparkSession
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            with open(pointer, "w") as f:
+                f.write(vdir)
+            return
+        part = cm_sketch(batch_df, item_col, group_cols, depth=depth, width=width)
+        try:
+            with open(pointer) as f:
+                cur = f.read().strip() or None
+        except OSError:
+            cur = None
+        if cur is not None:
+            merged = cm_merge(
+                spark.read.parquet(cur).unionByName(part), group_cols or None
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(vdir)
+        with open(pointer, "w") as f:
+            f.write(vdir)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -483,3 +483,52 @@ def test_stateful_container_lifetimes_tws_across_batches(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_foreach_batch_cm_merge_tracks_frequencies(spark, tmp_path):
+    """Streaming CM state: batch partials element-wise-sum into the stored
+    sketch, so after two drains the point estimates equal the EXACT totals
+    across both batches (merge law — no batch-boundary drift)."""
+    import pandas as pd
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.sketch import cm_query
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.core import (
+        foreach_batch_cm_merge,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = foreach_batch_cm_merge(
+            spark.readStream.schema("g STRING, item STRING").json(str(src)),
+            "item",
+            ["g"],
+            state,
+            ckpt,
+        )
+        q.awaitTermination()
+        with open(state + "/_current") as f:
+            cur = f.read().strip()
+        sk = spark.read.parquet(cur)
+        probe = spark.createDataFrame([("x",), ("y",)], "item STRING")
+        return {
+            (r.g, r.item): r.cm_estimate
+            for r in cm_query(sk.crossJoin(probe), F.col("item")).collect()
+        }
+
+    pd.DataFrame([{"g": "a", "item": "x"}] * 30 + [{"g": "a", "item": "y"}] * 5).to_json(
+        src / "b0.json", orient="records", lines=True
+    )
+    est = drain()
+    assert est[("a", "x")] == 30 and est[("a", "y")] == 5
+
+    # second drain adds 20 more x to group a and a new group b
+    pd.DataFrame([{"g": "a", "item": "x"}] * 20 + [{"g": "b", "item": "y"}] * 7).to_json(
+        src / "b1.json", orient="records", lines=True
+    )
+    est = drain()
+    assert est[("a", "x")] == 50  # 30 + 20 across batch boundary
+    assert est[("b", "y")] == 7
