@@ -977,3 +977,40 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
     )
     return wide.unpivot("user_id", ["n_click", "n_view"], "metric", "n")
+
+
+@query(
+    "events_time_rollup",
+    oracle=f"""
+    SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+           count(*) AS n_events, {sql_dsum("value", "sum_value")},
+           CASE WHEN d IS NULL AND m IS NULL AND y IS NULL THEN 'total'
+                WHEN d IS NULL AND m IS NULL THEN 'year'
+                WHEN d IS NULL THEN 'month' ELSE 'day' END AS grain
+    FROM events
+    GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup (the continuous-aggregate
+    shape): ONE pass over events produces day, month, year, and grand-total
+    grains via ROLLUP — Spark expands grouping sets inside a single
+    aggregate, so the fact is scanned once no matter how many grains.  The
+    grain label derives from the NULL pattern (every grouping column is
+    non-null in the fixture, so NULL means rolled-up).  At 100 TB the
+    coarser grains cost one extra partial-agg row per (day-partition) —
+    this is the batch form whose stored-partial twin is
+    incremental_agg_merge."""
+    ev = _t(spark, sf_dir, "events")
+    y, m, d = F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+    out = (
+        ev.rollup(y.alias("y"), m.alias("m"), d.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+    grain = (
+        F.when(F.col("d").isNull() & F.col("m").isNull() & F.col("y").isNull(), "total")
+        .when(F.col("d").isNull() & F.col("m").isNull(), "year")
+        .when(F.col("d").isNull(), "month")
+        .otherwise("day")
+    )
+    return out.withColumn("grain", grain)
