@@ -49,6 +49,7 @@ EXTRA = [
     "dedup_against_corpus",
     "profile_documents",
     "sketch_frequency_heavy_hitters",
+    "events_time_rollup",
 ]
 
 
