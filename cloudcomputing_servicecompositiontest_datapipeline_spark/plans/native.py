@@ -1014,3 +1014,35 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("day")
     )
     return out.withColumn("grain", grain)
+
+
+@query(
+    "scalar_fuzzy_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           levenshtein(s_name, 'Supplier#000000001') AS lev_to_first,
+           levenshtein(upper(s_name), upper(s_name)) AS lev_self,
+           floor((1.0 - levenshtein(s_name, 'Supplier#000000001')
+                  / greatest(length(s_name), length('Supplier#000000001')))
+                 * 1000000 + 0.5) / 1000000 AS edit_similarity
+    FROM supplier
+    """,
+)
+def scalar_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 fuzzy-matching surface — the entity-resolution primitive a
+    data-integration pipeline dedups dirty keys with: edit distance and its
+    normalized similarity ratio (1 - lev/max_len), all row-local JVM
+    expressions.  At scale fuzzy joins NEVER run levenshtein all-pairs —
+    candidates come from blocking (n-gram Jaccard / MinHash, §2.12) and only
+    candidate pairs are scored, same verify-the-candidates shape as
+    minhash_near_dups."""
+    s = _t(spark, sf_dir, "supplier")
+    target = F.lit("Supplier#000000001")
+    lev = F.levenshtein(F.col("s_name"), target)
+    ratio = 1.0 - lev / F.greatest(F.length("s_name"), F.length(target))
+    return s.select(
+        "s_suppkey",
+        lev.alias("lev_to_first"),
+        F.levenshtein(F.upper("s_name"), F.upper("s_name")).alias("lev_self"),
+        (F.floor(ratio * 1000000 + 0.5) / 1000000).alias("edit_similarity"),
+    )
