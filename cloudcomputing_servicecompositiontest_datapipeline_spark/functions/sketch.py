@@ -126,3 +126,80 @@ def cm_query(df: DataFrame, item_col, *, depth: int = 4, width: int = 256, sketc
         ]
     )
     return df.withColumn("cm_estimate", est)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram — the QUANTILE member of the sketch trio
+# (HLL = distinct, CM = frequency, histogram = distribution).  Fixed bin
+# edges make the merge exact (element-wise sum), unlike sampled summaries;
+# quantile error is bounded by one bin width.  approx_percentile covers the
+# one-shot case; this covers store-and-merge.
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """One histogram per group over ``[lo, hi)``: a flat ``n_bins`` LONG
+    array in column ``hist`` (values outside the range clamp into the edge
+    bins, so totals are preserved).  Same two-shuffle build as cm_sketch:
+    (group, bin) counts, then an O(n_bins) collapse — rows never move."""
+    # divide by the bin width directly (not (v/span)*n_bins, whose two
+    # roundings can land edge values one bin low)
+    bin_width = (hi - lo) / n_bins
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col).cast("double") - lo) / bin_width).cast("int"),
+        ),
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bin_idx.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bin_map = F.map_from_entries(F.collect_list(F.struct("bin", "n")))
+    return counts.groupBy(*group_cols).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(
+                F.element_at(bin_map, i.cast("int")), F.lit(0).cast("long")
+            ),
+        ).alias("hist")
+    )
+
+
+def hist_merge(df: DataFrame, group_cols: list[str] | None = None, sketch_col: str = "hist") -> DataFrame:
+    """Element-wise-sum histograms — identical law to cm_merge (fixed bin
+    edges make merged == whole-data histogram, exactly)."""
+    return cm_merge(df, group_cols, sketch_col)
+
+
+def hist_quantile(
+    df: DataFrame, p: float, *, lo: float, hi: float, sketch_col: str = "hist"
+) -> DataFrame:
+    """Estimate the p-quantile from each row's histogram: first bin where
+    the cumulative count reaches p·total, reported as that bin's upper
+    edge — error bounded by one bin width.  Pure array expressions."""
+    h = F.col(sketch_col)
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    cum = F.transform(
+        F.sequence(F.lit(1), F.size(h)),
+        lambda i: F.aggregate(F.slice(h, 1, i.cast("int")), F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+    target = (total.cast("double") * p).cast("double")
+    # position of the first cumulative >= target (1-based); filter+size is
+    # the rank of bins strictly below the target
+    below = F.size(F.filter(cum, lambda c: c.cast("double") < target))
+    n_bins = F.size(h)
+    width = (hi - lo) / 1.0
+    edge = F.lit(lo) + (below + 1).cast("double") * (F.lit(width) / n_bins.cast("double"))
+    return df.withColumn("quantile_est", F.least(F.lit(float(hi)), edge))

@@ -619,3 +619,28 @@ def sketch_frequency_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
         .select("event_type", "cm_estimate")
         .orderBy("event_type")
     )
+
+
+@query("sketch_quantile_rollup")
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile member of the mergeable-sketch trio (functions/sketch.py:
+    hist_sketch): per-day equi-width histograms of event value, element-wise
+    -sum-merged per event type WITHOUT re-touching raw rows, then p50/p95
+    read off the merged counters (error <= one bin width — pinned in
+    tests/test_report_ops.py::test_hist_sketch_merge_law_and_quantile_bound;
+    fixed bin edges make the merge exact, so there is no batch-boundary
+    drift).  Deterministic but approximate → rows-only check.  Output:
+    (event_type, p50_est, p95_est)."""
+    from ..functions.sketch import hist_merge, hist_quantile, hist_sketch
+
+    lo, hi = 0.0, 1000.0
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = hist_sketch(ev, "value", ["event_type", "day"], lo=lo, hi=hi)
+    merged = hist_merge(daily, ["event_type"])
+    p50 = hist_quantile(merged, 0.5, lo=lo, hi=hi).withColumnRenamed(
+        "quantile_est", "p50_est"
+    )
+    both = hist_quantile(p50, 0.95, lo=lo, hi=hi).withColumnRenamed(
+        "quantile_est", "p95_est"
+    )
+    return both.select("event_type", "p50_est", "p95_est").orderBy("event_type")

@@ -326,3 +326,28 @@ def test_cm_sketch_frequency_bounds_and_merge_law(spark):
     for k, n in exact.items():
         assert est[k] >= n  # CM never undercounts
         assert est[k] == n  # 3 items in 4x256 cells: collision-free
+
+
+def test_hist_sketch_merge_law_and_quantile_bound(spark):
+    """Histogram sketch: shard-merge equals whole-data histogram exactly;
+    quantile estimates land within one bin width of the true quantile."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.sketch import (
+        hist_merge,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    vals = [float(v) for v in range(1000)]  # uniform 0..999
+    df = spark.createDataFrame(
+        [(v, int(v) % 3) for v in vals], "v DOUBLE, shard INT"
+    )
+    lo, hi, n_bins = 0.0, 1000.0, 50  # bin width 20
+    whole = hist_sketch(df, "v", [], lo=lo, hi=hi, n_bins=n_bins)
+    merged = hist_merge(hist_sketch(df, "v", ["shard"], lo=lo, hi=hi, n_bins=n_bins))
+    w = whole.collect()[0].hist
+    assert w == merged.collect()[0].hist  # exact merge law
+    assert sum(w) == 1000 and all(c == 20 for c in w)  # uniform fill
+
+    for p, true_q in ((0.5, 499.5), (0.9, 899.1), (0.99, 989.01)):
+        est = hist_quantile(whole, p, lo=lo, hi=hi).collect()[0].quantile_est
+        assert abs(est - true_q) <= (hi - lo) / n_bins + 1e-9  # one bin width
