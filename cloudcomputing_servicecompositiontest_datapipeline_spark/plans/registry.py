@@ -105,9 +105,10 @@ DRIVER_WINDOW: list[str] = [
 # r3 rotation queue (registered + locally green, no driver row yet):
 # late-r2 additions cdc_snapshot_diff / cdc_apply_delta /
 # quality_constraint_report / profile_documents / events_time_rollup /
-# incremental_agg_merge / overlap_global_binned / sketch_distinct_rollup /
-# sketch_frequency_heavy_hitters (rows-only), plus the never-windowed
-# scalar_* / io/udf / streaming-batch-twin / text_* analytics queries.  Keep any r2
+# scalar_fuzzy_funcs / incremental_agg_merge / overlap_global_binned /
+# sketch_distinct_rollup / sketch_frequency_heavy_hitters /
+# sketch_quantile_rollup (rows-only), plus the never-windowed scalar_* /
+# io/udf / streaming-batch-twin / text_* analytics queries.  Keep any r2
 # driver FAILs at the front of the r3 window for re-check.
 
 
