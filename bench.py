@@ -50,6 +50,7 @@ EXTRA = [
     "profile_documents",
     "sketch_frequency_heavy_hitters",
     "events_time_rollup",
+    "sketch_quantile_rollup",
 ]
 
 
