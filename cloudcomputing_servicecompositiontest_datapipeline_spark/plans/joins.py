@@ -312,3 +312,35 @@ def retention_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").cast("string").alias("week_start"))
         .agg(F.count(F.lit(1)).alias("n_retained"))
     )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(cast(ts AS date)) AS d FROM events GROUP BY user_id),
+    daily AS (
+      SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT cast(d AS varchar) AS day, new_users,
+           cast(sum(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-cumulative distinct users by day — the growth-curve staple.
+    NOT an expanding count(DISTINCT) window (quadratic in days, full
+    re-scan per day): each user reduces to a first-seen day (one partial
+    agg), days reduce to new-user counts, and the cumulative sum runs over
+    the tiny per-day series.  EXACT at any scale — the expensive distinct
+    collapses map-side; only |days| rows reach the running-sum window."""
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
