@@ -50,3 +50,33 @@ def salted_join(
     )
     joined = fact.join(dim, (fact[key] == dim[key]) & (fact["_salt"] == dim["_salt"]))
     return joined.drop(dim[key]).drop(fact["_salt"]).drop(dim["_salt"])
+
+
+def skew_key_report(df: DataFrame, key: str, *, top_k: int = 10) -> DataFrame:
+    """Key-skew diagnostic — what you run BEFORE choosing a mitigation
+    (salting, AQE skew-join, broadcast): the ``top_k`` hottest keys with
+    their row share and the hot-key/average-key ratio.  One partial-agg
+    shuffle on the key (the same cost profile as the join being diagnosed);
+    the ordered window runs over the per-key counts only.
+
+    Output: (key_value, n_rows, share, skew_ratio) — share = n/total,
+    skew_ratio = n/avg_rows_per_key; a ratio ≫ 1 on the top row is the
+    signal that a plain shuffle on this key will straggle."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w_all = Window.partitionBy()
+    enriched = per_key.select(
+        "key_value",
+        "n_rows",
+        (F.col("n_rows") / F.sum("n_rows").over(w_all)).alias("share"),
+        (F.col("n_rows") / F.avg("n_rows").over(w_all)).alias("skew_ratio"),
+    )
+    w_rank = Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    return (
+        enriched.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )

@@ -344,3 +344,40 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@query(
+    "skew_key_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT cast(event_type AS varchar) AS key_value, count(*) AS n_rows
+      FROM events GROUP BY event_type),
+    enriched AS (
+      SELECT key_value, n_rows,
+             n_rows / sum(n_rows) OVER () AS share,
+             n_rows / avg(n_rows) OVER () AS skew_ratio
+      FROM per_key)
+    SELECT key_value, n_rows,
+           floor(share * 1000000 + 0.5) / 1000000 AS share,
+           floor(skew_ratio * 1000000 + 0.5) / 1000000 AS skew_ratio
+    FROM enriched
+    ORDER BY n_rows DESC, key_value LIMIT 10
+    """,
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py:skew_key_report): hottest keys
+    with row share and hot/average ratio — run before picking salting /
+    AQE skew-join / broadcast.  The fact reduces to per-key counts in one
+    partial-agg shuffle; windows see |keys| rows only."""
+    from ..operators.skew import skew_key_report as _report
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    out = _report(ev, "event_type", top_k=10)
+    mult = 1000000.0
+    return out.select(
+        "key_value",
+        "n_rows",
+        (F.floor(F.col("share") * mult + 0.5) / mult).alias("share"),
+        (F.floor(F.col("skew_ratio") * mult + 0.5) / mult).alias("skew_ratio"),
+    )
