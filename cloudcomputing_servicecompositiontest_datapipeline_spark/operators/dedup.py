@@ -195,21 +195,37 @@ def minhash_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    shingle_n: int = 3,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """X2 end-to-end: LSH candidates → exact Jaccard verification on token
-    sets → pairs ≥ threshold.  Candidates only are verified (bucket-bounded);
-    ``max_bucket_size`` passes through as the degenerate-bucket skew guard."""
+    """X2 end-to-end: LSH candidates → exact Jaccard verification → pairs ≥
+    threshold.  Candidates only are verified (bucket-bounded);
+    ``max_bucket_size`` passes through as the degenerate-bucket skew guard.
+
+    Signature and verification share ONE item space — the ``shingle_n``-word
+    shingle set — so the MinHash collision probability estimates exactly the
+    Jaccard that the verification thresholds (mixing spaces, e.g. shingle
+    candidates with word-set verification, silently drops every pair whose
+    word-set similarity doesn't come with shingle-order similarity).
+    ``shingle_n=1`` IS the word-set space of :func:`ngram_jaccard_pairs`,
+    the exact oracle twin; ``shingle_n>=2`` adds word-order sensitivity."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n)
     cands = lsh_candidate_pairs(
         sig, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
     )
-    toks = token_sets(df, text_col, id_col)
-    ta = toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tokens", "tokens_a")
-    tb = toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tokens", "tokens_b")
-    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
-    union = F.size(F.array_union("tokens_a", "tokens_b"))
+    toks_arr = F.split(normalized_text(F.col(text_col)), " ")
+    items = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks_arr) - shingle_n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks_arr, i + 1, shingle_n), " "),
+        )
+    )
+    sets = df.select(F.col(id_col), items.alias("items"))
+    ta = sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("items", "items_a")
+    tb = sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("items", "items_b")
+    inter = F.size(F.array_intersect("items_a", "items_b"))
+    union = F.size(F.array_union("items_a", "items_b"))
     return (
         cands.join(ta, "id_a")
         .join(tb, "id_b")

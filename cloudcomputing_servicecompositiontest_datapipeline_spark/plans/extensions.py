@@ -1129,3 +1129,44 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"]
     )
+
+
+@query("dedup_lsh_eval")
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the LSH scale path: precision/recall of MinHash-LSH
+    candidate pairs against the exact n-gram-Jaccard truth set on the same
+    corpus slice — the measurement a dedup pipeline runs when tuning
+    (num_hashes, bands) before trusting LSH at full scale.  Both pair sets
+    are deterministic (salted xxhash64 / exact Jaccard), so the single
+    output row is stable; xxhash64 has no DuckDB twin → rows-only check,
+    with the recall floor additionally pinned in
+    tests/test_extensions.py::test_lsh_eval_reports_sane_metrics.
+
+    Scale shape: truth is the quadratic exact form, so the eval runs on a
+    BOUNDED slice (the standard practice — sample a slice you can afford
+    exact truth for, measure, then apply the tuned LSH everywhere)."""
+    import cloudcomputing_servicecompositiontest_datapipeline_spark.operators.dedup as dd
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    # truth is UNBLOCKED all-pairs (the slice is small enough to afford it)
+    # so pred and truth rank the identical pair universe
+    truth = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col=None, threshold=0.5
+    ).select("id_a", "id_b")
+    pred = dd.minhash_near_dups(
+        docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5, shingle_n=1
+    ).select("id_a", "id_b")
+    both = pred.withColumn("p", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    mult = 1000000.0
+    n_truth = F.coalesce(F.sum("t"), F.lit(0)).cast("long")
+    n_pred = F.coalesce(F.sum(F.col("p")), F.lit(0)).cast("long")
+    tp = F.coalesce(F.sum(F.col("p") * F.col("t")), F.lit(0)).cast("long")
+    return both.agg(
+        n_truth.alias("n_truth"),
+        n_pred.alias("n_pred"),
+        tp.alias("n_true_positive"),
+        (F.floor(tp.cast("double") / F.greatest(n_pred, F.lit(1)) * mult + 0.5) / mult).alias("precision"),
+        (F.floor(tp.cast("double") / F.greatest(n_truth, F.lit(1)) * mult + 0.5) / mult).alias("recall"),
+    )
