@@ -110,11 +110,12 @@ def _hyperplane_sign(vec: F.Column, plane: int, dim: int) -> F.Column:
     return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket(vec: F.Column, *, planes: int, dim: int) -> F.Column:
-    """Sign-pattern bucket id from ``planes`` hyperplanes (random projection)."""
+def lsh_bucket(vec: F.Column, *, planes: int, dim: int, plane_offset: int = 0) -> F.Column:
+    """Sign-pattern bucket id from ``planes`` hyperplanes (random projection).
+    ``plane_offset`` selects an independent hyperplane set per LSH table."""
     bucket = None
     for p in range(planes):
-        bit = F.shiftleft(_hyperplane_sign(vec, p, dim).cast("long"), p)
+        bit = F.shiftleft(_hyperplane_sign(vec, plane_offset + p, dim).cast("long"), p)
         bucket = bit if bucket is None else bucket.bitwiseOR(bit)
     return bucket
 
@@ -247,21 +248,45 @@ def lsh_topk(
     k: int = 3,
     planes: int = 4,
     dim: int = 64,
+    tables: int = 1,
 ) -> DataFrame:
     """X3 scale path: bucket both sides by hyperplane signs, score only
     same-bucket pairs.  At 100 TB the corpus is written bucketed/partitioned
-    by this key so a query touches one partition per probe."""
+    by this key so a query touches one partition per probe.
+
+    ``tables`` is the recall lever (classic multi-table LSH): L independent
+    hyperplane sets, candidates unioned across tables — a true neighbor is
+    missed only if it splits from the query in EVERY table
+    (miss ≈ (1-p^planes)^tables), at L× bucket-join cost.  tables=1
+    reproduces the single-table layout; the same pair surviving several
+    tables scores once (distinct before ranking)."""
     mult = 1000000.0
-    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col).withColumn(
-        "bucket", lsh_bucket(F.col("query_vec"), planes=planes, dim=dim)
-    )
-    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).withColumn(
-        "bucket", lsh_bucket(F.col("cand_vec"), planes=planes, dim=dim)
-    )
+
+    def with_buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        base = _with_norm(df, id_out, vec_out, id_col, vec_col)
+        tb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(
+                            F.col(vec_out), planes=planes, dim=dim, plane_offset=t * planes
+                        ).alias("bits"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("bk")
+        return base.select("*", tb).select(
+            base["*"], F.col("bk.tbl").alias("tbl"), F.col("bk.bits").alias("bits")
+        )
+
+    q = with_buckets(queries, "query_id", "query_vec")
+    c = with_buckets(corpus, "cand_id", "cand_vec")
     dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
     scored = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(c, ["tbl", "bits"])
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
@@ -271,6 +296,7 @@ def lsh_topk(
                 / mult
             ).alias("cosine"),
         )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (

