@@ -221,7 +221,7 @@ def minhash_near_dups(
             lambda i: F.array_join(F.slice(toks_arr, i + 1, shingle_n), " "),
         )
     )
-    sets = df.select(F.col(id_col), items.alias("items"))
+    sets = ensure_parallelism(df).select(F.col(id_col), items.alias("items"))
     ta = sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("items", "items_a")
     tb = sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("items", "items_b")
     inter = F.size(F.array_intersect("items_a", "items_b"))
