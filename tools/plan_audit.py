@@ -39,6 +39,10 @@ ALLOWLIST = {
     "q22_balance_anti": ("BroadcastNestedLoopJoin", "scalar subquery (global avg acctbal) row"),
     # broadcast side is the single corpus-doc-count row for the IDF term
     "text_tfidf_top_terms": ("BroadcastNestedLoopJoin", "single corpus-count row for IDF"),
+    # eval-on-a-slice queries: the TRUTH side is deliberately the exact
+    # quadratic form on a bounded slice (the thing being measured against)
+    "dedup_lsh_eval": ("BroadcastNestedLoopJoin", "bounded exact-truth slice for LSH P/R"),
+    "similarity_ann_eval": ("BroadcastNestedLoopJoin", "bounded brute-force truth for recall@k"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
