@@ -131,18 +131,28 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """X2: band the signatures and bucket-join — docs sharing any band bucket
-    become candidate pairs.  The shuffle key is (band, band_hash): this is
-    the O(n·bands) scale path that replaces the O(n²) all-pairs join.
+    """X2: band the signatures and bucket the docs — docs sharing any band
+    bucket become candidate pairs.  The shuffle key is (band, band_hash):
+    this is the O(n·bands) scale path that replaces the O(n²) all-pairs join.
+
+    Pair generation is ONE ``groupBy(band, bucket).collect_list(id)`` plus a
+    row-local sorted-list pair expansion — not a bucket self-join.  A
+    self-join here recomputes the whole upstream pipeline (scan → shingles →
+    signatures → banding) once per side and shuffles it twice; the grouped
+    form computes it once, shuffles the narrow (id, band, bucket) rows once,
+    and expands pairs inside the bucket row.  The member list per bucket is
+    small by construction (bucket = 1/2^64 hash cell), and degenerate
+    buckets are exactly what ``max_bucket_size`` bounds.
 
     ``max_bucket_size`` is the skew guard for real corpora: a degenerate
-    bucket (boilerplate pages, empty docs — thousands of members) turns the
-    within-bucket self-join quadratic.  Buckets above the cap are DROPPED
-    from candidate generation (the standard production-LSH move: their
-    members are wholesale near-identical and belong to exact dedup /
-    passage dedup, which handle them linearly).  The sizing count reuses
-    the same (band, bucket) partitioning the join shuffles on, so the
-    guard adds no extra exchange of the banded rows."""
+    bucket (boilerplate pages, empty docs — thousands of members) is
+    quadratic in members and, in the grouped form, concentrates its list in
+    one aggregation buffer.  Buckets above the cap are DROPPED from
+    candidate generation (the standard production-LSH move: their members
+    are wholesale near-identical and belong to exact dedup / passage dedup,
+    which handle them linearly) — set it for any unbounded corpus.  The
+    guard is now a free ``size(ids) <= cap`` filter on the grouped row, not
+    a separate count window."""
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -165,24 +175,29 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    n = F.size("ids")
+    # sorted ids ⇒ emitting (ids[i], ids[j]) for i<j gives id_a < id_b
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, n - i),
+                lambda x: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), x.alias("id_b")
+                ),
+            ),
         )
-    a, b = banded.alias("a"), banded.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -208,12 +223,17 @@ def minhash_near_dups(
     candidates with word-set verification, silently drops every pair whose
     word-set similarity doesn't come with shingle-order similarity).
     ``shingle_n=1`` IS the word-set space of :func:`ngram_jaccard_pairs`,
-    the exact oracle twin; ``shingle_n>=2`` adds word-order sensitivity."""
+    the exact oracle twin; ``shingle_n>=2`` adds word-order sensitivity.
+
+    The normalized-shingle projection ``(id, items)`` is computed ONCE and
+    ``persist()``-ed (MEMORY_AND_DISK), then feeds all three consumers —
+    signatures (min over the distinct set ≡ min over the multiset) and both
+    verification sides.  Recomputing it per consumer costs three full
+    scan+normalize+shingle passes over the corpus, the dominant term; the
+    persisted projection is a fraction of corpus size (ids + distinct
+    shingles, no raw text) — at 100 TB this is the intermediate you'd
+    materialize to parquet between the two stages."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n)
-    cands = lsh_candidate_pairs(
-        sig, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
-    )
     toks_arr = F.split(normalized_text(F.col(text_col)), " ")
     items = F.array_distinct(
         F.transform(
@@ -221,7 +241,20 @@ def minhash_near_dups(
             lambda i: F.array_join(F.slice(toks_arr, i + 1, shingle_n), " "),
         )
     )
-    sets = ensure_parallelism(df).select(F.col(id_col), items.alias("items"))
+    sets = (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), items.alias("items"))
+        .persist()
+    )
+    mins = [
+        F.array_min(F.transform(F.col("items"), lambda s: F.xxhash64(F.lit(k), s)))
+        for k in range(num_hashes)
+    ]
+    sig = sets.select(F.col(id_col), F.array(*mins).alias("sig"))
+    cands = lsh_candidate_pairs(
+        sig, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    )
     ta = sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("items", "items_a")
     tb = sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("items", "items_b")
     inter = F.size(F.array_intersect("items_a", "items_b"))

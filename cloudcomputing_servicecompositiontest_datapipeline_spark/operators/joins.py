@@ -28,6 +28,7 @@ def runtime_overlap(
     end_col: str,
     overlap_filter: str | None = None,
     scale: int = 1_000_000,
+    demo_max_rows: int | None = None,
 ) -> DataFrame:
     """J1: per-row overlap score.
 
@@ -36,7 +37,20 @@ def runtime_overlap(
     are floor-scaled to integers before summing so the aggregate is exact and
     order-insensitive (doubles would make the hash shuffle-dependent).
     Returns ``id_col, overlap_score`` (score = scaled sum / scale).
-    """
+
+    Without ``overlap_filter`` the plan is an all-pairs broadcast-nested-loop
+    — quadratic, demo-only — so that form now REQUIRES ``demo_max_rows``: a
+    hard ``limit()`` on the input so no caller can point it at big data.  The
+    unbounded no-key scale path is :func:`binned_runtime_overlap`."""
+    if overlap_filter is None:
+        if demo_max_rows is None:
+            raise ValueError(
+                "runtime_overlap without overlap_filter is all-pairs "
+                "(BroadcastNestedLoopJoin, quadratic): pass demo_max_rows to "
+                "hard-bound the input, or use binned_runtime_overlap for the "
+                "unbounded no-key scale path"
+            )
+        df = df.limit(demo_max_rows)
     a, b = df.alias("a"), df.alias("b")
     cond: Column = (
         (F.col(f"b.{start_col}") < F.col(f"a.{end_col}"))

@@ -229,12 +229,16 @@ def report(df: DataFrame, cfg: ReportConfig) -> dict[str, DataFrame]:
     ):
         from .joins import runtime_overlap
 
+        # a report sheet is a bounded run set (the reference loops over it
+        # in Python); without an overlapFilter key the all-pairs form needs
+        # the explicit demo bound — size it to the sheet cap, not the lake
         scores = runtime_overlap(
             df,
             id_col=cfg.run_id_col,
             start_col=cfg.start_col,
             end_col=cfg.end_col,
             overlap_filter=cfg.overlap_filter or None,
+            demo_max_rows=None if cfg.overlap_filter else 100_000,
         ).withColumnRenamed("overlap_score", "runtimeOverlap")
         df = df.join(scores, cfg.run_id_col, "left").withColumn(
             "runtimeOverlap", F.round(F.col("runtimeOverlap"), 2)

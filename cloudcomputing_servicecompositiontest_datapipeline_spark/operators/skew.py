@@ -61,22 +61,30 @@ def skew_key_report(df: DataFrame, key: str, *, top_k: int = 10) -> DataFrame:
 
     Output: (key_value, n_rows, share, skew_ratio) — share = n/total,
     skew_ratio = n/avg_rows_per_key; a ratio ≫ 1 on the top row is the
-    signal that a plain shuffle on this key will straggle."""
-    from pyspark.sql import Window
+    signal that a plain shuffle on this key will straggle.
 
-    per_key = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    NULL keys are folded to the '<null>' sentinel so the top-k tie-break is
+    engine-independent (Spark orders NULLs first ascending, most others
+    last).  Totals come from a one-row aggregate broadcast back over the
+    per-key counts — an empty-partition window here would funnel every
+    per-key row through a single task, which for the high-cardinality keys
+    this diagnostic targets is itself the straggler it's trying to find.
+    top-k is orderBy().limit() (distributed TakeOrdered), not a global
+    row_number window."""
+    per_key = df.groupBy(
+        F.coalesce(F.col(key).cast("string"), F.lit("<null>")).alias("key_value")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"), F.avg("n_rows").alias("_avg")
     )
-    w_all = Window.partitionBy()
-    enriched = per_key.select(
-        "key_value",
-        "n_rows",
-        (F.col("n_rows") / F.sum("n_rows").over(w_all)).alias("share"),
-        (F.col("n_rows") / F.avg("n_rows").over(w_all)).alias("skew_ratio"),
-    )
-    w_rank = Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
     return (
-        enriched.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= top_k)
-        .drop("rn")
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "key_value",
+            "n_rows",
+            (F.col("n_rows") / F.col("_total")).alias("share"),
+            (F.col("n_rows") / F.col("_avg")).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key_value")
+        .limit(top_k)
     )

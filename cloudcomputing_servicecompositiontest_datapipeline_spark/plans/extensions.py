@@ -44,7 +44,7 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang, list_distinct(string_split({_NORM}, ' ')) AS tokens
-      FROM documents
+      FROM documents WHERE doc_id < 500
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            floor(cast(len(list_intersect(a.tokens, b.tokens)) AS double)
@@ -58,9 +58,18 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact variant: word-set Jaccard near-dup pairs, language-blocked
-    self-join (blocking bounds the pair space like J1's overlapFilter)."""
+    self-join.  Quadratic within a block (at corpus scale one language
+    dominates and the block explodes), so the DECLARED query runs on a hard
+    500-doc slice — exact Jaccard's production roles are the verification
+    kernel inside ``minhash_near_dups`` (candidates only) and the bounded
+    oracle twin for ``dedup_cluster_canonical``; the unbounded near-dup
+    scale path is ``dedup_minhash_lsh`` → ``dedup_cluster_canonical_lsh``."""
     return dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", block_col="lang", threshold=0.5
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 500),
+        "text",
+        "doc_id",
+        block_col="lang",
+        threshold=0.5,
     )
 
 
@@ -1199,8 +1208,6 @@ def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     mult = 1000000.0
 
     def score(name: str, pred: DataFrame) -> DataFrame:
-        hit = F.coalesce(F.sum(F.when(F.col("t").isNotNull(), 1)), F.lit(0)).cast("long")
-        n_truth = F.count(F.lit(1)).cast("long")
         return (
             truth.withColumn("t", F.lit(1))
             .join(pred.select("query_id", "cand_id").withColumn("p", F.lit(1)),

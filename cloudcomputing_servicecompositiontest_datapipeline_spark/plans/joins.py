@@ -71,7 +71,7 @@ def overlap_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "overlap_global",
+    "overlap_global_demo",
     oracle=f"""
     WITH iv AS (
       SELECT event_id, {_ORACLE_START} AS start_us, {_ORACLE_END} AS end_us
@@ -88,14 +88,21 @@ def overlap_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.event_id
     """,
 )
-def overlap_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+def overlap_global_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 in the reference's literal form — NO overlapFilter, all-pairs
-    (report_generator.py:92-112 loops over every j≠i).  Kept to a bounded
-    subset because the plan is a broadcast-nested-loop: this is exactly why
-    the engine's scale path requires the equality key (see overlap_selfjoin)."""
+    (report_generator.py:92-112 loops over every j≠i).  DEMO, by name: the
+    plan is a broadcast-nested-loop, so the input is hard-bounded (filter to
+    event_id < 500 AND the operator's required demo_max_rows cap).  The real
+    no-key path over unbounded data is ``overlap_global_binned``; the keyed
+    production form is ``overlap_selfjoin``."""
     iv = _intervals(spark, sf_dir).filter(F.col("event_id") < 500)
     return runtime_overlap(
-        iv, id_col="event_id", start_col="start_us", end_col="end_us", overlap_filter=None
+        iv,
+        id_col="event_id",
+        start_col="start_us",
+        end_col="end_us",
+        overlap_filter=None,
+        demo_max_rows=500,
     )
 
 
@@ -350,8 +357,9 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     "skew_key_report",
     oracle="""
     WITH per_key AS (
-      SELECT cast(event_type AS varchar) AS key_value, count(*) AS n_rows
-      FROM events GROUP BY event_type),
+      SELECT coalesce(cast(event_type AS varchar), '<null>') AS key_value,
+             count(*) AS n_rows
+      FROM events GROUP BY 1),
     enriched AS (
       SELECT key_value, n_rows,
              n_rows / sum(n_rows) OVER () AS share,
@@ -368,7 +376,9 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic (operators/skew.py:skew_key_report): hottest keys
     with row share and hot/average ratio — run before picking salting /
     AQE skew-join / broadcast.  The fact reduces to per-key counts in one
-    partial-agg shuffle; windows see |keys| rows only."""
+    partial-agg shuffle; totals are a broadcast one-row aggregate and the
+    top-k is a distributed TakeOrdered — no single-task window even when
+    the diagnosed key is high-cardinality."""
     from ..operators.skew import skew_key_report as _report
 
     apply_runtime_conf(spark)

@@ -42,74 +42,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r1 driver failures, fixed this round — must re-check first
-    "report_show_as_list",
-    "report_full",
-    "report_cold_start_count",
-    "report_approx_stats",
-    # new this round
-    "inspector_nested_poll_agg",
-    "dedup_cluster_canonical_lsh",
-    # X1-X5 LLM-pipeline operators (zero driver rows in r1)
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_canonical",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_bruteforce_topk",
-    "dedup_embedding_cosine",
-    "docs_join_embeddings",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_decode",
-    "text_quality_cutoff",
-    "sample_stratified_systematic",
-    "text_chunk_documents",
-    "corpus_curation_pipeline",
-    "dedup_passages",
-    "dedup_against_corpus",
-    # TPC-H shapes beyond r1's q1/q3/q4/q5
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_case_agg",
-    "q13_order_distribution",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_balance_anti",
-    # remaining high-value unchecked
-    "subquery_cheapest_part",
-    "percentile_stats",
-    "pivot_event_types",
-    "unpivot_event_counts",
-    "events_session_window",
+    # r3 window: the 50 (of 53) registered queries with no driver row in the
+    # r1+r2 union.  r2 had 0 failures, so nothing needs a re-check slot.
+    # Scalar/conditional function families
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "scalar_map_struct_funcs",
+    "scalar_variant_ingest",
+    "scalar_fuzzy_funcs",
+    "conditional_funcs",
+    "json_struct_roundtrip",
+    "explode_posexplode",
+    # IO / UDF / pipeline-payload surfaces
+    "io_csv_roundtrip",
+    "io_json_runs_roundtrip",
+    "udf_user_function",
+    "udf_sql_registered",
+    "udaf_grouped_custom",
+    "rename_transitions",
+    "payload_merge_defaults",
+    "payload_cycling",
+    # CDC / quality / profile / sketch / skew
+    "cdc_snapshot_diff",
+    "cdc_apply_delta",
+    "quality_constraint_report",
+    "profile_documents",
+    "sketch_distinct_rollup",
+    "sketch_frequency_heavy_hitters",
+    "sketch_quantile_rollup",
+    "skew_key_report",
+    "incremental_agg_merge",
+    # Text-analytics tail + sampling/packing
+    "text_redact_pii",
+    "text_repetition_score",
+    "text_decontaminate",
+    "text_tfidf_top_terms",
+    "text_vocabulary_topk",
+    "text_length_histogram",
+    "text_quality_percentile",
+    "sample_global_shuffle",
+    "sample_domain_mix",
+    "sample_weighted_hash",
+    "pack_chunks_token_budget",
+    "embedding_centroid_by_label",
+    "multimodal_features",
+    # Scale-path overlap + regression + event analytics
+    "overlap_global_binned",
+    "report_linear_regression",
+    "events_time_rollup",
+    "events_cumulative_distinct_users",
+    "window_distribution_funcs",
+    # Quality self-evals for the rows-only dedup/ANN paths (verdict task #2)
+    "dedup_lsh_eval",
+    "similarity_ann_eval",
+    # Streaming batch-twins rotated back in (r2 rotated them out)
+    "events_tumbling_window",
+    "events_sliding_window",
 ]
-# Rotated out to keep the window at 50 (r3 rotates them back in):
-# events_tumbling_window / events_sliding_window — both stay locally gated
-# and events_tumbling_window stays perf-visible in bench.py.
-#
-# r3 rotation queue (registered + locally green, no driver row yet):
-# late-r2 additions cdc_snapshot_diff / cdc_apply_delta /
-# quality_constraint_report / profile_documents / events_time_rollup /
-# scalar_fuzzy_funcs / incremental_agg_merge / overlap_global_binned /
-# sketch_distinct_rollup / sketch_frequency_heavy_hitters /
-# sketch_quantile_rollup (rows-only), plus the never-windowed scalar_* /
-# io/udf / streaming-batch-twin / text_* analytics queries.  Keep any r2
-# driver FAILs at the front of the r3 window for re-check.
+# Deferred to r4 to stay within the 50-row cap (all three are rows-only by
+# design AND pytest-verified, so a driver row adds the least signal):
+# streaming_available_now / streaming_dedup_on_arrival /
+# streaming_stateful_lifetimes.  Also queued for r4: overlap_global_demo —
+# the r3 rename of the driver-green-r1 overlap_global (same bounded query,
+# demo status now explicit in the name), which therefore needs a row under
+# its new name.  After r3 the driver union covers 145/149 current names;
+# r4 leads with those four (plus any r3 FAILs) to finish the sweep.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

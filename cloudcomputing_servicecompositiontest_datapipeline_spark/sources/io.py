@@ -181,12 +181,7 @@ def compact_parquet(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(out_path)
-    return sum(
-        1
-        for root, _d, files in os.walk(out_path)
-        for fn in files
-        if fn.endswith(".parquet")
-    )
+    return _count_files(spark, out_path, ".parquet")
 
 
 def write_training_shards(
@@ -222,12 +217,22 @@ def write_training_shards(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
-    return sum(
-        1
-        for root, _d, files in os.walk(path)
-        for fn in files
-        if fn.endswith(".parquet")
-    )
+    return _count_files(df.sparkSession, path, ".parquet")
+
+
+def _count_files(spark: SparkSession, path: str, suffix: str) -> int:
+    """Count output files under ``path`` via the Hadoop FileSystem API so the
+    result is correct for ANY URI scheme Spark can write (s3a://, hdfs://,
+    file:///…) — an os.walk would silently return 0 for non-local URIs."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n
 
 
 def write_orc(df: DataFrame, path: str) -> None:
@@ -311,9 +316,4 @@ def compact_parquet_zorder(
         .drop("_z")
     )
     out.write.mode("overwrite").parquet(out_path)
-    return sum(
-        1
-        for root, _d, files in os.walk(out_path)
-        for fn in files
-        if fn.endswith(".parquet")
-    )
+    return _count_files(spark, out_path, ".parquet")

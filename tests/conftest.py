@@ -23,3 +23,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_check_dir() -> str:
+    return SF_CHECK

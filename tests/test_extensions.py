@@ -554,12 +554,13 @@ def test_lsh_max_bucket_size_drops_degenerate_buckets(spark):
     assert not any(a < 20 and b < 20 for a, b in got_cap)  # capped drops it
 
 
-def test_lsh_eval_reports_sane_metrics(spark):
+def test_lsh_eval_reports_sane_metrics(spark, sf_check_dir):
     """dedup_lsh_eval: consistent counts (tp <= both sides) and the
-    16-hash/8-band recall floor on the fixture slice."""
+    16-hash/8-band recall floor on the sf0.01 fixture slice (the floors
+    were measured there; the sf0.001 smoke slice is too small for them)."""
     from cloudcomputing_servicecompositiontest_datapipeline_spark.plans.extensions import dedup_lsh_eval
 
-    r = dedup_lsh_eval(spark, "/root/testdata/sf0.01").collect()[0]
+    r = dedup_lsh_eval(spark, sf_check_dir).collect()[0]
     assert r.n_true_positive <= min(r.n_pred, r.n_truth)
     assert r.precision == 1.0  # every emitted pair is exact-verified in-space
     assert r.recall >= 0.9  # J>=0.5 band-collides w.p. >=0.92 at 8x2

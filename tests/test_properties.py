@@ -89,7 +89,9 @@ def test_overlap_matches_python_reference_model(spark, iv):
     df = spark.createDataFrame(data, ["id", "start", "end"])
     got = {
         r.id: r.overlap_score
-        for r in runtime_overlap(df, id_col="id", start_col="start", end_col="end").collect()
+        for r in runtime_overlap(
+            df, id_col="id", start_col="start", end_col="end", demo_max_rows=100
+        ).collect()
     }
     for i, s1, e1 in data:
         total = 0
@@ -397,3 +399,42 @@ def test_cm_sketch_never_undercounts_and_merge_is_shard_invariant(spark, items, 
     }
     for k, n in exact.items():
         assert est[k] >= n
+
+
+@given(
+    n_boilerplate=st.integers(min_value=200, max_value=1000),
+    cap=st.sampled_from([8, 16, 32]),
+)
+@SETTINGS
+def test_lsh_bucket_cap_bounds_candidate_pairs_under_skew(spark, n_boilerplate, cap):
+    """Degenerate-bucket skew stress (1k-identical-docs shape): every
+    boilerplate copy lands in the SAME band buckets, so uncapped candidate
+    generation is quadratic — n·(n-1)/2 pairs from the blob alone.  With
+    ``max_bucket_size`` the over-cap buckets are dropped and the candidate
+    count stays bounded by bands·cap²/2 regardless of blob size (linear-in-n
+    work overall), while distinct near-dup pairs outside the blob survive.
+    The dropped members are exact duplicates — exact_dedup's job, asserted
+    here too, so nothing is lost end-to-end."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import dedup as dd
+
+    boiler = [(i, "cookie policy accept terms and conditions apply now") for i in range(n_boilerplate)]
+    distinct_pair = [
+        (100_000, "the quick brown fox jumps over the lazy dog today"),
+        (100_001, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(boiler + distinct_pair, ["doc_id", "text"])
+    sig = dd.minhash_signatures(df, "text", "doc_id", num_hashes=16)
+    bands, rows_per_band = 4, 4
+    capped = dd.lsh_candidate_pairs(
+        sig, "doc_id", bands=bands, rows_per_band=rows_per_band, max_bucket_size=cap
+    )
+    n_capped = capped.count()
+    # hard bound: <= bands * C(cap, 2); the blob's quadratic pair set never materializes
+    assert n_capped <= bands * cap * (cap - 1) // 2
+    # the genuinely-near (non-identical) pair still surfaces
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100_000, 100_001) in got
+    # the dropped blob members are exact duplicates -> exact dedup catches them linearly
+    exact = dd.exact_dedup(df, "text", "doc_id")
+    blob = exact.filter(F.col("n_copies") == n_boilerplate).collect()
+    assert len(blob) == 1 and blob[0].keep_id == 0

@@ -21,6 +21,15 @@ ROWS_ONLY_ALLOWED = {
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "multimodal_decode",
+    # r3 window additions: sketch estimates + binary features are
+    # implementation-defined; the two *_eval queries are quality self-evals
+    # whose metrics (P/R, recall@k) depend on xxhash64 banding.
+    "sketch_distinct_rollup",
+    "sketch_frequency_heavy_hitters",
+    "sketch_quantile_rollup",
+    "multimodal_features",
+    "dedup_lsh_eval",
+    "similarity_ann_eval",
 }
 
 

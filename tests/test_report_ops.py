@@ -281,7 +281,9 @@ def test_binned_overlap_matches_allpairs(spark):
     df = spark.createDataFrame(rows, ["id", "s", "e"])
     exact = {
         r.id: r.overlap_score
-        for r in runtime_overlap(df, id_col="id", start_col="s", end_col="e").collect()
+        for r in runtime_overlap(
+            df, id_col="id", start_col="s", end_col="e", demo_max_rows=100
+        ).collect()
     }
     for w in (40, 64, 1000):  # bin width smaller, comparable, larger than spans
         binned = {

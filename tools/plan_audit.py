@@ -25,7 +25,7 @@ import sys
 ALLOWLIST = {
     # reference-literal no-filter overlap: bounded demo of WHY the keyed /
     # binned forms exist; overlap_global_binned is the scale path
-    "overlap_global": ("BroadcastNestedLoopJoin", "bounded 500-row demo of the no-key form"),
+    "overlap_global_demo": ("BroadcastNestedLoopJoin", "bounded 500-row demo of the no-key form"),
     # the broadcast side is the ONE merged-sketch row (kilobytes)
     "sketch_frequency_heavy_hitters": ("BroadcastNestedLoopJoin", "single merged-sketch row fan-out"),
     # brute-force ANN baseline: broadcast(queries) x linear corpus scan —
