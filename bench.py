@@ -17,6 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: Secondary (smaller) SF for scaling curvature: near-linear per-query
+#: sf-ratio is the evidence that plans scale in data size, not in overhead.
+SF2_DIR = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
 
 #: Headline queries: one per subsystem (TLQ, report, joins, windows, native
 #: star-schema, dedup, similarity, streaming-window).
@@ -97,24 +100,55 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    # r2+ operators timed separately so "value" stays 1:1 comparable with
-    # r1's 15-query headline total (single pass — trend, not headline).
+    # r2+ operators: a STABLE secondary table (same 11 queries since r2,
+    # min-of-2) timed separately so "value" stays 1:1 comparable with r1's
+    # 15-query headline total.
     extra: dict[str, float] = {}
     for name in EXTRA:
         if name in qs:
-            t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            extra[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            extra[name] = round(best, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Second scale factor: the same headline queries at SF2 (10x less data),
+    # min-of-2.  sf_scaling_ratio = t(SF)/t(SF2) per query — for a 10x SF
+    # step, a ratio well under 10 means fixed overhead still dominates at
+    # SF2, and a ratio near 10+ flags a super-linear plan.
+    def _sf(d: str):
+        s = d.rstrip("/").rsplit("sf", 1)[-1]
+        return float(s) if s.replace(".", "").isdigit() else s
+
+    secondary: dict[str, float] = {}
+    if os.path.isdir(SF2_DIR) and SF2_DIR != SF_DIR:
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            secondary[name] = round(best, 3)
+
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "extra_queries": extra,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _sf(SF_DIR),
     }
+    if secondary:
+        out["secondary_sf"] = {
+            "sf": _sf(SF2_DIR),
+            "total": round(sum(secondary.values()), 3),
+            "queries": secondary,
+            "sf_scaling_ratio": {
+                n: round(timings[n] / secondary[n], 2) if secondary[n] > 0 else None
+                for n in secondary
+            },
+        }
     # Bench continuity: per-query delta vs the newest recorded BENCH_r{N}.json
     # (same query set since r1), so regressions are visible round over round.
     here = os.path.dirname(os.path.abspath(__file__))
@@ -125,11 +159,15 @@ def main() -> None:
                 prev = json.load(f)
             prev = prev.get("parsed", prev)  # driver files wrap under "parsed"
             pq = prev.get("queries", {})
+            pe = prev.get("extra_queries", {})
             out["vs_prev"] = {
                 "round": prior[-1],
                 "total_delta_sec": round(out["value"] - prev.get("value", 0.0), 3),
                 "queries_delta_sec": {
                     n: round(t - pq[n], 3) for n, t in timings.items() if n in pq
+                },
+                "extra_delta_sec": {
+                    n: round(t - pe[n], 3) for n, t in extra.items() if n in pe
                 },
             }
         except (OSError, ValueError):
