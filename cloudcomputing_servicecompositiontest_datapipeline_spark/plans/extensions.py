@@ -644,6 +644,36 @@ def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_bloom_ingest",
+    oracle=f"""
+    WITH corp AS (SELECT sha256({_NORM}) AS content_hash FROM documents WHERE doc_id % 2 = 0),
+    inc AS (SELECT doc_id, sha256({_NORM}) AS content_hash FROM documents WHERE doc_id % 2 = 1)
+    SELECT i.doc_id, i.content_hash FROM inc i
+    WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.content_hash = i.content_hash)
+    """,
+)
+def dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 Bloom-prefiltered ingest gate: the exact-hash stage of
+    cross-corpus dedup with the corpus key set compressed into a Bloom
+    filter, so definitely-new docs (the bulk of a crawl batch) pass a
+    map-only bit test and never touch the anti-join shuffle.  The filter is
+    built as a distributed ``bit_or`` aggregate (reduce side ≤ num_bits/64
+    rows regardless of corpus size) and the result is EXACTLY the plain
+    anti-join — Bloom filters have no false negatives — so the oracle is a
+    plain ``NOT EXISTS``.  See operators/bloom.py for the 100 TB sizing
+    story (probe="pandas" broadcasts GB-scale filters once per executor)."""
+    from ..operators import bloom as bl
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id", F.sha2(dd.normalized_text(F.col("text")), 256).alias("content_hash")
+    )
+    incoming = keyed.filter(F.col("doc_id") % 2 == 1)
+    corpus = keyed.filter(F.col("doc_id") % 2 == 0).select("content_hash")
+    return bl.prefiltered_anti_join(incoming, corpus, "content_hash")
+
+
+@query(
     "sample_global_shuffle",
     oracle="""
     SELECT doc_id,

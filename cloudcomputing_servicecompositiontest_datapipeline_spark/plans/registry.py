@@ -108,8 +108,9 @@ DRIVER_WINDOW: list[str] = [
 # streaming_stateful_lifetimes.  Also queued for r4: overlap_global_demo —
 # the r3 rename of the driver-green-r1 overlap_global (same bounded query,
 # demo status now explicit in the name), which therefore needs a row under
-# its new name.  After r3 the driver union covers 145/149 current names;
-# r4 leads with those four (plus any r3 FAILs) to finish the sweep.
+# its new name — and the queries ADDED in r3: dedup_bloom_ingest (X24),
+# dedup_semantic_clusters, split_leakage_safe.  r4 leads with those (plus
+# any r3 FAILs) to finish the sweep.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
