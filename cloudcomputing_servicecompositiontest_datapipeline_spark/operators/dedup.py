@@ -489,3 +489,47 @@ def cluster_canonical(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("canonical_id")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split0",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """X26 leakage-safe train/val/test split: hash the near-dup CLUSTER, not
+    the document.  Splitting by ``hash(doc_id)`` leaks — two near-duplicate
+    documents land in different splits and the eval set is contaminated by
+    training twins.  Here every document is assigned by a deterministic
+    md5-uniform draw on its cluster CANONICAL id (components from
+    :func:`cluster_canonical` over near-dup ``pairs``), so a whole near-dup
+    group moves as one unit; singletons degenerate to hashing their own id.
+
+    At 100 TB ``pairs`` comes from the LSH candidate path
+    (:func:`minhash_near_dups`) — the same pair feed as
+    ``dedup_cluster_canonical_lsh``; the draw itself is a pure row-local
+    function of (salt, canonical), no RNG state, reproducible across
+    engines and re-runs, re-dealable by changing ``salt``.
+
+    Returns (id, canonical_id, split) with split ∈ {train, val, test}."""
+    canon = cluster_canonical(df.select(id_col), pairs, id_col, max_iterations=max_iterations)
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("canonical_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / float(1 << 24)
+    )
+    split = (
+        F.when(draw < train, "train").when(draw < train + val, "val").otherwise("test")
+    )
+    return canon.select(F.col(id_col), "canonical_id", split.alias("split"))

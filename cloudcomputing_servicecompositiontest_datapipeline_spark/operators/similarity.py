@@ -332,3 +332,86 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str =
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    block_col: str | None = None,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """X25 semantic dedup (SemDeDup-style): prune documents whose EMBEDDINGS
+    are near-identical, catching paraphrases and re-renders that no lexical
+    hash sees.  Pipeline: block → within-block cosine pairs ≥ ``threshold``
+    → connected components → keep the component-minimum id.
+
+    Blocking is what makes this scale: cosine pairs are only scored WITHIN a
+    block, never across.  ``block_col`` uses a data attribute (engine-
+    independent, hence oracle-checkable); the default blocks on a k-means
+    coarse quantizer — the same bounded-sample driver training and
+    baked-literal shuffle-free assignment as :func:`ivf_topk`, which is the
+    100 TB path because block size is CONTROLLED: n_centroids grows with the
+    corpus (FAISS's ~sqrt(n) rule), keeping the per-block quadratic bounded,
+    where an attribute block grows linearly with the corpus.  (SemDeDup,
+    Abbas et al. 2023, prunes ~50% of web-scale corpora this way with
+    k-means over a frozen encoder's embeddings.)
+
+    Output: (id, canonical_id, is_kept) for every input row — near-identical
+    groups collapse to their minimum id, singletons keep themselves."""
+    from .dedup import cluster_canonical
+
+    if block_col is not None:
+        blocked = _with_norm(emb, "_id", "_vec", id_col, vec_col).join(
+            emb.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_block")),
+            "_id",
+        )
+    else:
+        c = _with_norm(emb, "_id", "_vec", id_col, vec_col)
+        target = 200 * n_centroids
+        sample = [
+            [float(x) for x in r._vec]
+            for r in c.select("_id", "_vec")
+            .orderBy(F.xxhash64(F.lit(seed), F.col("_id").cast("string")), "_id")
+            .limit(target)
+            .collect()
+        ]
+        centers = _train_centroids(sample, n_centroids)
+        blocked = c.withColumn("_block", _argmin_centroids(F.col("_vec"), centers, 1)[0])
+
+    a = blocked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("vec_a"),
+        F.col("_vec_norm").alias("na"),
+        "_block",
+    )
+    b = blocked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("vec_b"),
+        F.col("_vec_norm").alias("nb"),
+        "_block",
+    )
+    mult = 1000000.0
+    dot = _dot_dec(F.col("vec_a"), F.col("vec_b")).cast("double")
+    pairs = (
+        a.join(b, ["_block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(dot / (F.col("na") * F.col("nb")) * mult + 0.5) / mult).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    canon = cluster_canonical(
+        emb.select(id_col), pairs, id_col, max_iterations=max_iterations
+    )
+    return canon.select(
+        F.col(id_col),
+        "canonical_id",
+        (F.col("canonical_id") == F.col(id_col)).alias("is_kept"),
+    )

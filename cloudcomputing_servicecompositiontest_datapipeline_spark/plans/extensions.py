@@ -223,6 +223,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE sub AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 400
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id AND a.label = b.label
+      WHERE floor(
+          cast(list_sum(list_transform(a.embedding, (x, i) -> cast(cast(x AS double) * cast(b.embedding[i] AS double) AS decimal(28,12)))) AS double)
+          / (sqrt(cast(list_sum(list_transform(a.embedding, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double))
+             * sqrt(cast(list_sum(list_transform(b.embedding, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)))
+          * 1000000 + 0.5) / 1000000 >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM sub
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node AS vec_id, min(r) AS canonical_id, (min(r) = node) AS is_kept
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 semantic dedup, ORACLE TWIN: attribute-blocked (label) cosine
+    pairs ≥ 0.35 → connected components → keep the component-minimum vec_id,
+    on a bounded 400-vector slice (attribute blocks grow linearly with the
+    corpus, so the slice bound is deliberate — the scale path is
+    ``dedup_semantic_centroids``, whose k-means blocking keeps block size
+    controlled by n_centroids).  DuckDB computes the same CC fixpoint with a
+    recursive CTE."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return sim.semantic_dedup(emb, threshold=0.35, block_col="label")
+
+
+@query("dedup_semantic_centroids")
+def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 semantic dedup, SCALE PATH (SemDeDup shape): block on a k-means
+    coarse quantizer — bounded-sample driver training, baked-literal
+    shuffle-free assignment (same machinery as IVF ANN) — then within-block
+    cosine pairs → connected components → canonical per cluster.  Block size
+    is CONTROLLED (n_centroids grows ~sqrt(n) with the corpus), which is what
+    keeps the within-block quadratic bounded at 100 TB.  Rows-only (k-means
+    is engine-specific); agreement with the attribute-blocked oracle twin is
+    pinned in tests."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, threshold=0.35, n_centroids=16)
+
+
+@query(
     "docs_join_embeddings",
     oracle="""
     SELECT d.lang, count(*) AS n_docs,
@@ -671,6 +727,55 @@ def dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = keyed.filter(F.col("doc_id") % 2 == 1)
     corpus = keyed.filter(F.col("doc_id") % 2 == 0).select("content_hash")
     return bl.prefiltered_anti_join(incoming, corpus, "content_hash")
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE sub AS (
+      SELECT doc_id, lang, {_NORM} AS ntext FROM documents WHERE doc_id < 300
+    ),
+    toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(ntext, ' ')) AS tokens FROM sub
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.lang = b.lang
+      WHERE floor(cast(len(list_intersect(a.tokens, b.tokens)) AS double)
+                  / len(list_distinct(list_concat(a.tokens, b.tokens))) * 1000000 + 0.5) / 1000000 >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM sub
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    canon AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node)
+    SELECT doc_id, canonical_id,
+           CASE WHEN draw < 0.8 THEN 'train' WHEN draw < 0.9 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, canonical_id,
+             cast(('0x' || substr(md5(concat('split0:', cast(canonical_id AS varchar))), 1, 6)) AS bigint)
+               / 16777216.0 AS draw
+      FROM canon
+    )
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26 leakage-safe split: near-dup clusters (within-lang word-set
+    Jaccard ≥ 0.5 → connected components, bounded 300-doc slice for the
+    exact-pairs oracle) assigned to train/val/test by an md5-uniform draw on
+    the cluster CANONICAL id, so near-duplicate groups never straddle a
+    split boundary.  At scale the pair feed is the LSH candidate path (see
+    operators/dedup.py:leakage_safe_split)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.5
+    ).select("id_a", "id_b")
+    return dd.leakage_safe_split(docs, pairs, "doc_id")
 
 
 @query(

@@ -109,8 +109,9 @@ DRIVER_WINDOW: list[str] = [
 # the r3 rename of the driver-green-r1 overlap_global (same bounded query,
 # demo status now explicit in the name), which therefore needs a row under
 # its new name — and the queries ADDED in r3: dedup_bloom_ingest (X24),
-# dedup_semantic_clusters, split_leakage_safe.  r4 leads with those (plus
-# any r3 FAILs) to finish the sweep.
+# dedup_semantic_clusters + dedup_semantic_centroids (X25), and
+# split_leakage_safe (X26).  r4 leads with those (plus any r3 FAILs) to
+# finish the sweep.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -586,3 +586,103 @@ def test_multi_table_lsh_improves_recall(spark, sf_dir):
     r1, r4 = recall(1), recall(4)
     assert r4 > r1
     assert r4 >= 0.7  # 4 tables of 2 planes on the fixture corpus
+
+
+@pytest.fixture(scope="module")
+def tight_clusters(spark):
+    """Three tight embedding clusters + one far outlier, labels aligned with
+    the clusters (so attribute- and k-means-blocking agree on the fixture)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    centers = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    vid = 0
+    for lab, c in centers.items():
+        for _ in range(4):
+            rows.append((vid, [x + rng.uniform(-0.01, 0.01) for x in c], lab))
+            vid += 1
+    rows.append((vid, [-5.0, -5.0, 7.0], 0))  # outlier: same label, far away
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_semantic_dedup_collapses_tight_clusters(tight_clusters):
+    out = {r.vec_id: r for r in sim.semantic_dedup(
+        tight_clusters, block_col="label", threshold=0.99
+    ).collect()}
+    assert len(out) == 13  # every input id present exactly once
+    # each tight cluster collapses to its min id
+    for vid in range(12):
+        assert out[vid].canonical_id == (vid // 4) * 4
+        assert out[vid].is_kept == (vid % 4 == 0)
+    # the outlier shares label 0 but is not cosine-close: kept as itself
+    assert out[12].canonical_id == 12 and out[12].is_kept
+
+
+def test_semantic_dedup_kmeans_agrees_with_attribute_blocking(tight_clusters):
+    by_label = {
+        (r.vec_id, r.canonical_id)
+        for r in sim.semantic_dedup(
+            tight_clusters, block_col="label", threshold=0.99
+        ).collect()
+    }
+    by_kmeans = {
+        (r.vec_id, r.canonical_id)
+        for r in sim.semantic_dedup(
+            tight_clusters, n_centroids=4, threshold=0.99
+        ).collect()
+    }
+    assert by_kmeans == by_label  # same components when clusters are separable
+
+
+def test_semantic_dedup_canonical_invariants(spark, sf_dir):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    rows = sim.semantic_dedup(emb, n_centroids=8, threshold=0.35).collect()
+    ids = {r.vec_id for r in rows}
+    assert len(rows) == len(ids) == 200
+    for r in rows:
+        assert r.canonical_id <= r.vec_id  # canonical is the component minimum
+        assert r.canonical_id in ids
+        assert r.is_kept == (r.canonical_id == r.vec_id)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    docs = star.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.5
+    ).select("id_a", "id_b")
+    out = dd.leakage_safe_split(docs, pairs, "doc_id")
+    # every cluster maps to exactly ONE split — the leakage guarantee
+    straddlers = (
+        out.groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    rows = out.collect()
+    assert len(rows) == 300
+    frac = {s: sum(1 for r in rows if r.split == s) / 300 for s in ("train", "val", "test")}
+    assert frac["train"] > 0.5  # roughly 80/10/10 modulo cluster granularity
+    assert frac["train"] < 1.0  # and not everything lands in one split
+    assert abs(sum(frac.values()) - 1.0) < 1e-9
+
+
+def test_leakage_safe_split_deterministic_and_redealable(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} {'x' * (i % 5)}", "en") for i in range(60)],
+        ["doc_id", "text", "lang"],
+    )
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    a = {r.doc_id: r.split for r in dd.leakage_safe_split(docs, empty_pairs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in dd.leakage_safe_split(docs, empty_pairs, "doc_id").collect()}
+    assert a == b  # pure function of (salt, canonical)
+    c = {
+        r.doc_id: r.split
+        for r in dd.leakage_safe_split(docs, empty_pairs, "doc_id", salt="split1").collect()
+    }
+    assert a != c  # epoch/salt re-deal actually re-deals
