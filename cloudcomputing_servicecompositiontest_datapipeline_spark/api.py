@@ -155,3 +155,30 @@ class Engine:
         from .sources.io import write_training_shards
 
         return write_training_shards(df, path, n_shards, id_col, salt=salt)
+
+    def dedup_semantic(
+        self, emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding", **kw
+    ) -> DataFrame:
+        """X25: SemDeDup-style embedding near-dup pruning (k-means blocked by
+        default; pass block_col= for attribute blocking)."""
+        from .operators import similarity as sim
+
+        return sim.semantic_dedup(emb, id_col=id_col, vec_col=vec_col, **kw)
+
+    def ingest_gate(
+        self, incoming: DataFrame, corpus_keys: DataFrame, key: str, **kw
+    ) -> DataFrame:
+        """X24: exact anti-join vs the corpus key set with a Bloom fast path
+        (definite-new rows never shuffle)."""
+        from .operators import bloom as bl
+
+        return bl.prefiltered_anti_join(incoming, corpus_keys, key, **kw)
+
+    def split(
+        self, df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", **kw
+    ) -> DataFrame:
+        """X26: leakage-safe train/val/test split — near-dup clusters (from
+        ``pairs``) are assigned to a split as one unit."""
+        from .operators import dedup as dd
+
+        return dd.leakage_safe_split(df, pairs, id_col, **kw)

@@ -301,6 +301,18 @@ def test_engine_corpus_facade(spark):
     )
     top = eng.search_topk(emb, emb.filter(F.col("vec_id") == 0), k=1)
     assert [r.cand_id for r in top.collect()] == [1]
+    sem = {r.vec_id: r.canonical_id for r in eng.dedup_semantic(
+        emb, block_col=None, n_centroids=2, threshold=0.95
+    ).collect()}
+    assert sem[1] == 0 and sem[2] == 2  # near-parallel vectors collapse
+    keyed = docs.select("doc_id", F.md5("text").alias("k"))
+    gate = eng.ingest_gate(
+        keyed.filter("doc_id >= 1"), keyed.filter("doc_id = 0").select("k"), "k"
+    )
+    assert {r.doc_id for r in gate.collect()} == {2}  # doc 1 is a dup of corpus
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    sp = {r.doc_id: r.split for r in eng.split(docs, pairs).collect()}
+    assert sp[0] == sp[1]  # the near-dup pair shares one split
 
 
 def test_zorder_compaction_clusters_both_dims(spark, tmp_path):
