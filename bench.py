@@ -41,6 +41,14 @@ HEADLINE = [
     "events_session_window",
 ]
 
+#: Added in r3 (X24-X26) — a third table so the r2 EXTRA set stays a stable
+#: comparison base; these graduate to vs_prev deltas from r4 on.
+NEW_R3 = [
+    "dedup_bloom_ingest",
+    "dedup_semantic_centroids",
+    "split_leakage_safe",
+]
+
 #: Added after r1 — timed outside the headline total for bench continuity.
 EXTRA = [
     "overlap_global_binned",
@@ -113,6 +121,16 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             extra[name] = round(best, 3)
 
+    new_r3: dict[str, float] = {}
+    for name in NEW_R3:
+        if name in qs:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            new_r3[name] = round(best, 3)
+
     # Second scale factor: the same headline queries at SF2 (10x less data),
     # min-of-2.  sf_scaling_ratio = t(SF)/t(SF2) per query — for a 10x SF
     # step, a ratio well under 10 means fixed overhead still dominates at
@@ -137,6 +155,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extra_queries": extra,
+        "new_queries": new_r3,
         "sf": _sf(SF_DIR),
     }
     if secondary:

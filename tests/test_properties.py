@@ -438,3 +438,38 @@ def test_lsh_bucket_cap_bounds_candidate_pairs_under_skew(spark, n_boilerplate, 
     exact = dd.exact_dedup(df, "text", "doc_id")
     blob = exact.filter(F.col("n_copies") == n_boilerplate).collect()
     assert len(blob) == 1 and blob[0].keep_id == 0
+
+
+keys_strategy = st.lists(
+    st.integers(min_value=0, max_value=40).map(lambda i: f"k{i}"),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(inc_keys=keys_strategy, corp_keys=keys_strategy, probe=st.sampled_from(["literal", "pandas"]))
+@SETTINGS
+def test_bloom_prefiltered_anti_join_matches_plain_anti_join(spark, inc_keys, corp_keys, probe):
+    """X24 exactness law: whatever the overlap structure, duplicates, FPR, or
+    probe path, the Bloom-prefiltered anti-join returns exactly the rows a
+    plain left_anti returns (Bloom has no false negatives; positives are
+    re-verified).  A tiny 256-bit filter forces plenty of false positives so
+    the verify branch is actually exercised."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.bloom import (
+        prefiltered_anti_join,
+    )
+
+    inc = spark.createDataFrame(
+        list(enumerate(inc_keys)), "row_id long, key string"
+    ) if inc_keys else spark.createDataFrame([], "row_id long, key string")
+    corp = spark.createDataFrame(
+        [(k,) for k in corp_keys], "key string"
+    ) if corp_keys else spark.createDataFrame([], "key string")
+    expect = sorted(r.row_id for r in inc.join(corp, "key", "left_anti").collect())
+    got = sorted(
+        r.row_id
+        for r in prefiltered_anti_join(
+            inc, corp, "key", num_bits=256, num_hashes=3, probe=probe
+        ).collect()
+    )
+    assert got == expect
