@@ -47,6 +47,12 @@ NEW_R3 = [
     "dedup_bloom_ingest",
     "dedup_semantic_centroids",
     "split_leakage_safe",
+    "curation_source_cap",
+    "text_topngram_coverage",
+    "inference_model_scores",
+    "embedding_quantize_int8",
+    "similarity_quantized_recall",
+    "layout_zorder_key",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -1,0 +1,219 @@
+"""Declared queries for the corpus-curation / layout / inference extensions
+(SURVEY.md §2.12 X27-X31): per-source caps & blocklists, Gopher-style
+top-n-gram repetition, int8 embedding quantization, the batched model-
+inference harness, and Z-order layout keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as cu
+from ..operators import inference as inf
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..session import apply_runtime_conf
+from ..sources import star
+from ..sources.io import zorder_key
+from .registry import query
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return star.table(spark, sf_dir, "documents")
+
+
+@query(
+    "curation_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS source_rank
+      FROM documents)
+    SELECT doc_id, source, n_chars, cast(source_rank AS int) AS source_rank
+    FROM ranked WHERE source_rank <= 10
+    """,
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 per-source document cap: keep the 10 best (longest, id
+    tie-break) docs per source.  The rank<=cap filter takes Spark's
+    WindowGroupLimit rewrite — map-side top-k pruning per key before the
+    shuffle (plan-asserted in tests/test_curation.py) — which is what makes
+    a cap on a billion-doc host feasible."""
+    docs = _docs(spark, sf_dir)
+    return cu.per_source_cap(
+        docs, "source", "doc_id", cap=10, quality_col="n_chars"
+    ).select("doc_id", "source", "n_chars", "source_rank")
+
+
+@query(
+    "curation_blocklist",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE source IS NULL OR source NOT IN ('src0', 'src7', 'src13')
+    """,
+)
+def curation_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 source blocklist: broadcast LEFT ANTI join against a curated
+    drop-list (kilobytes), so the corpus never shuffles; NULL sources pass
+    through (anti-join NULL semantics) to the next gate."""
+    docs = _docs(spark, sf_dir)
+    return cu.blocklist_filter(docs, "source", ["src0", "src7", "src13"]).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "curation_source_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source AS source_value, count(*) AS n_docs,
+             cast(sum(n_chars) AS double) AS weight
+      FROM documents GROUP BY 1)
+    SELECT source_value, n_docs, weight,
+           floor(weight / sum(weight) OVER () * 1000000 + 0.5) / 1000000 AS share
+    FROM per
+    """,
+)
+def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 corpus-composition report (char-weighted): the before/after
+    evidence for cap/blocklist decisions.  Per-key partial agg + broadcast
+    one-row total — no single-task window (cf. operators/skew.py)."""
+    docs = _docs(spark, sf_dir)
+    mult = 1000000.0
+    return cu.source_mix_report(docs, "source", weight_col="n_chars").select(
+        "source_value",
+        "n_docs",
+        "weight",
+        (F.floor(F.col("share") * mult + 0.5) / mult).alias("share"),
+    )
+
+
+@query(
+    "text_topngram_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, norm,
+             list_transform(range(0, greatest(len(t) - 2, 0) + 1),
+                            i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')) AS g2,
+             list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) AS g3
+      FROM toks)
+    SELECT doc_id,
+           floor(least(cast(list_max(list_transform(list_distinct(g2),
+                 g -> len(list_filter(g2, x -> x = g)) * length(g))) AS double)
+                 / length(norm), 1.0) * 1000000 + 0.5) / 1000000 AS top_2gram_char_ratio,
+           floor(least(cast(list_max(list_transform(list_distinct(g3),
+                 g -> len(list_filter(g3, x -> x = g)) * length(g))) AS double)
+                 / length(norm), 1.0) * 1000000 + 0.5) / 1000000 AS top_3gram_char_ratio
+    FROM grams
+    """,
+)
+def text_topngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 Gopher repetition rule (Rae et al. 2021 §A1.1): fraction of
+    characters covered by the most frequent word n-gram (n=2,3) — the
+    published cut drops docs with top-2gram coverage > 0.20.  Zero-shuffle
+    row-local array expressions."""
+    return tx.top_ngram_coverage(_docs(spark, sf_dir), "text", "doc_id", ns=(2, 3))
+
+
+@query("inference_model_scores", oracle=inf.oracle_score_sql())
+def inference_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 batched-inference harness: Arrow-batched ``mapInPandas`` with
+    load-once-per-task model init and JVM-side feature extraction (only two
+    numbers per row cross the Python boundary).  The model is a
+    deterministic closed-form stub (no torch in this container), which is
+    exactly what makes this oracle-checkable — the DuckDB twin re-derives
+    the same logistic in SQL."""
+    return inf.score_documents(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(cast(x AS double)))) / 127.0 AS scale,
+             list_transform(embedding, x -> cast(x AS double)) AS v
+      FROM embeddings),
+    qq AS (
+      SELECT vec_id, scale, v,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> cast(0 AS bigint))
+                  ELSE list_transform(v, x -> cast(floor(x / scale + 0.5) AS bigint))
+             END AS qvec
+      FROM q),
+    err AS (
+      SELECT vec_id, scale, qvec,
+             list_transform(range(1, len(v) + 1),
+                            i -> qvec[i] * scale - v[i]) AS e,
+             len(v) AS d
+      FROM qq)
+    SELECT vec_id,
+           floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+           cast(list_sum(qvec) AS bigint) AS q_sum,
+           cast(list_sum(list_transform(qvec, x -> abs(x))) AS bigint) AS q_l1,
+           floor(list_max(list_transform(e, x -> abs(x))) * 1000000 + 0.5) / 1000000 AS max_abs_err,
+           floor(sqrt(list_sum(list_transform(e, x -> x * x)) / d) * 1000000 + 0.5) / 1000000 AS rms_err
+    FROM err
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 int8 absmax quantization with per-vector reconstruction-error
+    digests — 4x smaller ANN working set; engine-independent floor(x+0.5)
+    rounding makes the quantized representation itself hash-checkable."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    return sim.quantization_error_report(emb)
+
+
+@query("similarity_quantized_recall")
+def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 self-eval: recall@5 of int8-quantized cosine ranking vs exact
+    cosine ranking over a 10-query broadcast panel (rows-only — the metric
+    IS the approximation gap; floor pinned in tests/test_curation.py)."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.quantized_topk_recall(emb, queries, k=5)
+
+
+@query(
+    "layout_zorder_key",
+    oracle="""
+    WITH scaled AS (
+      SELECT event_id,
+             least(4095, cast(floor((user_id - min(user_id) OVER ())
+               / (CASE WHEN max(user_id) OVER () = min(user_id) OVER () THEN 1.0
+                       ELSE max(user_id) OVER () - min(user_id) OVER () END) * 4095)
+               AS bigint)) AS su,
+             least(4095, cast(floor((event_id - min(event_id) OVER ())
+               / (CASE WHEN max(event_id) OVER () = min(event_id) OVER () THEN 1.0
+                       ELSE max(event_id) OVER () - min(event_id) OVER () END) * 4095)
+               AS bigint)) AS se
+      FROM events)
+    SELECT event_id,
+           cast(list_sum(list_transform(range(0, 12), i -> ((su >> i) & 1) << (i * 2)))
+              + list_sum(list_transform(range(0, 12), i -> ((se >> i) & 1) << (i * 2 + 1)))
+             AS bigint) AS zkey
+    FROM scaled
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 Morton/Z-order cluster key over (user_id, event_id): min/max
+    scale each dimension to 12 bits, interleave — sort-by-zkey layout gives
+    parquet min/max file skipping in BOTH dimensions (the OPTIMIZE ZORDER
+    idea from pure bit arithmetic; file-level narrowing asserted in
+    tests/test_api_io.py).  One tiny stats agg, then a row-local codegen'd
+    bit fold."""
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", zorder_key(ev, ["user_id", "event_id"], bits=12).alias("zkey")
+    )

@@ -109,9 +109,12 @@ DRIVER_WINDOW: list[str] = [
 # the r3 rename of the driver-green-r1 overlap_global (same bounded query,
 # demo status now explicit in the name), which therefore needs a row under
 # its new name — and the queries ADDED in r3: dedup_bloom_ingest (X24),
-# dedup_semantic_clusters + dedup_semantic_centroids (X25), and
-# split_leakage_safe (X26).  r4 leads with those (plus any r3 FAILs) to
-# finish the sweep.
+# dedup_semantic_clusters + dedup_semantic_centroids (X25),
+# split_leakage_safe (X26), curation_source_cap + curation_blocklist +
+# curation_source_mix (X27), text_topngram_coverage (X28),
+# inference_model_scores (X29), embedding_quantize_int8 +
+# similarity_quantized_recall (X30), and layout_zorder_key (X31).
+# r4 leads with those (plus any r3 FAILs) to finish the sweep.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -129,4 +132,4 @@ def ordered_queries() -> dict[str, QueryFn]:
 
 def load_all() -> None:
     """Import every plan module (side effect: registration)."""
-    from . import tlq, report, joins, windows, native, tpch_more, extensions, streaming_batch, io_udf, inspector  # noqa: F401
+    from . import tlq, report, joins, windows, native, tpch_more, extensions, curation, streaming_batch, io_udf, inspector  # noqa: F401

@@ -1,0 +1,173 @@
+"""Tests for the X27-X31 curation/layout/inference extensions: per-source
+caps (incl. the WindowGroupLimit plan shape), blocklists, Gopher top-n-gram
+coverage, int8 quantization laws, and the batched-inference harness."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import inference as inf
+from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import similarity as sim
+from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+
+# ---------------------------------------------------------------- X27 caps
+
+
+def test_per_source_cap_keeps_best_and_bounds(spark):
+    rows = [(i, f"s{i % 3}", 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_chars LONG")
+    out = cu.per_source_cap(df, "source", "doc_id", cap=4, quality_col="n_chars")
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r)
+    assert all(len(v) <= 4 for v in per.values())
+    # best-first: source s0 has doc_ids 0,3,6,... with n_chars 100,97,94...
+    s0 = sorted(per["s0"], key=lambda r: r.source_rank)
+    assert [r.doc_id for r in s0] == [0, 3, 6, 9]
+    assert [r.source_rank for r in s0] == [1, 2, 3, 4]
+
+
+def test_per_source_cap_gets_window_group_limit(spark):
+    """The scale claim: rank<=cap over a window must compile to a
+    WindowGroupLimit physical node (map-side per-key pruning before the
+    shuffle) — Spark 3.5+/4 rewrite, load-bearing for hot sources."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("source"),
+        F.col("id").alias("n_chars"),
+    )
+    out = cu.per_source_cap(df, "source", "doc_id", cap=3, quality_col="n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_blocklist_filter_drops_listed_keeps_null(spark):
+    df = spark.createDataFrame(
+        [(1, "bad"), (2, "good"), (3, None)], "doc_id LONG, source STRING"
+    )
+    out = cu.blocklist_filter(df, "source", ["bad"]).select("doc_id").collect()
+    assert sorted(r.doc_id for r in out) == [2, 3]  # NULL passes to next gate
+
+
+def test_source_mix_report_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "b", 60)], "doc_id LONG, source STRING, w LONG"
+    )
+    got = {r.source_value: r for r in cu.source_mix_report(df, "source", weight_col="w").collect()}
+    assert got["a"].n_docs == 2 and got["b"].n_docs == 1
+    assert abs(got["a"].share - 0.4) < 1e-12 and abs(got["b"].share - 0.6) < 1e-12
+
+
+# ------------------------------------------------- X28 top-n-gram coverage
+
+
+def test_top_ngram_coverage_known_value(spark):
+    # "a b a b c": 2-grams = [a b, b a, a b, b c]; top gram "a b" covers
+    # 2 occurrences * 3 chars = 6 of 9 chars -> 0.666667
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id LONG, text STRING")
+    r = tx.top_ngram_coverage(df, "text", "doc_id", ns=(2,)).first()
+    assert r.top_2gram_char_ratio == pytest.approx(6 / 9, abs=1e-6)
+
+
+def test_top_ngram_coverage_monotone_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "one two three four five six")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in tx.top_ngram_coverage(df, "text", "doc_id", ns=(2,)).collect()}
+    assert got[1].top_2gram_char_ratio > 0.9  # pure repetition ~ full coverage
+    assert got[2].top_2gram_char_ratio < 0.5  # all-distinct grams cover one slot
+
+
+# ------------------------------------------------------ X30 int8 quantize
+
+
+def test_quantize_int8_laws(spark, sf_dir):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings").limit(50)
+    rep = sim.quantization_error_report(emb).collect()
+    assert len(rep) == 50
+    for r in rep:
+        # absmax scheme bounds reconstruction error by scale/2 (+rounding slop)
+        assert r.max_abs_err <= r.scale / 2 + 2e-6, (r.vec_id, r.max_abs_err, r.scale)
+        assert r.rms_err <= r.max_abs_err + 1e-9
+
+
+def test_quantize_int8_range_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {r.vec_id: r for r in sim.quantize_int8(df).collect()}
+    assert all(-127 <= q <= 127 for q in got[1].qvec)
+    assert got[1].qvec[1] == -127  # absmax element pins the range
+    assert got[2].qvec == [0, 0, 0] and got[2].scale == 0.0
+
+
+def test_quantized_topk_recall_floor(spark, sf_check_dir):
+    """int8 keeps the cosine ranking nearly intact: mean recall@5 >= 0.9 on
+    the sf0.01 embeddings (measured ~0.98; floor leaves slack)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_check_dir, "embeddings")
+    r = sim.quantized_topk_recall(emb, emb.filter(F.col("vec_id") < 10), k=5).first()
+    assert r.n_queries == 10
+    assert r.mean_recall >= 0.9
+
+
+# ------------------------------------------------- X29 inference harness
+
+
+def test_inference_scores_match_reference_math(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three two"), (2, "a a a a")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r for r in inf.score_documents(df, "text", "doc_id").collect()}
+    # doc 1: 4 tokens, 3 distinct
+    exp1 = inf.expected_score(3 / 4, 4)
+    assert got[1].score == pytest.approx(exp1, abs=2e-6)
+    assert got[1].n_tokens == 4
+    assert got[1].model_version == inf.MODEL_VERSION
+    # repetitive doc scores lower than diverse doc
+    assert got[2].score < got[1].score
+
+
+def test_inference_batching_is_transparent(spark):
+    """Scores must not depend on Arrow batch boundaries or partitioning —
+    the load-once-per-task model is stateless across batches."""
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 7} alpha beta gamma") for i in range(200)],
+        "doc_id LONG, text STRING",
+    )
+    one = inf.score_documents(df.coalesce(1), "text", "doc_id").collect()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        many = inf.score_documents(df.repartition(8), "text", "doc_id").collect()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_inference_plan_ships_features_not_text(spark):
+    """The Python boundary carries only (doc_id, n_tokens, distinct_ratio) —
+    raw text is reduced to numbers JVM-side, before mapInPandas."""
+    df = spark.createDataFrame([(1, "hello world")], "doc_id LONG, text STRING")
+    out = inf.score_documents(df, "text", "doc_id")
+    analyzed = out._jdf.queryExecution().analyzed()
+    node = analyzed  # find the MapInPandas node, then inspect its child
+    while "MapInPandas" not in node.nodeName():
+        node = node.children().head()
+    child_cols = [
+        node.child().output().apply(i).name()
+        for i in range(node.child().output().size())
+    ]
+    assert child_cols == ["doc_id", "n_tokens", "distinct_ratio"], child_cols

@@ -43,6 +43,12 @@ ALLOWLIST = {
     # quadratic form on a bounded slice (the thing being measured against)
     "dedup_lsh_eval": ("BroadcastNestedLoopJoin", "bounded exact-truth slice for LSH P/R"),
     "similarity_ann_eval": ("BroadcastNestedLoopJoin", "bounded brute-force truth for recall@k"),
+    # one-row global-total broadcasts (the single-task-window replacement):
+    # the broadcast side is exactly ONE aggregate row
+    "skew_key_report": ("BroadcastNestedLoopJoin", "single global-total row over per-key counts"),
+    "curation_source_mix": ("BroadcastNestedLoopJoin", "single corpus-total row for share"),
+    # int8-fidelity eval: broadcast side is the bounded 10-query panel
+    "similarity_quantized_recall": ("BroadcastNestedLoopJoin", "bounded query panel vs linear corpus scan"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
