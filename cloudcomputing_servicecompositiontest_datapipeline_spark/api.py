@@ -182,3 +182,55 @@ class Engine:
         from .operators import dedup as dd
 
         return dd.leakage_safe_split(df, pairs, id_col, **kw)
+
+    def cap_sources(
+        self, df: DataFrame, source_col: str = "source", id_col: str = "doc_id", *, cap: int, quality_col: str | None = None
+    ) -> DataFrame:
+        """X27: keep at most ``cap`` docs per source, best-first
+        (WindowGroupLimit map-side pruning)."""
+        from .operators import curation as cu
+
+        return cu.per_source_cap(df, source_col, id_col, cap=cap, quality_col=quality_col)
+
+    def block_sources(self, df: DataFrame, blocked, source_col: str = "source") -> DataFrame:
+        """X27: drop blocklisted sources via broadcast anti-join."""
+        from .operators import curation as cu
+
+        return cu.blocklist_filter(df, source_col, blocked)
+
+    def source_mix(self, df: DataFrame, source_col: str = "source", *, weight_col: str | None = None) -> DataFrame:
+        """X27: per-source corpus-composition report (count, weight, share)."""
+        from .operators import curation as cu
+
+        return cu.source_mix_report(df, source_col, weight_col=weight_col)
+
+    def repetition_gate_scores(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, ns: tuple = (2, 3, 4)
+    ) -> DataFrame:
+        """X28: Gopher top-n-gram char-coverage repetition scores."""
+        from .operators import text as tx
+
+        return tx.top_ngram_coverage(docs, text_col, id_col, ns=ns)
+
+    def score_with_model(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """X29: batched model-inference scoring (Arrow mapInPandas harness;
+        stub model — swap operators/inference._load_model for a checkpoint)."""
+        from .operators import inference as inf
+
+        return inf.score_documents(docs, text_col, id_col)
+
+    def quantize_embeddings(
+        self, emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """X30: int8 absmax quantization (id, scale, qvec, vec)."""
+        from .operators import similarity as sim
+
+        return sim.quantize_int8(emb, id_col=id_col, vec_col=vec_col)
+
+    def cluster_files_zorder(
+        self, in_path: str, out_path: str, cols: list, *, target_files: int = 8, bits: int = 16
+    ) -> int:
+        """X31: Z-order clustered compaction rewrite; returns files written."""
+        from .sources.io import compact_parquet_zorder
+
+        return compact_parquet_zorder(self.spark, in_path, out_path, cols, target_files=target_files, bits=bits)

@@ -344,6 +344,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     seed: int = 42,
     max_iterations: int = 25,
+    exact_dots: bool = True,
 ) -> DataFrame:
     """X25 semantic dedup (SemDeDup-style): prune documents whose EMBEDDINGS
     are near-identical, catching paraphrases and re-renders that no lexical
@@ -396,7 +397,23 @@ def semantic_dedup(
         "_block",
     )
     mult = 1000000.0
-    dot = _dot_dec(F.col("vec_a"), F.col("vec_b")).cast("double")
+    if exact_dots:
+        dot = _dot_dec(F.col("vec_a"), F.col("vec_b")).cast("double")
+    else:
+        # Scale path: plain double fold — still deterministic inside Spark
+        # (fixed element order per pair, partitioning-independent) and ~2x
+        # cheaper than the decimal fold; decimal is only needed when a
+        # different engine must reproduce the exact threshold decisions
+        # (the oracle-checked attribute twin keeps exact_dots=True).
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("vec_a"),
+                F.col("vec_b"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     pairs = (
         a.join(b, ["_block"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -205,12 +205,11 @@ def top_ngram_coverage(
     word n-gram, for each n in ``ns`` — templated/boilerplate text
     concentrates its characters in one repeated phrase; prose doesn't.
 
-    coverage_n = max over distinct n-grams g of (count(g) * len(g)) /
-    len(normalized_text).  Pure higher-order array expressions per row: the
-    distinct-gram scan is O(|distinct| * |grams|) within one document (docs
-    are length-bounded upstream by the chunker), no explode, NO shuffle —
-    the same zero-shuffle posture as :func:`repetition_scores`, so at
-    100 TB this is a map-only pass fused into the scan."""
+    coverage_n = max over n-grams g of (count(g) * len(g)) /
+    len(normalized_text).  Pure higher-order array expressions per row —
+    sort + run-length fold, O(g log g) within one document, no explode, NO
+    shuffle — the same zero-shuffle posture as :func:`repetition_scores`,
+    so at 100 TB this is a map-only pass fused into the scan."""
     norm = normalized_text(F.col(text_col))
     toks = F.split(norm, " ")
     mult = 1000000.0

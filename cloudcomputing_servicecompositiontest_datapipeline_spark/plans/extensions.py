@@ -275,7 +275,7 @@ def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(emb, threshold=0.35, n_centroids=16)
+    return sim.semantic_dedup(emb, threshold=0.35, n_centroids=16, exact_dots=False)
 
 
 @query(

@@ -138,11 +138,12 @@ def test_cluster_canonical_transitive_chain(spark):
 
 def test_cluster_canonical_converges_on_long_chain(spark):
     """A path graph is the worst case for label propagation (diameter =
-    n-1); the loop must still reach the fixpoint within max_iterations."""
-    n = 12
+    n-1); pointer jumping must reach the fixpoint in clearly fewer rounds
+    than the diameter (plain propagation needs n-1 = 39 here)."""
+    n = 40
     docs = spark.createDataFrame([(i, "t") for i in range(n)], ["doc_id", "text"])
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
-    out = dd.cluster_canonical(docs, pairs, "doc_id", max_iterations=n).collect()
+    out = dd.cluster_canonical(docs, pairs, "doc_id", max_iterations=n // 2 + 2).collect()
     assert {r.canonical_id for r in out} == {0}
 
 

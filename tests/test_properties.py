@@ -473,3 +473,49 @@ def test_bloom_prefiltered_anti_join_matches_plain_anti_join(spark, inc_keys, co
         ).collect()
     )
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cluster_canonical_matches_union_find(spark, edges):
+    """Pointer-jumped min-label CC must equal a plain union-find on ANY
+    pair graph (chains, stars, cycles, self-loops, disconnected nodes) —
+    the jump may only accelerate convergence, never change the fixpoint."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.dedup import cluster_canonical
+
+    n = 26
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min node id in the component
+    comp = {}
+    for x in range(n):
+        comp.setdefault(find(x), []).append(x)
+    expect = {x: min(members) for members in comp.values() for x in members}
+
+    docs = spark.createDataFrame([(i, "t") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], ["id_a", "id_b"]
+    ).filter(F.col("id_a") != F.col("id_b"))
+    got = {
+        r.doc_id: r.canonical_id
+        for r in cluster_canonical(docs, pairs, "doc_id").collect()
+    }
+    assert got == expect
