@@ -53,6 +53,8 @@ NEW_R3 = [
     "embedding_quantize_int8",
     "similarity_quantized_recall",
     "layout_zorder_key",
+    "curation_temperature_resample",
+    "curation_token_budget",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -234,3 +234,21 @@ class Engine:
         from .sources.io import compact_parquet_zorder
 
         return compact_parquet_zorder(self.spark, in_path, out_path, cols, target_files=target_files, bits=bits)
+
+    def resample_by_temperature(
+        self, df: DataFrame, domain_col: str = "lang", id_col: str = "doc_id", *, tau: float = 0.5, salt: str = "t0"
+    ) -> DataFrame:
+        """X32: temperature-flattened domain mixture (kept counts ∝ n^tau,
+        smallest domain kept fully, deterministic md5 draw)."""
+        from .operators import curation as cu
+
+        return cu.temperature_resample(df, domain_col, id_col, tau=tau, salt=salt)
+
+    def select_to_budget(
+        self, df: DataFrame, token_col: str, id_col: str = "doc_id", *, budget: int
+    ) -> DataFrame:
+        """X33: greedy best-first selection to a token budget (two-phase
+        histogram-threshold plan; no corpus-sized single-task window)."""
+        from .operators import curation as cu
+
+        return cu.select_to_token_budget(df, token_col, id_col, budget=budget)

@@ -96,3 +96,112 @@ def source_mix_report(
         "weight",
         (F.col("weight") / F.col("_total")).alias("share"),
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    *,
+    tau: float = 0.5,
+    salt: str = "t0",
+    draw_bits: int = 24,
+) -> DataFrame:
+    """X32 temperature-flattened domain mixture (the alpha/temperature
+    sampling of multilingual LM training, e.g. mBERT/mT5 exponent-smoothed
+    language weights, public): resample so kept counts are ∝ n_i^tau —
+    tau<1 flattens dominant domains, tau=1 is a no-op, tau=0 equalizes.
+
+    Subsample-only solution that keeps the most data: rate_i =
+    (n_min / n_i)^(1-tau) — the smallest domain keeps 100%, larger domains
+    shed mass.  Rates are computed from ONE per-domain count aggregate
+    (tiny), rounded to 1e-6 for engine independence, broadcast back, and
+    membership is the md5(salt‖id) draw against rate*2^draw_bits — pure
+    function of (salt, id): reproducible across engines/epochs, no RNG
+    state, and the corpus itself never shuffles (row-local predicate after
+    a broadcast hash join on the domain)."""
+    mult = 1000000.0
+    counts = df.groupBy(F.col(domain_col).alias("_d")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "_d",
+        (
+            F.floor(
+                F.pow(F.col("_nmin").cast("double") / F.col("_n"), F.lit(1.0 - tau))
+                * mult
+                + 0.5
+            )
+            / mult
+        ).alias("keep_rate"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = F.floor(F.col("keep_rate") * (1 << draw_bits)).cast("long")
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == rates["_d"])
+        .filter(draw < thr)
+        .drop("_d")
+    )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """X33 token-budget corpus selection: greedily keep the highest-value
+    documents (more tokens first, ``id_col`` ASC as the deterministic
+    tie-break) until the cumulative token count would exceed ``budget`` —
+    the "fill the training-token budget best-first" cut.
+
+    NOT the obvious single global running-sum window (``orderBy`` with no
+    ``partitionBy`` funnels the whole corpus through one task — the exact
+    straggler anti-pattern).  Two-phase instead:
+
+    1. ONE partial-agg shuffle to per-token-value totals (|distinct values|
+       rows — bounded, like a histogram);
+    2. running sum over that tiny value table to find the boundary value:
+       every doc above it is kept outright, everything below dropped;
+    3. one windowed pass over ONLY the boundary-value docs (a single
+       partition key, sized |ties at the boundary|) to take the greedy
+       prefix of the remaining budget.
+
+    Output: kept (id, token, cum_tokens) where cum_tokens is the exact
+    global greedy running total — identical to the naive single-window
+    result (oracle-checked against it)."""
+    toks = F.col(token_col).cast("long")
+    per_value = df.groupBy(toks.alias("_v")).agg(
+        F.sum(toks).alias("_vsum")
+    )
+    wv = Window.orderBy(F.col("_v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    value_cum = per_value.select(
+        "_v", (F.sum("_vsum").over(wv) - F.col("_vsum")).alias("_cum_before")
+    ).filter(F.col("_cum_before") < budget)
+    joined = df.join(
+        F.broadcast(value_cum), df[token_col].cast("long") == value_cum["_v"]
+    )
+    wb = (
+        Window.partitionBy("_v")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("_cum", F.col("_cum_before") + F.sum(toks).over(wb))
+        .filter(F.col("_cum") <= budget)
+        .select(
+            F.col(id_col),
+            toks.alias("n_tokens"),
+            F.col("_cum").alias("cum_tokens"),
+        )
+    )

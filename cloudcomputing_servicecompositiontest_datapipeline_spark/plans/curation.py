@@ -217,3 +217,51 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", zorder_key(ev, ["user_id", "event_id"], bits=12).alias("zkey")
     )
+
+
+@query(
+    "curation_temperature_resample",
+    oracle="""
+    WITH counts AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY 1),
+    rates AS (
+      SELECT d,
+             floor(pow(cast((SELECT min(n) FROM counts) AS double) / n, 0.5)
+                   * 1000000 + 0.5) / 1000000 AS keep_rate
+      FROM counts)
+    SELECT doc_id, lang, keep_rate
+    FROM documents JOIN rates ON lang = d
+    WHERE cast(('0x' || substr(md5('t0:' || cast(doc_id AS varchar)), 1, 6)) AS bigint)
+          < cast(floor(keep_rate * 16777216) AS bigint)
+    """,
+)
+def curation_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 temperature-flattened language mixture (tau=0.5): kept counts
+    ∝ n^tau, smallest language kept in full, membership a pure md5(salt‖id)
+    draw — the alpha-sampling step of multilingual training mixtures, with
+    no RNG state and no corpus shuffle."""
+    docs = _docs(spark, sf_dir)
+    return cu.temperature_resample(docs, "lang", "doc_id", tau=0.5).select(
+        "doc_id", "lang", "keep_rate"
+    )
+
+
+@query(
+    "curation_token_budget",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, cast(n_chars AS bigint) AS n_tokens,
+             sum(cast(n_chars AS bigint)) OVER (ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens, cum_tokens FROM ordered WHERE cum_tokens <= 30000
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 token-budget selection: greedy best-first fill to a 30k-token
+    budget.  The ORACLE is the naive single global running-sum window; the
+    engine computes the identical prefix with the two-phase
+    histogram-threshold plan (per-value partial agg → tiny value-table
+    cumsum → one boundary-value window) so no task ever sees the whole
+    corpus — see operators/curation.py:select_to_token_budget."""
+    docs = _docs(spark, sf_dir)
+    return cu.select_to_token_budget(docs, "n_chars", "doc_id", budget=30000)

@@ -171,3 +171,65 @@ def test_inference_plan_ships_features_not_text(spark):
         for i in range(node.child().output().size())
     ]
     assert child_cols == ["doc_id", "n_tokens", "distinct_ratio"], child_cols
+
+
+# ------------------------------------------- X32 temperature resampling
+
+
+def test_temperature_resample_keeps_smallest_domain_fully(spark):
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = cu.temperature_resample(df, "lang", "doc_id", tau=0.5).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.lang, 0)
+        kept[r.lang] += 1
+    assert kept["small"] == 20  # rate_min = 1.0 exactly
+    # big domain should shed to ~ sqrt(20/400)*400 = ~89 docs (md5-draw noise)
+    assert 50 <= kept["big"] <= 130
+    rates = {r.lang: r.keep_rate for r in out}
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - (20 / 400) ** 0.5) < 1e-6
+
+
+def test_temperature_resample_tau_one_is_noop(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], "doc_id LONG, lang STRING"
+    )
+    assert cu.temperature_resample(df, "lang", "doc_id", tau=1.0).count() == 60
+
+
+# --------------------------------------------- X33 token-budget selection
+
+
+def test_select_to_token_budget_matches_naive_greedy(spark):
+    rows = [(i, 10 + (i * 7) % 40) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tok LONG")
+    budget = 800
+    # naive single-pass greedy reference
+    cum, expect = 0, {}
+    for i, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + t <= budget:
+            cum += t
+            expect[i] = cum
+        else:
+            break
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in cu.select_to_token_budget(df, "n_tok", "doc_id", budget=budget).collect()
+    }
+    assert got == expect
+    assert max(got.values()) <= budget
+
+
+def test_select_to_token_budget_doc_window_is_partitioned(spark):
+    """The corpus-sized window must be partitioned by the token value (only
+    the tiny per-value histogram may run as an unpartitioned window)."""
+    df = spark.createDataFrame([(i, 10) for i in range(50)], "doc_id LONG, n_tok LONG")
+    out = cu.select_to_token_budget(df, "n_tok", "doc_id", budget=200)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the doc-level running sum partitions on _v (shows as a partition arg
+    # of its windowspecdefinition); the value-histogram window doesn't see
+    # doc_id at all, so this pins the right window to the right shape
+    assert "windowspecdefinition(_v" in plan, plan
+    assert sorted(r.doc_id for r in out.collect()) == list(range(20))
