@@ -47,6 +47,7 @@ ALLOWLIST = {
     # the broadcast side is exactly ONE aggregate row
     "skew_key_report": ("BroadcastNestedLoopJoin", "single global-total row over per-key counts"),
     "curation_source_mix": ("BroadcastNestedLoopJoin", "single corpus-total row for share"),
+    "curation_temperature_resample": ("BroadcastNestedLoopJoin", "single n_min row over per-domain counts"),
     # int8-fidelity eval: broadcast side is the bounded 10-query panel
     "similarity_quantized_recall": ("BroadcastNestedLoopJoin", "bounded query panel vs linear corpus scan"),
 }
