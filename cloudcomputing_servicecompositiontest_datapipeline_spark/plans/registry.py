@@ -114,7 +114,8 @@ DRIVER_WINDOW: list[str] = [
 # curation_source_mix (X27), text_topngram_coverage (X28),
 # inference_model_scores (X29), embedding_quantize_int8 +
 # similarity_quantized_recall (X30), layout_zorder_key (X31),
-# curation_temperature_resample (X32), and curation_token_budget (X33).
+# curation_temperature_resample (X32), curation_token_budget (X33),
+# and streaming_source_quota (X34, rows-only).
 # r4 leads with those (plus any r3 FAILs) to finish the sweep.
 
 

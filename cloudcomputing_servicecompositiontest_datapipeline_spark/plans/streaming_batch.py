@@ -224,3 +224,39 @@ def streaming_stateful_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("uuid", "runs", "cold_starts", "recycled")
     )
+
+
+@query("streaming_source_quota")
+def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34: per-source admission quota on a REAL file stream — documents
+    staged as JSON, drained with Trigger.AvailableNow through the
+    applyInPandasWithState counter (streaming/stateful.py:source_quota_admit,
+    cap=10/source), then summarized per source.  Rows-only: which docs are
+    admitted depends on micro-batch arrival order; the cap itself is exact
+    (n_admitted == min(cap, per-source total), pinned in tests)."""
+    from ..streaming.stateful import source_quota_admit
+
+    docs = star.table(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="sg_quota_stream_")
+    json_dir = os.path.join(workdir, "docs")
+    docs.select("doc_id", "source").coalesce(4).write.mode("overwrite").json(json_dir)
+    stream = spark.readStream.schema("doc_id BIGINT, source STRING").json(json_dir)
+    out = source_quota_admit(stream, cap=10)
+    name = "sg_quota_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.max("kept_rank").alias("max_rank"),
+        )
+    )

@@ -148,3 +148,61 @@ def container_lifetimes_tws(events: DataFrame, key: str = "uuid") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# X34: streaming per-source admission quota — the arrival-time form of the
+# batch per-source cap (operators/curation.py:per_source_cap).  A live ingest
+# can't rank a source's documents by quality before admitting (future docs
+# haven't arrived), so the streaming contract is first-come-first-admitted:
+# state per source = (kept, seen); a batch's rows are admitted in id order
+# until the cap, the rest dropped.  State is two longs per source — bounded
+# by source cardinality, not stream length.
+
+QUOTA_STATE_SCHEMA = "kept LONG, seen LONG"
+QUOTA_OUTPUT_SCHEMA = "source STRING, doc_id LONG, kept_rank LONG"
+
+
+def source_quota_admit(
+    docs: DataFrame,
+    *,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit at most ``cap`` documents per source across the whole stream,
+    first-come-first-admitted (id order inside a micro-batch for
+    determinism).  Emits only the ADMITTED rows with their per-source
+    admission rank (append semantics).  Streaming-only like every
+    applyInPandasWithState operator (Spark rejects it on batch frames); the
+    batch analogue is operators/curation.py:per_source_cap, which can rank
+    by quality because the whole corpus is visible."""
+
+    def admit(
+        key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        kept, seen = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            seen += len(pdf)
+            room = cap - kept
+            if room > 0:
+                take = pdf.head(room)
+                n = len(take)
+                yield pd.DataFrame(
+                    {
+                        "source": [key[0]] * n,
+                        "doc_id": take[id_col].to_numpy(),
+                        "kept_rank": range(kept + 1, kept + 1 + n),
+                    }
+                )
+                kept += n
+        state.update((kept, seen))
+
+    return docs.groupBy(source_col).applyInPandasWithState(
+        admit,
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

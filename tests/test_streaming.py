@@ -532,3 +532,51 @@ def test_foreach_batch_cm_merge_tracks_frequencies(spark, tmp_path):
     est = drain()
     assert est[("a", "x")] == 50  # 30 + 20 across batch boundary
     assert est[("b", "y")] == 7
+
+
+def test_streaming_source_quota_admits_across_batches(spark, tmp_path):
+    """X34 per-source admission quota: state (kept counter) persists across
+    micro-batches — batch 2's rows only fill the REMAINING room, and ranks
+    continue where batch 1 stopped."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.stateful import (
+        source_quota_admit,
+    )
+
+    d = tmp_path / "quota"
+    d.mkdir()
+    schema = "doc_id BIGINT, source STRING"
+    with open(d / "a.json", "w") as f:
+        for i in range(2):
+            f.write(json.dumps({"doc_id": i, "source": "s0"}) + "\n")
+        f.write(json.dumps({"doc_id": 100, "source": "s1"}) + "\n")
+    ckpt = str(tmp_path / "ckpt_quota")
+
+    def drain():
+        stream = spark.readStream.schema(_parse_datatype_string(schema)).json(str(d))
+        out = source_quota_admit(stream, cap=3)
+        rows = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("append")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return rows
+
+    first = drain()
+    assert sorted((r.source, r.doc_id, r.kept_rank) for r in first) == [
+        ("s0", 0, 1), ("s0", 1, 2), ("s1", 100, 1)
+    ]
+    # batch 2: three more s0 docs (only ONE seat left) + one more s1
+    with open(d / "b.json", "w") as f:
+        for i in range(2, 5):
+            f.write(json.dumps({"doc_id": i, "source": "s0"}) + "\n")
+        f.write(json.dumps({"doc_id": 101, "source": "s1"}) + "\n")
+    second = drain()
+    assert sorted((r.source, r.doc_id, r.kept_rank) for r in second) == [
+        ("s0", 2, 3),            # fills the last seat; docs 3,4 dropped
+        ("s1", 101, 2),
+    ]
