@@ -55,6 +55,7 @@ NEW_R3 = [
     "layout_zorder_key",
     "curation_temperature_resample",
     "curation_token_budget",
+    "text_quality_funnel_report",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

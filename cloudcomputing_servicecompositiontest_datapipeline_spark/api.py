@@ -252,3 +252,15 @@ class Engine:
         from .operators import curation as cu
 
         return cu.select_to_token_budget(df, token_col, id_col, budget=budget)
+
+    def quality_funnel(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
+        """X35: ordered quality-rule chain with per-rule drop attribution."""
+        from .operators import text as tx
+
+        return tx.quality_funnel(docs, text_col, id_col, **kw)
+
+    def quality_funnel_report(self, funnel: DataFrame) -> DataFrame:
+        """X35: per-rule reached/dropped funnel rollup (one aggregate scan)."""
+        from .operators import text as tx
+
+        return tx.funnel_report(funnel)

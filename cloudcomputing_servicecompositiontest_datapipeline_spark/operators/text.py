@@ -197,6 +197,39 @@ def repetition_scores(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> 
     )
 
 
+def gram_array(toks: F.Column, n: int) -> F.Column:
+    """Word n-gram array from a token array — row-local.
+    NB: a plain 1-arg lambda — ``lambda i, n=n`` would make PySpark pick
+    transform's two-arg (element, index) form and bind n to the index."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def modal_coverage_chars(grams: F.Column) -> F.Column:
+    """Chars covered by the modal gram = max over grams of count(g)*len(g).
+    Computed as sort + run-length fold — O(g log g) per doc, where the
+    naive distinct×filter scan is O(u·g) and blows up on long documents
+    (26 s vs <1 s for the sf0.1 corpus).  Fold state: (prev gram, current
+    run length, best covered-chars so far)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc["best"])
+
+
 def top_ngram_coverage(
     df: DataFrame, text_col: str, id_col: str, *, ns: tuple[int, ...] = (2, 3, 4)
 ) -> DataFrame:
@@ -214,39 +247,8 @@ def top_ngram_coverage(
     toks = F.split(norm, " ")
     mult = 1000000.0
     cols = [F.col(id_col)]
-
-    def gram_array(n: int) -> F.Column:
-        # NB: a plain 1-arg lambda — `lambda i, n=n` would make PySpark pick
-        # transform's two-arg (element, index) form and bind n to the index.
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-
-    # chars covered by the modal gram = max over grams of count(g)*len(g).
-    # Computed as sort + run-length fold — O(g log g) per doc, where the
-    # naive distinct×filter scan is O(u·g) and blows up on long documents
-    # (26 s vs <1 s for the sf0.1 corpus).  Fold state: (prev gram, current
-    # run length, best covered-chars so far).
-    def modal_coverage(grams: F.Column) -> F.Column:
-        zero = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        )
-
-        def step(acc: F.Column, x: F.Column) -> F.Column:
-            run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run * F.length(x)).alias("best"),
-            )
-
-        return F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc["best"])
-
     for n in ns:
-        covered = modal_coverage(gram_array(n))
+        covered = modal_coverage_chars(gram_array(toks, n))
         ratio = F.least(covered.cast("double") / F.length(norm), F.lit(1.0))
         cols.append((F.floor(ratio * mult + 0.5) / mult).alias(f"top_{n}gram_char_ratio"))
     return ensure_parallelism(df).select(*cols)
@@ -344,3 +346,86 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+#: Ordered rule names of :func:`quality_funnel` (order = evaluation order —
+#: attribution assigns each dropped doc to the FIRST rule it fails).
+FUNNEL_RULES = ("min_tokens", "max_dup_tokens", "max_top2gram", "lang_known")
+
+
+def quality_funnel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_tokens: int = 10,
+    max_dup_token_ratio: float = 0.6,
+    max_top2gram_ratio: float = 0.5,
+) -> DataFrame:
+    """X35 quality-filter funnel with per-rule attribution (the FineWeb-style
+    "how much did each filter remove" observability layer, public): evaluate
+    the ordered rule chain per document and record, besides the final
+    ``keep``, WHICH rule dropped each casualty (``first_failed``) — the
+    evidence a curation run needs to publish its per-filter removal stats.
+
+    Rules (all row-local expressions over ONE scan, no Python, no shuffle):
+    min token count, duplicate-token ratio cap, Gopher top-2-gram char
+    coverage cap, stopword-hit language known.  Output: one row per doc with
+    a boolean per rule + keep + first_failed (NULL for kept docs)."""
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n_toks = F.size(toks)
+    dup_ratio = (n_toks - F.size(F.array_distinct(toks))).cast("double") / n_toks
+    cov2 = F.least(
+        modal_coverage_chars(gram_array(toks, 2)).cast("double") / F.length(norm),
+        F.lit(1.0),
+    )
+    hits = [ _stopword_hits(toks, ws) for ws in STOPWORDS.values() ]
+    rules = {
+        "min_tokens": n_toks >= min_tokens,
+        "max_dup_tokens": dup_ratio <= max_dup_token_ratio,
+        "max_top2gram": cov2 <= max_top2gram_ratio,
+        "lang_known": F.greatest(*hits) > 0,
+    }
+    assert tuple(rules) == FUNNEL_RULES
+    first_failed = F.lit(None).cast("string")
+    for name in reversed(FUNNEL_RULES):
+        first_failed = F.when(~rules[name], F.lit(name)).otherwise(first_failed)
+    out = [F.col(id_col)]
+    out += [rules[name].alias(f"r_{name}") for name in FUNNEL_RULES]
+    out += [first_failed.isNull().alias("keep"), first_failed.alias("first_failed")]
+    return ensure_parallelism(df).select(*out)
+
+
+def funnel_report(funnel: DataFrame) -> DataFrame:
+    """Funnel rollup of :func:`quality_funnel`: per rule (in evaluation
+    order), how many docs REACHED it (survived all earlier rules) and how
+    many it dropped.  ONE aggregate scan exploded to per-rule rows (the
+    quality_checks.py single-scan pattern); drop_rate = dropped/reached,
+    rounded for engine independence."""
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    for name in FUNNEL_RULES:
+        aggs.append(
+            F.sum(F.when(F.col("first_failed") == name, 1).otherwise(0)).alias(
+                f"drop_{name}"
+            )
+        )
+    row = funnel.agg(*aggs)
+    mult = 1000000.0
+    sections = []
+    reached = F.col("n_total")
+    for i, name in enumerate(FUNNEL_RULES):
+        dropped = F.col(f"drop_{name}")
+        sections.append(
+            F.struct(
+                F.lit(i + 1).alias("rule_order"),
+                F.lit(name).alias("rule"),
+                reached.cast("long").alias("n_reached"),
+                dropped.cast("long").alias("n_dropped"),
+                (F.floor(dropped / reached * mult + 0.5) / mult).alias("drop_rate"),
+            )
+        )
+        reached = reached - dropped
+    return row.select(
+        F.explode(F.array(*sections)).alias("s")
+    ).select("s.rule_order", "s.rule", "s.n_reached", "s.n_dropped", "s.drop_rate")

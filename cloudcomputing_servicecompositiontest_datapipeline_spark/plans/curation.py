@@ -265,3 +265,89 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — see operators/curation.py:select_to_token_budget."""
     docs = _docs(spark, sf_dir)
     return cu.select_to_token_budget(docs, "n_chars", "doc_id", budget=30000)
+
+
+#: Shared funnel CTE (DuckDB): per-doc rule booleans + first_failed, the
+#: exact twin of operators/text.py:quality_funnel with default thresholds.
+_FUNNEL_CTE = f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, norm, toks,
+             list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                            i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) AS g2
+      FROM t),
+    sig AS (
+      SELECT doc_id,
+             len(toks) >= 10 AS r_min_tokens,
+             cast(len(toks) - len(list_distinct(toks)) AS double) / len(toks) <= 0.6 AS r_max_dup_tokens,
+             least(cast(list_max(list_transform(list_distinct(g2),
+                   x -> len(list_filter(g2, y -> y = x)) * length(x))) AS double)
+                   / length(norm), 1.0) <= 0.5 AS r_max_top2gram,
+             greatest(
+               len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','a','for'], x))),
+               len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))),
+               len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des'], x)))
+             ) > 0 AS r_lang_known
+      FROM g),
+    funnel AS (
+      SELECT doc_id, r_min_tokens, r_max_dup_tokens, r_max_top2gram, r_lang_known,
+             CASE WHEN NOT r_min_tokens THEN 'min_tokens'
+                  WHEN NOT r_max_dup_tokens THEN 'max_dup_tokens'
+                  WHEN NOT r_max_top2gram THEN 'max_top2gram'
+                  WHEN NOT r_lang_known THEN 'lang_known'
+             END AS first_failed
+      FROM sig)
+"""
+
+
+@query(
+    "text_quality_funnel",
+    oracle=_FUNNEL_CTE
+    + """
+    SELECT doc_id, r_min_tokens, r_max_dup_tokens, r_max_top2gram, r_lang_known,
+           first_failed IS NULL AS keep, first_failed
+    FROM funnel
+    """,
+)
+def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 quality-filter funnel: the ordered rule chain (min tokens →
+    dup-token cap → Gopher top-2gram cap → language known) evaluated per
+    document with per-rule attribution — keep + WHICH rule dropped each
+    casualty.  One scan, all row-local expressions."""
+    return tx.quality_funnel(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "text_quality_funnel_report",
+    oracle=_FUNNEL_CTE
+    + """,
+    drops AS (
+      SELECT count(*) AS n_total,
+             sum(CASE WHEN first_failed = 'min_tokens' THEN 1 ELSE 0 END) AS d1,
+             sum(CASE WHEN first_failed = 'max_dup_tokens' THEN 1 ELSE 0 END) AS d2,
+             sum(CASE WHEN first_failed = 'max_top2gram' THEN 1 ELSE 0 END) AS d3,
+             sum(CASE WHEN first_failed = 'lang_known' THEN 1 ELSE 0 END) AS d4
+      FROM funnel)
+    SELECT * FROM (
+      SELECT 1 AS rule_order, 'min_tokens' AS rule, cast(n_total AS bigint) AS n_reached,
+             cast(d1 AS bigint) AS n_dropped,
+             floor(d1 / n_total * 1000000 + 0.5) / 1000000 AS drop_rate FROM drops
+      UNION ALL
+      SELECT 2, 'max_dup_tokens', cast(n_total - d1 AS bigint), cast(d2 AS bigint),
+             floor(d2 / (n_total - d1) * 1000000 + 0.5) / 1000000 FROM drops
+      UNION ALL
+      SELECT 3, 'max_top2gram', cast(n_total - d1 - d2 AS bigint), cast(d3 AS bigint),
+             floor(d3 / (n_total - d1 - d2) * 1000000 + 0.5) / 1000000 FROM drops
+      UNION ALL
+      SELECT 4, 'lang_known', cast(n_total - d1 - d2 - d3 AS bigint), cast(d4 AS bigint),
+             floor(d4 / (n_total - d1 - d2 - d3) * 1000000 + 0.5) / 1000000 FROM drops)
+    """,
+)
+def text_quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 funnel rollup: per rule (in evaluation order) how many docs
+    reached it and how many it dropped — the published per-filter removal
+    stats of a curation run.  ONE aggregate scan exploded to 4 rows."""
+    funnel = tx.quality_funnel(_docs(spark, sf_dir), "text", "doc_id")
+    return tx.funnel_report(funnel)

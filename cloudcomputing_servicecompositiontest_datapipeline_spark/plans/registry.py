@@ -115,7 +115,8 @@ DRIVER_WINDOW: list[str] = [
 # inference_model_scores (X29), embedding_quantize_int8 +
 # similarity_quantized_recall (X30), layout_zorder_key (X31),
 # curation_temperature_resample (X32), curation_token_budget (X33),
-# and streaming_source_quota (X34, rows-only).
+# streaming_source_quota (X34, rows-only), and text_quality_funnel +
+# text_quality_funnel_report (X35).
 # r4 leads with those (plus any r3 FAILs) to finish the sweep.
 
 

@@ -236,6 +236,7 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_admitted == min(cap, per-source total), pinned in tests)."""
     from ..streaming.stateful import source_quota_admit
 
+    apply_runtime_conf(spark)
     docs = star.table(spark, sf_dir, "documents")
     workdir = tempfile.mkdtemp(prefix="sg_quota_stream_")
     json_dir = os.path.join(workdir, "docs")

@@ -233,3 +233,40 @@ def test_select_to_token_budget_doc_window_is_partitioned(spark):
     # doc_id at all, so this pins the right window to the right shape
     assert "windowspecdefinition(_v" in plan, plan
     assert sorted(r.doc_id for r in out.collect()) == list(range(20))
+
+
+# --------------------------------------------------- X35 quality funnel
+
+
+def test_quality_funnel_attribution_order(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today ok"),  # keeps
+        (2, "too short"),                                   # fails min_tokens
+        (3, "the " * 20 + "end of the line here now ok"),   # dup ratio high -> max_dup_tokens
+        (4, "zz yy xx ww vv uu tt ss rr qq pp oo"),         # no stopwords -> lang_known
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in tx.quality_funnel(df, "text", "doc_id").collect()}
+    assert got[1].keep and got[1].first_failed is None
+    assert got[2].first_failed == "min_tokens"
+    assert got[3].first_failed == "max_dup_tokens"  # attribution = FIRST failure
+    assert got[4].first_failed == "lang_known"
+    assert not got[4].keep
+
+
+def test_funnel_report_conserves_counts(spark, sf_dir):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    docs = star.table(spark, sf_dir, "documents")
+    funnel = tx.quality_funnel(docs, "text", "doc_id")
+    rep = {r.rule: r for r in tx.funnel_report(funnel).collect()}
+    n_total = docs.count()
+    n_kept = funnel.filter("keep").count()
+    # funnel conservation: reached(i+1) = reached(i) - dropped(i); the last
+    # rule's survivors = kept docs
+    order = list(tx.FUNNEL_RULES)
+    assert rep[order[0]].n_reached == n_total
+    for a, b in zip(order, order[1:]):
+        assert rep[b].n_reached == rep[a].n_reached - rep[a].n_dropped
+    last = rep[order[-1]]
+    assert last.n_reached - last.n_dropped == n_kept
