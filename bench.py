@@ -56,6 +56,7 @@ NEW_R3 = [
     "curation_temperature_resample",
     "curation_token_budget",
     "text_quality_funnel_report",
+    "text_bpe_pair_counts",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -264,3 +264,10 @@ class Engine:
         from .operators import text as tx
 
         return tx.funnel_report(funnel)
+
+    def bpe_merges(self, docs: DataFrame, text_col: str = "text", *, n_merges: int = 10) -> list:
+        """X36: learn BPE merges over the corpus word histogram (one
+        pair-count aggregate + 1-row argmax per round)."""
+        from .operators import bpe
+
+        return bpe.bpe_train(docs, text_col, n_merges=n_merges)

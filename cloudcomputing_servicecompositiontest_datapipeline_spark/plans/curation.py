@@ -351,3 +351,48 @@ def text_quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats of a curation run.  ONE aggregate scan exploded to 4 rows."""
     funnel = tx.quality_funnel(_docs(spark, sf_dir), "text", "doc_id")
     return tx.funnel_report(funnel)
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents),
+    hist AS (
+      SELECT word, count(*) AS n FROM words WHERE length(word) > 0 GROUP BY 1),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)), i -> struct_pack(
+               a := word[i],
+               b := CASE WHEN i + 1 = length(word) THEN word[i + 1] || '</w>'
+                         ELSE word[i + 1] END))) AS p,
+             n
+      FROM hist WHERE length(word) >= 2)
+    SELECT p.a AS a, p.b AS b, cast(sum(n) AS bigint) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 BPE round-1 pair counts (Sennrich et al. 2016): corpus-wide
+    weighted adjacent-symbol counts over the word histogram — the
+    SQL-expressible face of tokenizer training.  The corpus reduces to
+    (word, n) in one shuffle; the pair aggregate's reduce side is the pair
+    vocabulary, not corpus rows."""
+    from ..operators import bpe
+
+    return bpe.bpe_pair_counts(_docs(spark, sf_dir), "text").select(
+        "a", "b", F.col("count").cast("long").alias("pair_count")
+    )
+
+
+@query("text_bpe_merges")
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 BPE training, 10 merge rounds: per round one pair-count aggregate
+    (reduce side = pair vocabulary) + a TakeOrdered(1) argmax to the driver
+    (ONE row per round — the bounded-collect justification of the IVF
+    sample) + a row-local merge fold over the |vocabulary|-row histogram.
+    Rows-only (iterative, not SQL-expressible end-to-end); merge-sequence
+    equality with a pure-Python BPE reference is pinned in
+    tests/test_curation.py."""
+    from ..operators import bpe
+
+    return bpe.bpe_train_df(_docs(spark, sf_dir), "text", n_merges=10)

@@ -115,8 +115,9 @@ DRIVER_WINDOW: list[str] = [
 # inference_model_scores (X29), embedding_quantize_int8 +
 # similarity_quantized_recall (X30), layout_zorder_key (X31),
 # curation_temperature_resample (X32), curation_token_budget (X33),
-# streaming_source_quota (X34, rows-only), and text_quality_funnel +
-# text_quality_funnel_report (X35).
+# streaming_source_quota (X34, rows-only), text_quality_funnel +
+# text_quality_funnel_report (X35), and text_bpe_pair_counts +
+# text_bpe_merges (X36).
 # r4 leads with those (plus any r3 FAILs) to finish the sweep.
 
 

@@ -270,3 +270,69 @@ def test_funnel_report_conserves_counts(spark, sf_dir):
         assert rep[b].n_reached == rep[a].n_reached - rep[a].n_dropped
     last = rep[order[-1]]
     assert last.n_reached - last.n_dropped == n_kept
+
+
+# ------------------------------------------------------- X36 BPE training
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE (Sennrich et al. 2016) on the word histogram, with
+    the same lexicographic tie-break as the Spark operator."""
+    import collections
+    import re
+
+    hist = collections.Counter()
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        for w in norm.split(" "):
+            if w:
+                hist[w] += 1
+    symbols = {w: [*w[:-1], w[-1] + "</w>"] for w in hist}
+    merges = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for w, n in hist.items():
+            s = symbols[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += n
+        if not counts:
+            break
+        # deterministic: max count, then lexicographically SMALLEST (a, b)
+        top_n = max(counts.values())
+        a, b = min(p for p, n in counts.items() if n == top_n)
+        merges.append((a, b, counts[(a, b)]))
+        for w in symbols:
+            s = symbols[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symbols[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    texts = [
+        "low lower lowest low",
+        "new newer newest news",
+        "the newest of the new low lows",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = bpe.bpe_train(df, "text", n_merges=8)
+    assert got == _bpe_reference(texts, 8)
+
+
+def test_bpe_merge_fold_nonoverlapping(spark):
+    """aaa with merge (a,a) -> [aa, a]: left-to-right non-overlapping, the
+    reference BPE semantics."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.bpe import _apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a"],), (["x", "a", "a", "y"],)], "symbols ARRAY<STRING>")
+    got = [r[0] for r in df.select(_apply_merge(F.col("symbols"), "a", "a")).collect()]
+    assert got == [["aa", "a"], ["x", "aa", "y"]]
