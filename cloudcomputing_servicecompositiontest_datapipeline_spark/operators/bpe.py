@@ -122,7 +122,6 @@ def bpe_train(
     merge rewrite of the |vocabulary|-row histogram.  Ties break
     lexicographically (deterministic across engines and partitionings).
     Returns [(a, b, count), ...] in merge order."""
-    spark = df.sparkSession
     hist = word_histogram(df, text_col).select(
         _initial_symbols(F.col("word")).alias("symbols"), "n"
     )

@@ -4,8 +4,6 @@ coverage, int8 quantization laws, and the batched-inference harness."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 
