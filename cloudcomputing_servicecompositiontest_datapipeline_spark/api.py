@@ -271,3 +271,11 @@ class Engine:
         from .operators import bpe
 
         return bpe.bpe_train(docs, text_col, n_merges=n_merges)
+
+    def pq_codes(self, emb: DataFrame, *, m: int = 16, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        """X37: product-quantize embeddings to m-subvector codes (bounded
+        sample codebook training + row-local literal-baked encoding)."""
+        from .operators import similarity as s
+
+        cbs = s.pq_train(emb, id_col=id_col, vec_col=vec_col, m=m, k=k)
+        return s.pq_encode(emb, cbs, id_col=id_col, vec_col=vec_col)

@@ -565,3 +565,151 @@ def quantized_topk_recall(
         F.avg("recall_at_k").alias("mean_recall"),
         F.min("recall_at_k").alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X37: product quantization (Jégou et al. 2011, the FAISS PQ standard) — the
+# memory representation that makes billion-vector ANN fit executors: split
+# each vector into m subvectors, k-means each subspace independently (k=256
+# → one BYTE per subvector), store only the code array.  A d=768 float
+# vector (3 KB) becomes m bytes (e.g. 16-48 B) — 2 orders of magnitude —
+# at the cost of quantization error that the recall eval below measures.
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+) -> list:
+    """Train the m per-subspace codebooks on a BOUNDED seeded sample (the
+    same TakeOrdered draw + driver Lloyd's as IVF training — ~200 points
+    per centroid regardless of corpus size).  Returns a list of m
+    codebooks, each a (k × d/m) array."""
+    target = max(200 * k, 512)
+    sample = [
+        [float(x) for x in r._v]
+        for r in emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("_id").cast("string")), "_id")
+        .limit(target)
+        .collect()
+    ]
+    if not sample:
+        raise ValueError("empty embedding table")
+    d = len(sample[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [
+        _train_centroids([v[j * sub : (j + 1) * sub] for v in sample], k)
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m-byte PQ code array — codebooks are plan
+    LITERALS, so encoding is row-local narrow compute (zero shuffle, the
+    same no-join assignment story as IVF).  Output (id, codes:array<int>,
+    original vector for downstream rescoring)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
+        codes.append(_argmin_centroids(subvec, cb, 1)[0])
+    return ensure_parallelism(emb).select(
+        F.col(id_col), F.array(*codes).alias("codes"), F.col(vec_col)
+    )
+
+
+def pq_topk_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank_depth: int = 50,
+) -> DataFrame:
+    """Self-eval: recall@k of PQ asymmetric-distance ranking (exact query
+    subvector · reconstructed candidate centroid, summed over subspaces —
+    ADC) against exact-dot ranking, BOTH raw and after the production
+    two-stage pattern (ADC shortlist of ``rerank_depth`` → exact re-rank —
+    recall@k then counts exact-top-k hits inside the shortlist).  Broadcast
+    query panel × linear scan of the CODES (m ints per row — the working
+    set a 100 TB corpus actually fits in memory); original vectors are only
+    touched for the truth ranking and the re-rank stage."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    c = enc.select(
+        F.col(id_col).alias("c_id"), F.col("codes").alias("c_codes"), F.col(vec_col).alias("c_vec")
+    )
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    )
+    joined = c.join(q, F.col("c_id") != F.col("q_id"))
+    # ADC inner product: sum_j  q_sub_j · centroid_j[code_j]
+    parts = []
+    for j, cb in enumerate(codebooks):
+        qsub = F.slice(F.col("q_vec"), j * sub + 1, sub)
+        table = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in cb])
+        cent = F.element_at(table, F.element_at(F.col("c_codes"), j + 1) + 1)
+        parts.append(
+            F.aggregate(
+                F.zip_with(qsub, cent, lambda x, r: x.cast("double") * r),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    adc = sum(parts[1:], parts[0])
+    exact = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("q_id", "c_id", adc.alias("adc_ip"), exact.alias("exact_ip"))
+    w_exact = Window.partitionBy("q_id").orderBy(F.col("exact_ip").desc(), F.col("c_id"))
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc_ip").desc(), F.col("c_id"))
+    ranked = scored.select(
+        "q_id",
+        F.row_number().over(w_exact).alias("r_exact"),
+        F.row_number().over(w_adc).alias("r_adc"),
+    )
+    per_q = (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when((F.col("r_exact") <= k) & (F.col("r_adc") <= k), 1).otherwise(0)
+            ).alias("n_hit"),
+            # two-stage: exact-top-k candidate survives iff the ADC shortlist
+            # (depth rerank_depth) contains it — re-ranking the shortlist by
+            # exact score then returns it in the final top-k by construction
+            F.sum(
+                F.when(
+                    (F.col("r_exact") <= k) & (F.col("r_adc") <= rerank_depth), 1
+                ).otherwise(0)
+            ).alias("n_hit_rerank"),
+        )
+        .select(
+            "q_id",
+            (F.col("n_hit").cast("double") / k).alias("recall_at_k"),
+            (F.col("n_hit_rerank").cast("double") / k).alias("recall_rerank"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("recall_at_k").alias("mean_recall"),
+        F.min("recall_at_k").alias("min_recall"),
+        F.avg("recall_rerank").alias("mean_recall_rerank"),
+    )

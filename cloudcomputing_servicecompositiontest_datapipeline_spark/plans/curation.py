@@ -396,3 +396,41 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     return bpe.bpe_train_df(_docs(spark, sf_dir), "text", n_merges=10)
+
+
+@query("similarity_pq_encode")
+def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 product quantization (Jégou et al. 2011): encode every embedding
+    to a 16-subvector PQ code — the representation that shrinks a
+    billion-vector ANN working set by ~2 orders of magnitude.  Codebooks
+    train on a bounded seeded sample (driver Lloyd's, the IVF recipe);
+    encoding bakes them into the plan as literals, so it is row-local and
+    shuffle-free.  Rows-only (k-means is engine-specific); code digests and
+    determinism pinned in tests/test_curation.py."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    cbs = sim.pq_train(emb, m=16, k=16)
+    return sim.pq_encode(emb, cbs).select(
+        "vec_id",
+        F.md5(F.array_join(F.transform(F.col("codes"), lambda c: c.cast("string")), "-")).alias(
+            "code_digest"
+        ),
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+    )
+
+
+@query("similarity_pq_eval")
+def similarity_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 self-eval: recall@5 of PQ asymmetric-distance (ADC) ranking vs
+    exact ranking over a 10-query panel, raw AND after the production
+    two-stage pattern (ADC shortlist 50 → exact re-rank).  On these
+    near-random synthetic embeddings raw ADC recall is mid (~0.38 at 8x32;
+    0.66 at 16x64) — the worst case for PQ, which exploits manifold
+    structure real embeddings have — while the re-ranked path recovers it
+    (~0.82+); floors pinned in tests."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    cbs = sim.pq_train(emb, m=8, k=32)
+    return sim.pq_topk_recall(emb, emb.filter(F.col("vec_id") < 10), cbs, k=5)
