@@ -155,3 +155,38 @@ def bpe_train_df(df: DataFrame, text_col: str, *, n_merges: int = 10) -> DataFra
     return spark.createDataFrame(
         rows, "merge_order INT, a STRING, b STRING, merged STRING, count BIGINT"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple],
+) -> DataFrame:
+    """Tokenize with a LEARNED merge list: start from character symbols and
+    apply the merges in learned priority order (the standard greedy BPE
+    encoder) — ``n_merges`` row-local folds, no shuffle, merges baked as
+    literals.  Output: (id, tokens:array<string>, n_tokens) per WORD
+    position re-joined per document.
+
+    At 100 TB this is the map-only "tokenize the corpus" pass a training
+    exporter runs after vocabulary induction; cost is |merges| fused folds
+    over each row."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    words = F.filter(toks, lambda w: F.length(w) > 0)
+    symbolized = F.transform(words, _initial_symbols)
+
+    # factory keeps the per-round closure a TRUE 1-arg function — default
+    # kwargs would change the signature PySpark inspects to pick the
+    # transform lambda arity
+    def round_fn(a: str, b: str):
+        return lambda s: _apply_merge(s, a, b)
+
+    for m in merges:
+        symbolized = F.transform(symbolized, round_fn(m[0], m[1]))
+    flat = F.flatten(symbolized)
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        flat.alias("tokens"),
+        F.size(flat).alias("n_tokens"),
+    )

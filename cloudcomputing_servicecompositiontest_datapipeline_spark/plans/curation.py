@@ -434,3 +434,20 @@ def similarity_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = star.table(spark, sf_dir, "embeddings")
     cbs = sim.pq_train(emb, m=8, k=32)
     return sim.pq_topk_recall(emb, emb.filter(F.col("vec_id") < 10), cbs, k=5)
+
+
+@query("text_bpe_encode")
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 encoder: tokenize the corpus with the 10 learned merges -- a
+    map-only pass (merges baked as literals, one row-local fold per merge).
+    Rows-only (depends on the learned merge list); encoder semantics pinned
+    against known merge sequences in tests/test_curation.py."""
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_train(docs, "text", n_merges=10)
+    return bpe.bpe_encode(docs, "text", "doc_id", merges).select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join(F.col("tokens"), "")).alias("token_digest"),
+    )

@@ -364,3 +364,19 @@ def test_pq_rerank_recovers_recall(spark, sf_check_dir):
     assert r.mean_recall_rerank >= r.mean_recall
     assert r.mean_recall >= 0.4  # raw ADC floor (measured 0.66)
     assert r.mean_recall_rerank >= 0.8  # shortlist-50 recovers (measured ~0.9+)
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new news")], "doc_id LONG, text STRING"
+    )
+    merges = bpe.bpe_train(df, "text", n_merges=4)
+    got = {r.doc_id: r.tokens for r in bpe.bpe_encode(df, "text", "doc_id", merges).collect()}
+    # merges: (l,o) (lo,w) (lo,w</w>) (low,e)
+    assert got[1] == ["low</w>", "lowe", "r</w>", "lowe", "s", "t</w>", "low</w>"]
+    assert got[2] == ["n", "e", "w</w>", "n", "e", "w", "s</w>"]
+    # zero merges -> pure character symbols
+    raw = {r.doc_id: r.n_tokens for r in bpe.bpe_encode(df, "text", "doc_id", []).collect()}
+    assert raw[2] == len("new") + len("news")
