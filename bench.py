@@ -57,6 +57,7 @@ NEW_R3 = [
     "curation_token_budget",
     "text_quality_funnel_report",
     "text_bpe_pair_counts",
+    "drift_events_value",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -279,3 +279,17 @@ class Engine:
 
         cbs = s.pq_train(emb, id_col=id_col, vec_col=vec_col, m=m, k=k)
         return s.pq_encode(emb, cbs, id_col=id_col, vec_col=vec_col)
+
+
+    def drift(self, old: DataFrame, new: DataFrame, col: str, *, bins: int = 10) -> DataFrame:
+        """X38: PSI + JS distribution drift between two snapshots of a
+        numeric column (bin counts shuffle, never rows)."""
+        from .operators.quality_checks import psi_drift
+
+        return psi_drift(old, new, col, bins=bins)
+
+    def drift_categorical(self, old: DataFrame, new: DataFrame, col: str) -> DataFrame:
+        """X38: per-value PSI attribution for a categorical column."""
+        from .operators.quality_checks import categorical_drift
+
+        return categorical_drift(old, new, col)

@@ -120,3 +120,130 @@ def profile_columns(df: DataFrame, cols: list[str], *, exact_distinct: bool = Tr
         ]
     )
     return one.select(F.explode(packed).alias("p")).select("p.*")
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X38 distribution-drift report between two corpus snapshots for one
+    numeric column: equi-width bin shares over the COMBINED min/max range,
+    Population Stability Index  PSI = sum (p_new - p_old) * ln(p_new/p_old)
+    and Jensen-Shannon divergence per bin, plus the totals row — the
+    monitor a data pipeline runs when a new crawl/ingest batch arrives
+    (PSI > 0.2 is the classic "investigate" threshold; both metrics are
+    public standards).
+
+    Scale shape: ONE tiny min/max aggregate over the union (2 rows ->
+    broadcast), then each snapshot reduces map-side to ``bins`` counts --
+    the shuffle carries bins rows per partition, never data rows.  Shares
+    are eps-smoothed so empty bins stay finite; all math is double with
+    floor-rounding, hence oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col).cast("double")
+    both = old.select(c.alias("_v")).unionByName(new.select(c.alias("_v")))
+    # ONE stats pass, two doubles to the driver, baked as literals — the
+    # bounded-collect pattern (cf. IVF sample / Bloom words): bin edges as
+    # plan literals make both binning passes map-only instead of
+    # re-aggregating min/max per snapshot behind a one-row broadcast.
+    srow = both.agg(F.min("_v").alias("mn"), F.max("_v").alias("mx")).first()
+    mn, mx = float(srow["mn"]), float(srow["mx"])
+    width = (mx - mn) / bins or 1.0
+
+    def binned(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.select(c.alias("_v"))
+            .select(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col("_v") - F.lit(mn)) / F.lit(width)).cast("int"),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"n_{label}"))
+        )
+
+    o = binned(old, "old")
+    n = binned(new, "new")
+    all_bins = old.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        all_bins.join(o, "bin", "left")
+        .join(n, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn")
+    )
+    mult = float(10**round_scale)
+
+    def r6(x):
+        return F.floor(x * mult + 0.5) / mult
+
+    p = F.col("n_old") / F.col("_to") + eps
+    q = F.col("n_new") / F.col("_tn") + eps
+    m = (p + q) / 2
+    per_bin = (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_old",
+            "n_new",
+            ((q - p) * F.log(q / p)).alias("_psi"),
+            (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("_js"),
+        )
+    )
+    # decimal-accumulate the per-bin terms so the sum is order-insensitive
+    # (terms themselves are engine-identical doubles; only the fold order
+    # would otherwise differ between engines/partitionings)
+    dec = "decimal(28,12)"
+    return per_bin.agg(
+        F.sum("n_old").cast("long").alias("n_old"),
+        F.sum("n_new").cast("long").alias("n_new"),
+        r6(F.sum(F.col("_psi").cast(dec)).cast("double")).alias("psi"),
+        r6(F.sum(F.col("_js").cast(dec)).cast("double")).alias("js_divergence"),
+    )
+
+
+def categorical_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    *,
+    eps: float = 1e-6,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X38 categorical twin: per-value share drift with PSI attribution per
+    value (which category moved) -- one count aggregate per snapshot on the
+    value, full-outer joined; no binning needed."""
+    from pyspark.sql import functions as F
+
+    o = old.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n_old"))
+    n = new.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n_new"))
+    joined = o.join(n, "value", "full_outer").select(
+        "value",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = joined.agg(F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn"))
+    mult = float(10**round_scale)
+    p = F.col("n_old") / F.col("_to") + eps
+    q = F.col("n_new") / F.col("_tn") + eps
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "value",
+            "n_old",
+            "n_new",
+            (F.floor((q - p) * F.log(q / p) * mult + 0.5) / mult).alias("psi_term"),
+        )
+    )

@@ -451,3 +451,84 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.md5(F.array_join(F.col("tokens"), "")).alias("token_digest"),
     )
+
+
+@query(
+    "drift_events_value",
+    oracle="""
+    WITH stats AS (
+      SELECT min(cast(value AS double)) AS mn, max(cast(value AS double)) AS mx
+      FROM events),
+    o AS (
+      SELECT least(9, cast(floor((cast(value AS double) - mn) / ((mx - mn) / 10)) AS int)) AS bin,
+             count(*) AS n_old
+      FROM events, stats WHERE event_id % 2 = 0 GROUP BY 1),
+    n AS (
+      SELECT least(9, cast(floor((cast(value AS double) - mn) / ((mx - mn) / 10)) AS int)) AS bin,
+             count(*) AS n_new
+      FROM events, stats WHERE event_id % 2 = 1 GROUP BY 1),
+    bins AS (
+      SELECT b.bin, coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new
+      FROM (SELECT unnest(range(0, 10)) AS bin) b
+      LEFT JOIN o ON o.bin = b.bin LEFT JOIN n ON n.bin = b.bin),
+    tot AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM bins),
+    terms AS (
+      SELECT n_old, n_new,
+             (n_new / t_n + 0.000001) AS q, (n_old / t_o + 0.000001) AS p,
+             ((n_old / t_o + 0.000001) + (n_new / t_n + 0.000001)) / 2 AS m
+      FROM bins, tot)
+    SELECT cast(sum(n_old) AS bigint) AS n_old, cast(sum(n_new) AS bigint) AS n_new,
+           floor(cast(sum(cast((q - p) * ln(q / p) AS decimal(28,12))) AS double) * 1000000 + 0.5) / 1000000 AS psi,
+           floor(cast(sum(cast(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m) AS decimal(28,12))) AS double) * 1000000 + 0.5) / 1000000 AS js_divergence
+    FROM terms
+    """,
+)
+def drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 numeric distribution drift: PSI + Jensen-Shannon divergence of
+    events.value between the even-id and odd-id snapshot halves (a
+    deterministic stand-in for yesterday-vs-today ingests).  Equi-width
+    bins over the combined range; each snapshot reduces map-side to 10 bin
+    counts, so the shuffle carries bins, never rows; per-bin terms
+    decimal-accumulate for engine-independent sums."""
+    from ..operators.quality_checks import psi_drift
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        bins=10,
+    )
+
+
+@query(
+    "drift_documents_lang",
+    oracle="""
+    WITH o AS (SELECT lang AS value, count(*) AS n_old FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    n AS (SELECT lang AS value, count(*) AS n_new FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+    j AS (
+      SELECT coalesce(o.value, n.value) AS value,
+             coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      FROM o FULL OUTER JOIN n ON o.value = n.value),
+    tot AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j)
+    SELECT value, n_old, n_new,
+           floor(((n_new / t_n + 0.000001) - (n_old / t_o + 0.000001))
+                 * ln((n_new / t_n + 0.000001) / (n_old / t_o + 0.000001))
+                 * 1000000 + 0.5) / 1000000 AS psi_term
+    FROM j, tot
+    """,
+)
+def drift_documents_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 categorical drift with per-value PSI attribution (WHICH category
+    moved): per-snapshot value counts full-outer joined -- no binning, one
+    count aggregate per side, broadcast one-row totals."""
+    from ..operators.quality_checks import categorical_drift
+
+    apply_runtime_conf(spark)
+    d = star.table(spark, sf_dir, "documents")
+    return categorical_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )

@@ -380,3 +380,38 @@ def test_bpe_encode_applies_merges_in_order(spark):
     # zero merges -> pure character symbols
     raw = {r.doc_id: r.n_tokens for r in bpe.bpe_encode(df, "text", "doc_id", []).collect()}
     assert raw[2] == len("new") + len("news")
+
+
+
+# ----------------------------------------------------- X38 drift monitors
+
+
+def test_psi_drift_zero_for_identical_snapshots(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import psi_drift
+
+    df = spark.createDataFrame([(i, float(i % 17)) for i in range(500)], "id LONG, v DOUBLE")
+    r = psi_drift(df, df, "v", bins=10).first()
+    assert r.n_old == 500 and r.n_new == 500
+    assert abs(r.psi) < 1e-9 and abs(r.js_divergence) < 1e-9
+
+
+def test_psi_drift_detects_shift(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import psi_drift
+
+    old = spark.createDataFrame([(i, float(i % 10)) for i in range(500)], "id LONG, v DOUBLE")
+    new = spark.createDataFrame([(i, float(i % 10) + 5.0) for i in range(500)], "id LONG, v DOUBLE")
+    r = psi_drift(old, new, "v", bins=10).first()
+    assert r.psi > 0.2  # classic "investigate" threshold clearly exceeded
+    assert r.js_divergence > 0.05
+
+
+def test_categorical_drift_attribution(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import categorical_drift
+
+    old = spark.createDataFrame([(i, "en" if i < 80 else "de") for i in range(100)], "id LONG, lang STRING")
+    new = spark.createDataFrame([(i, "en" if i < 20 else "de") for i in range(100)], "id LONG, lang STRING")
+    got = {r.value: r for r in categorical_drift(old, new, "lang").collect()}
+    # en share fell 0.8 -> 0.2 (psi term positive, large); de rose
+    assert got["en"].psi_term > 0.5
+    assert got["de"].psi_term > 0.2
+    assert got["en"].n_old == 80 and got["en"].n_new == 20

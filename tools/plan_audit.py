@@ -48,6 +48,8 @@ ALLOWLIST = {
     "skew_key_report": ("BroadcastNestedLoopJoin", "single global-total row over per-key counts"),
     "curation_source_mix": ("BroadcastNestedLoopJoin", "single corpus-total row for share"),
     "curation_temperature_resample": ("BroadcastNestedLoopJoin", "single n_min row over per-domain counts"),
+    "drift_events_value": ("BroadcastNestedLoopJoin", "single totals row over the 10-bin table"),
+    "drift_documents_lang": ("BroadcastNestedLoopJoin", "single totals row over per-value counts"),
     # int8-fidelity eval: broadcast side is the bounded 10-query panel
     "similarity_quantized_recall": ("BroadcastNestedLoopJoin", "bounded query panel vs linear corpus scan"),
 }
