@@ -293,3 +293,17 @@ class Engine:
         from .operators.quality_checks import categorical_drift
 
         return categorical_drift(old, new, col)
+
+
+    def shard_manifest(self, path: str) -> DataFrame:
+        """X39: delivery manifest (file, rows, bytes, sha256) per shard."""
+        from .sources.io import shard_manifest
+
+        return shard_manifest(self.spark, path)
+
+    def verify_delivery(self, path: str, manifest: DataFrame) -> DataFrame:
+        """X39: byte-level integrity re-check vs a shipped manifest
+        (discrepancy rows only; empty == intact)."""
+        from .sources.io import verify_manifest
+
+        return verify_manifest(self.spark, path, manifest)

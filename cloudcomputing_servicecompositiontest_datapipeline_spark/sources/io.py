@@ -317,3 +317,73 @@ def compact_parquet_zorder(
     )
     out.write.mode("overwrite").parquet(out_path)
     return _count_files(spark, out_path, ".parquet")
+
+
+def shard_manifest(spark: SparkSession, path: str) -> "DataFrame":
+    """X39 delivery manifest for an exported shard directory: one row per
+    parquet file with row count, byte size, and content sha256 -- what a
+    training-data hand-off ships alongside the shards so the consumer can
+    verify the delivery (and what :func:`verify_manifest` re-checks later).
+
+    Row counts come from ONE parquet scan grouped by ``input_file_name``
+    (metadata-only count per file); hashes stream each file through
+    ``binaryFile`` + ``sha2`` in parallel (one task per file).  Output is
+    keyed by file NAME (not full path) so a manifest survives relocation."""
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("_path"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.element_at(F.split("_path", "/"), -1).alias("file"), "n_rows")
+    )
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.col("length").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
+    )
+    return blobs.join(rows, "file", "left").select(
+        "file", F.coalesce("n_rows", F.lit(0)).alias("n_rows"), "n_bytes", "content_sha256"
+    )
+
+
+def verify_manifest(spark: SparkSession, path: str, manifest: "DataFrame") -> "DataFrame":
+    """X39 integrity re-check: re-hash the directory BYTE-LEVEL (binaryFile
+    + sha2 — deliberately NOT a parquet read, so a corrupted footer is
+    reported as a discrepancy instead of failing the scan) and full-outer
+    join against the shipped manifest.  Emits ONLY discrepancies (missing /
+    unexpected / modified files); empty result == delivery intact."""
+    # an integrity checker must not trust the session's FileStatusCache —
+    # stale listed lengths would either mask a modification or fail the scan
+    spark.catalog.refreshByPath(path)
+    cur = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            F.col("length").alias("cur_bytes"),
+            F.sha2(F.col("content"), 256).alias("cur_sha"),
+        )
+    )
+    exp = manifest.select(
+        "file",
+        F.col("n_bytes").alias("exp_bytes"),
+        F.col("content_sha256").alias("exp_sha"),
+    )
+    j = exp.join(cur, "file", "full_outer")
+    status = (
+        F.when(F.col("cur_sha").isNull(), F.lit("missing"))
+        .when(F.col("exp_sha").isNull(), F.lit("unexpected"))
+        .when(
+            (F.col("cur_sha") != F.col("exp_sha"))
+            | (F.col("cur_bytes") != F.col("exp_bytes")),
+            F.lit("modified"),
+        )
+    )
+    return j.select(
+        "file", status.alias("status"), "exp_bytes", "cur_bytes"
+    ).filter(F.col("status").isNotNull())
