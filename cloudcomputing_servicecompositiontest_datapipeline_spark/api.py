@@ -307,3 +307,44 @@ class Engine:
         from .sources.io import verify_manifest
 
         return verify_manifest(self.spark, path, manifest)
+
+
+    def data_card(
+        self,
+        docs: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        source_col: str = "source",
+        lang_col: str = "lang",
+    ) -> dict[str, DataFrame]:
+        """X40 capstone: the corpus "data card" — composition, quality
+        funnel, and length distribution in one call, shaped as the
+        ``{section: DataFrame}`` dict :meth:`write_report` publishes, so
+
+            eng.write_report(eng.data_card(docs), out_dir)
+
+        is the whole publish-a-datasheet flow.  Every section is an
+        already-verified operator; composition adds no new shuffles beyond
+        each section's own aggregate."""
+        from pyspark.sql import functions as F
+
+        from .operators import curation as cu
+        from .operators import text as tx
+        from .operators.dedup import normalized_text
+
+        funnel = tx.quality_funnel(docs, text_col, id_col)
+        toks = F.split(normalized_text(F.col(text_col)), " ")
+        length_hist = (
+            docs.select(F.floor(F.size(toks) / 10).cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select((F.col("bucket") * 10).alias("bucket_lo"), "n_docs")
+        )
+        lang_mix = cu.source_mix_report(docs, lang_col)
+        return {
+            "source_mix": cu.source_mix_report(docs, source_col),
+            "language_mix": lang_mix,
+            "quality_funnel": tx.funnel_report(funnel),
+            "length_histogram": length_hist,
+        }

@@ -415,3 +415,27 @@ def test_categorical_drift_attribution(spark):
     assert got["en"].psi_term > 0.5
     assert got["de"].psi_term > 0.2
     assert got["en"].n_old == 80 and got["en"].n_new == 20
+
+
+
+def test_data_card_publishes_via_write_report(spark, sf_dir, tmp_path):
+    """X40: the data-card dict plugs straight into write_report — a full
+    publish-a-datasheet flow in two calls; sections carry the documented
+    invariants (shares sum to 1, funnel conserves counts)."""
+    import os
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.api import Engine
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    eng = Engine(spark)
+    docs = star.table(spark, sf_dir, "documents")
+    card = eng.data_card(docs)
+    assert set(card) == {"source_mix", "language_mix", "quality_funnel", "length_histogram"}
+    shares = [r.share for r in card["language_mix"].collect()]
+    assert abs(sum(shares) - 1.0) < 1e-9
+    hist_total = sum(r.n_docs for r in card["length_histogram"].collect())
+    assert hist_total == docs.count()
+    out = str(tmp_path / "card")
+    paths = eng.write_report(card, out)
+    assert set(paths) == set(card)
+    assert all(os.path.isdir(p) for p in paths.values())
