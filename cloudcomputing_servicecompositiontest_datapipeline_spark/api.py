@@ -348,3 +348,11 @@ class Engine:
             "quality_funnel": tx.funnel_report(funnel),
             "length_histogram": length_hist,
         }
+
+
+    def project_embeddings(self, emb: DataFrame, *, out_dim: int = 16, seed: str = "jl0", id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        """X41: JL random projection to out_dim (hash-derived sign matrix,
+        row-local, no stored model)."""
+        from .operators import similarity as s
+
+        return s.random_projection(emb, id_col=id_col, vec_col=vec_col, out_dim=out_dim, seed=seed)

@@ -713,3 +713,110 @@ def pq_topk_recall(
         F.min("recall_at_k").alias("min_recall"),
         F.avg("recall_rerank").alias("mean_recall_rerank"),
     )
+
+
+
+def random_projection(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: str = "jl0",
+) -> DataFrame:
+    """X41 Johnson-Lindenstrauss random projection: project d-dim embeddings
+    to ``out_dim`` with a deterministic hash-derived +-1 matrix (Achlioptas
+    2003 sign variant, public) scaled by 1/sqrt(out_dim) -- the standard
+    cheap dimensionality cut run BEFORE LSH/IVF so bucket hashing and
+    centroid dots cost out_dim, not d.
+
+    The matrix never materializes: component (i, j) is
+    sign(xxhash64(seed:i:j)), generated inside the row expression -- so the
+    projection is row-local, shuffle-free, reproducible on any engine with
+    xxhash64, and needs no stored model.  Distortion obeys the JL lemma in
+    expectation; measured bounds are pinned by the self-eval below."""
+    dim = F.size(F.col(vec_col))
+
+    # factory keeps the row index i a PLAIN INT inside a true 1-arg lambda —
+    # `lambda j, i=i` would make PySpark pick transform's (element, index)
+    # form and bind i to the array-index Column
+    def component(i: int) -> F.Column:
+        def sign(j: F.Column) -> F.Column:
+            return F.when(
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(f"{seed}:{i}:"), j.cast("string"))),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(0), dim - 1), sign),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    comps = [component(i) for i in range(out_dim)]
+    inv = 1.0 / float(out_dim) ** 0.5
+    return ensure_parallelism(emb).select(
+        F.col(id_col),
+        F.array(*[(c * inv) for c in comps]).alias("projected"),
+    )
+
+
+def projection_distortion_eval(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    n_pairs_side: int = 40,
+    seed: str = "jl0",
+) -> DataFrame:
+    """X41 self-eval: pairwise-distance distortion of the projection over a
+    bounded id-slice pair panel -- reports mean/min/max of
+    ||p(a)-p(b)|| / ||a-b|| plus the fraction within the classic (0.5, 2.0)
+    band.  JL guarantees concentration near 1 as out_dim grows; the floors
+    are pinned in tests so a broken projection (wrong scaling, collapsed
+    dim) fails loudly."""
+    proj = random_projection(emb, id_col=id_col, vec_col=vec_col, out_dim=out_dim, seed=seed)
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).join(
+        proj.select(F.col(id_col).alias("_id"), "projected"), "_id"
+    ).filter(F.col("_id") < n_pairs_side)
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("projected").alias("pa")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("projected").alias("pb")
+    )
+
+    def dist(x, y):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(x, y, lambda p, q: (p.cast("double") - q.cast("double")) ** 2),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (dist(F.col("pa"), F.col("pb")) / dist(F.col("va"), F.col("vb"))).alias("ratio")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("ratio").alias("mean_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        F.avg(
+            F.when((F.col("ratio") > 0.5) & (F.col("ratio") < 2.0), 1.0).otherwise(0.0)
+        ).alias("frac_in_band"),
+    )

@@ -532,3 +532,29 @@ def drift_documents_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 1),
         "lang",
     )
+
+
+@query("similarity_jl_projection")
+def similarity_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41 Johnson-Lindenstrauss random projection to 16 dims: the matrix is
+    hash-derived signs generated inside the row expression (no stored
+    model), so projection is row-local and shuffle-free.  Rows-only (DuckDB
+    has no xxhash64); distortion bounds pinned by the eval twin + tests."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    proj = sim.random_projection(emb, out_dim=16)
+    mult = 1000000.0
+    return proj.select(
+        "vec_id",
+        (F.floor(F.aggregate(F.col("projected"), F.lit(0.0), lambda a, x: a + x * x) * mult + 0.5) / mult).alias("proj_norm2"),
+    )
+
+
+@query("similarity_jl_eval")
+def similarity_jl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41 self-eval: pairwise-distance distortion of the 16-dim projection
+    over a bounded pair panel (mean/min/max ratio + fraction inside the
+    (0.5, 2) band) -- the JL-lemma concentration made measurable."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    return sim.projection_distortion_eval(emb, out_dim=16)

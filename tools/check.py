@@ -91,7 +91,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark=({sn} rows, {sc}, {sh}) oracle=({on} rows, {oc}, {oh})")
             if sn and on and sc == oc and sn == on:
                 # show first differing row pair for debugging
-                a = sdf[sorted(sdf.columns)].applymap(norm_cell) if hasattr(sdf, "applymap") else None
+                a = sdf[sorted(sdf.columns)].map(norm_cell) if hasattr(sdf, "map") else None
         else:
             print(f"OK    {name}: {sn} rows hash={sh} [{time.time()-t0:.1f}s]")
     print(f"\n{n_checked} oracle-checked, {len(failures)} failures: {failures}")
