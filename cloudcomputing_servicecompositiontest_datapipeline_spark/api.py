@@ -356,3 +356,12 @@ class Engine:
         from .operators import similarity as s
 
         return s.random_projection(emb, id_col=id_col, vec_col=vec_col, out_dim=out_dim, seed=seed)
+
+
+    def perplexity(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, top_k: int | None = None) -> DataFrame:
+        """X42: corpus-trained bigram-LM perplexity per document (CCNet-style
+        quality signal; model bounded by top_k at scale)."""
+        from .operators import text as tx
+
+        model = tx.train_bigram_lm(docs, text_col, top_k=top_k)
+        return tx.perplexity_scores(docs, text_col, id_col, model)

@@ -429,3 +429,144 @@ def funnel_report(funnel: DataFrame) -> DataFrame:
     return row.select(
         F.explode(F.array(*sections)).alias("s")
     ).select("s.rule_order", "s.rule", "s.n_reached", "s.n_dropped", "s.drop_rate")
+
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_k: int | None = None,
+) -> dict:
+    """X42 CCNet-style quality model: an interpolated add-one bigram LM
+    trained on the corpus itself (Wenzek et al. 2020 filter perplexity with
+    a KenLM 5-gram; the bigram form keeps the model literal-bakeable).
+
+    Counts are distributed aggregates; only the (optionally top_k-capped,
+    count-desc word-asc deterministic) count tables come to the driver --
+    the model size is bounded by the PARAMETER, the bounded-collect
+    justification of the IVF/Bloom patterns.  Returns {"uni": {...},
+    "bi": {...}, "n_tokens": N, "vocab": V}."""
+    from .dedup import normalized_text
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    words = ensure_parallelism(df).select(F.explode(toks).alias("w")).filter(
+        F.length("w") > 0
+    )
+    uq = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    if top_k:
+        uq = uq.orderBy(F.col("n").desc(), "w").limit(top_k)
+    uni = {r["w"]: int(r["n"]) for r in uq.collect()}
+    pairs_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("a"),
+            F.element_at(toks, i + 2).alias("b"),
+        ),
+    )
+    bq = (
+        ensure_parallelism(df)
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k:
+        bq = bq.orderBy(F.col("n").desc(), "a", "b").limit(top_k)
+    bi = {(r["a"], r["b"]): int(r["n"]) for r in bq.collect()}
+    return {
+        "uni": uni,
+        "bi": bi,
+        "n_tokens": sum(uni.values()),
+        "vocab": len(uni),
+    }
+
+
+def perplexity_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: dict,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X42 scoring: per-document bigram perplexity under ``model`` --
+    exp(-mean ln p(w_i | w_{i-1})) with interpolated add-one smoothing
+    p(w|prev) = (c(prev,w) + (c(w)+1)/(N+V)) / (c(prev) + 1).
+
+    The model ships as LITERAL maps inside the expression (size bounded by
+    the training top_k), so scoring is row-local and shuffle-free; at a
+    vocabulary too big to bake, swap the literal maps for a broadcast join
+    on the bigram key -- the formula and outputs are unchanged.  Low
+    perplexity = in-distribution text; the classic CCNet cut keeps the
+    low/middle perplexity bands.  Docs with <2 tokens score NULL."""
+    from .dedup import normalized_text
+
+    uni, bi = model["uni"], model["bi"]
+    n_tok, vocab = model["n_tokens"], model["vocab"]
+    uni_map = (
+        F.create_map(
+            *[F.lit(x) for kv in uni.items() for x in (kv[0], float(kv[1]))]
+        )
+        if uni
+        else F.create_map().cast("map<string,double>")
+    )
+    bi_map = (
+        F.create_map(
+            *[
+                F.lit(x)
+                for (a, b), n in bi.items()
+                for x in (a + "\u0001" + b, float(n))
+            ]
+        )
+        if bi
+        else F.create_map().cast("map<string,double>")
+    )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    pair_logps = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: (
+            F.log(
+                (
+                    F.coalesce(
+                        F.element_at(
+                            bi_map,
+                            F.concat(
+                                F.element_at(toks, i + 1),
+                                F.lit("\u0001"),
+                                F.element_at(toks, i + 2),
+                            ),
+                        ),
+                        F.lit(0.0),
+                    )
+                    + (
+                        F.coalesce(F.element_at(uni_map, F.element_at(toks, i + 2)), F.lit(0.0))
+                        + 1.0
+                    )
+                    / float(n_tok + vocab)
+                )
+                / (
+                    F.coalesce(F.element_at(uni_map, F.element_at(toks, i + 1)), F.lit(0.0))
+                    + 1.0
+                )
+            )
+        ),
+    )
+    mult = float(10**round_scale)
+    # decimal-accumulate the per-pair log-probs (terms are engine-identical
+    # doubles; only fold order would differ between engines)
+    dec = "decimal(28,12)"
+    mean_logp = (
+        F.aggregate(
+            F.transform(pair_logps, lambda x: x.cast(dec)),
+            F.lit(0).cast(dec),
+            lambda a, x: (a + x).cast(dec),
+        ).cast("double")
+        / F.size(pair_logps)
+    )
+    ppl = F.when(F.size(toks) >= 2, F.exp(-mean_logp))
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        (F.floor(ppl * mult + 0.5) / mult).alias("perplexity"),
+    )

@@ -558,3 +558,46 @@ def similarity_jl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
     return sim.projection_distortion_eval(emb, out_dim=16)
+
+
+@query(
+    "text_perplexity_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    wf AS (
+      SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM t)
+      WHERE length(w) > 0 GROUP BY 1),
+    stats AS (SELECT sum(c) AS n, count(*) AS v FROM wf),
+    pairs AS (
+      SELECT doc_id, tk[i + 1] AS a, tk[i + 2] AS b
+      FROM t, unnest(range(0, greatest(len(tk) - 2, 0) + 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    bf AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY 1, 2),
+    scored AS (
+      SELECT p.doc_id,
+             cast(ln((coalesce(bf.c, 0) + (coalesce(uw.c, 0) + 1.0) / (stats.n + stats.v))
+                     / (coalesce(up.c, 0) + 1.0)) AS decimal(28,12)) AS lp
+      FROM pairs p
+      LEFT JOIN bf ON bf.a = p.a AND bf.b = p.b
+      LEFT JOIN wf uw ON uw.w = p.b
+      LEFT JOIN wf up ON up.w = p.a, stats)
+    SELECT t.doc_id, cast(len(tk) AS int) AS n_tokens,
+           CASE WHEN len(tk) >= 2 THEN
+             floor(exp(-(cast(s.slp AS double) / (len(tk) - 1))) * 1000000 + 0.5) / 1000000
+           END AS perplexity
+    FROM t LEFT JOIN (SELECT doc_id, sum(lp) AS slp FROM scored GROUP BY 1) s
+      ON s.doc_id = t.doc_id
+    """,
+)
+def text_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42 CCNet-style perplexity quality scoring (Wenzek et al. 2020): an
+    interpolated add-one bigram LM trained on the corpus itself (counts =
+    distributed aggregates; only the bounded count tables reach the
+    driver), then every document scored row-locally against the
+    literal-baked model -- low perplexity = in-distribution text, the
+    classic keep-band filter.  Per-pair log-probs decimal-accumulate so the
+    DuckDB twin (which rebuilds the same model with joins) hash-matches."""
+    docs = _docs(spark, sf_dir)
+    model = tx.train_bigram_lm(docs, "text")
+    return tx.perplexity_scores(docs, "text", "doc_id", model)

@@ -119,7 +119,8 @@ DRIVER_WINDOW: list[str] = [
 # text_quality_funnel_report (X35), text_bpe_pair_counts +
 # text_bpe_merges + text_bpe_encode (X36), similarity_pq_encode +
 # similarity_pq_eval (X37), drift_events_value + drift_documents_lang (X38),
-# and similarity_jl_projection + similarity_jl_eval (X41).
+# similarity_jl_projection + similarity_jl_eval (X41), and
+# text_perplexity_scores (X42).
 # r4 leads with those (plus any r3 FAILs) to finish the sweep.
 
 

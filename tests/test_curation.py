@@ -468,3 +468,35 @@ def test_jl_projection_deterministic_and_seeded(spark, sf_dir):
     assert a == b  # partitioning-independent
     c = {r.vec_id: r.projected for r in sim.random_projection(emb, out_dim=8, seed="jl1").collect()}
     assert a != c  # seed re-deals the matrix
+
+
+
+# -------------------------------------------------- X42 perplexity scoring
+
+
+def test_perplexity_separates_ood_text(spark):
+    """A bigram LM trained on clean text must score out-of-distribution
+    junk much higher than in-distribution sentences."""
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    model = tx.train_bigram_lm(train, "text")
+    score_df = spark.createDataFrame(
+        [(1, "the cat sat on the rug"), (2, "zz qq ww ee rr tt")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.perplexity for r in tx.perplexity_scores(score_df, "text", "doc_id", model).collect()}
+    assert got[2] > 3 * got[1]  # junk is clearly out of distribution
+
+
+def test_perplexity_short_doc_is_null_and_partition_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "word"), (2, "two words here")], "doc_id LONG, text STRING"
+    )
+    model = tx.train_bigram_lm(df, "text")
+    a = {r.doc_id: r.perplexity for r in tx.perplexity_scores(df, "text", "doc_id", model).collect()}
+    b = {r.doc_id: r.perplexity for r in tx.perplexity_scores(df.repartition(3), "text", "doc_id", model).collect()}
+    assert a == b
+    assert a[1] is None  # <2 tokens -> no bigram evidence
+    assert a[2] is not None and a[2] > 0
