@@ -50,8 +50,11 @@ ALLOWLIST = {
     "curation_temperature_resample": ("BroadcastNestedLoopJoin", "single n_min row over per-domain counts"),
     "drift_events_value": ("BroadcastNestedLoopJoin", "single totals row over the 10-bin table"),
     "drift_documents_lang": ("BroadcastNestedLoopJoin", "single totals row over per-value counts"),
-    # int8-fidelity eval: broadcast side is the bounded 10-query panel
+    # int8/PQ-fidelity evals: broadcast side is the bounded 10-query panel
     "similarity_quantized_recall": ("BroadcastNestedLoopJoin", "bounded query panel vs linear corpus scan"),
+    "similarity_pq_eval": ("BroadcastNestedLoopJoin", "bounded query panel vs linear code scan"),
+    # JL distortion eval: all-pairs over a bounded 40-vector id slice
+    "similarity_jl_eval": ("CartesianProduct", "bounded 40x40 pair panel for distortion stats"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
