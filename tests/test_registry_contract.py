@@ -57,3 +57,27 @@ def test_window_rows_only_entries_are_the_declared_exceptions():
 def test_every_oracle_has_a_query():
     dangling = [n for n in registry.ORACLES if n not in registry.QUERIES]
     assert not dangling
+
+
+
+def test_bench_contract_shape():
+    """bench.py is a driver contract too: it must print ONE JSON line with
+    metric/value/unit/queries/sf, and every name it times must be a
+    registered query (a rename that forgets bench would otherwise only
+    surface as a driver-side crash at round end)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    import __spark_entry__ as em
+
+    qs = set(em.queries())
+    for name in bench.HEADLINE + bench.EXTRA + bench.NEW_R3:
+        assert name in qs, f"bench times unknown query {name!r}"
+    # headline set frozen since r1 for cross-round comparability
+    assert len(bench.HEADLINE) == 15
+    assert len(set(bench.HEADLINE + bench.EXTRA + bench.NEW_R3)) == len(
+        bench.HEADLINE + bench.EXTRA + bench.NEW_R3
+    )
