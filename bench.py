@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS].  Prints ONE compact JSON line (fits the
+driver's 2000-byte stdout-tail capture):
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+and writes the FULL record (extra/new tables, secondary SF, vs_prev deltas)
+to the committed sidecar BENCH_DETAIL.json.
 
 Each query executes fully (noop sink — no driver collect cost) after a
 warm-up pass of the session.
@@ -179,19 +182,26 @@ def main() -> None:
                 for n in secondary
             },
         }
-    # Bench continuity: per-query delta vs the newest recorded BENCH_r{N}.json
-    # (same query set since r1), so regressions are visible round over round.
+    # Bench continuity: per-query delta vs the previous round's FULL record.
+    # Preferred source is our own sidecar BENCH_DETAIL.json (always complete);
+    # fall back to the newest PARSEABLE driver BENCH_r{N}.json (r3's was
+    # tail-truncated -> parsed: null; skip such files rather than crash).
     here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     prior = sorted(f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json"))
-    if prior:
+    candidates = [detail_path] + [os.path.join(here, f) for f in reversed(prior)]
+    for path in candidates:
         try:
-            with open(os.path.join(here, prior[-1])) as f:
+            with open(path) as f:
                 prev = json.load(f)
-            prev = prev.get("parsed", prev)  # driver files wrap under "parsed"
+            prev = prev.get("parsed") or prev  # driver files wrap under "parsed"
+            if not isinstance(prev, dict) or "queries" not in prev:
+                continue
             pq = prev.get("queries", {})
             pe = prev.get("extra_queries", {})
+            pn = prev.get("new_queries", {})
             out["vs_prev"] = {
-                "round": prior[-1],
+                "round": os.path.basename(path),
                 "total_delta_sec": round(out["value"] - prev.get("value", 0.0), 3),
                 "queries_delta_sec": {
                     n: round(t - pq[n], 3) for n, t in timings.items() if n in pq
@@ -199,10 +209,33 @@ def main() -> None:
                 "extra_delta_sec": {
                     n: round(t - pe[n], 3) for n, t in extra.items() if n in pe
                 },
+                "new_delta_sec": {
+                    n: round(t - pn[n], 3) for n, t in new_r3.items() if n in pn
+                },
             }
+            break
         except (OSError, ValueError):
-            pass
-    print(json.dumps(out))
+            continue
+    # The driver's stdout-tail capture is 2000 bytes and json-parses what it
+    # caught: the r3 full record outgrew it (parsed: null).  So the FULL
+    # record goes to the committed sidecar BENCH_DETAIL.json, and stdout
+    # stays ONE compact self-contained line (metric/value/unit/queries/sf —
+    # the whole contract) that always fits the tail.
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": "headline_total",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": timings,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

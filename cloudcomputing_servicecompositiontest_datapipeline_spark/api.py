@@ -358,10 +358,18 @@ class Engine:
         return s.random_projection(emb, id_col=id_col, vec_col=vec_col, out_dim=out_dim, seed=seed)
 
 
-    def perplexity(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, top_k: int | None = None) -> DataFrame:
+    def perplexity(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, top_k: int | None = 50_000, method: str = "join") -> DataFrame:
         """X42: corpus-trained bigram-LM perplexity per document (CCNet-style
-        quality signal; model bounded by top_k at scale)."""
+        quality signal).  Default is the broadcast-join scoring path — the
+        model never leaves the cluster, so it scales to any corpus;
+        ``method="literal"`` bakes the (top_k-bounded) model into the plan
+        for tiny vocabularies.  ``top_k=None`` is only legal for "join"."""
         from .operators import text as tx
 
+        if method == "join":
+            uni_df, bi_df = tx.train_bigram_lm_df(docs, text_col, top_k=top_k)
+            return tx.perplexity_scores_join(docs, text_col, id_col, uni_df, bi_df)
+        if top_k is None:
+            raise ValueError("method='literal' requires a top_k bound (unbounded driver collect otherwise)")
         model = tx.train_bigram_lm(docs, text_col, top_k=top_k)
         return tx.perplexity_scores(docs, text_col, id_col, model)

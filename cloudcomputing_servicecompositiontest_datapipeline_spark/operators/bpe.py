@@ -169,9 +169,12 @@ def bpe_encode(
     literals.  Output: (id, tokens:array<string>, n_tokens) per WORD
     position re-joined per document.
 
-    At 100 TB this is the map-only "tokenize the corpus" pass a training
-    exporter runs after vocabulary induction; cost is |merges| fused folds
-    over each row."""
+    HARD BOUND: the chained-transform plan stops ANALYZING at ~50 merges
+    (Spark's resolution batch hits max iterations), so this path is for
+    demo/small vocabularies only — a real 32k-merge vocabulary must use
+    :func:`bpe_encode_pandas` (O(1) plan, result-identical for learned merge
+    lists; parity pinned in tests and the ``text_bpe_encode_parity``
+    declared query)."""
     toks = F.split(normalized_text(F.col(text_col)), " ")
     words = F.filter(toks, lambda w: F.length(w) > 0)
     symbolized = F.transform(words, _initial_symbols)
@@ -189,4 +192,89 @@ def bpe_encode(
         F.col(id_col),
         flat.alias("tokens"),
         F.size(flat).alias("n_tokens"),
+    )
+
+
+def bpe_encode_pandas(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple],
+) -> DataFrame:
+    """Large-vocabulary encoder: ONE Arrow ``mapInPandas`` pass with the
+    merge list shipped as a broadcast — plan size is O(1) in ``|merges|``,
+    so a real 32k–100k-merge vocabulary compiles where the per-merge
+    literal-fold chain of :func:`bpe_encode` would explode the expression
+    tree.  Inside the worker it is the standard rank-priority greedy encoder
+    (repeatedly merge the lowest-rank adjacent pair present; GPT-2 style):
+    for any merge list LEARNED by :func:`bpe_train` — where a compound
+    symbol's constituents always rank earlier than the compound — this is
+    result-identical to applying the merges in order, pinned by the
+    tests/test_curation.py parity test and the ``text_bpe_encode_parity``
+    declared query.
+
+    Words are tokenized JVM-side (same ``normalized_text`` split as every
+    other path) so normalization cannot drift between engines; only the
+    word arrays cross the Arrow boundary.  100 TB shape: map-only over the
+    corpus, merges broadcast once per executor, no shuffle."""
+    import pandas as pd
+
+    from .dedup import normalized_text
+
+    rank_of = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(rank_of)
+
+    def encode_word(word: str, ranks: dict) -> list[str]:
+        syms = list(word)
+        syms[-1] += EOW
+        while len(syms) >= 2:
+            best, best_rank = None, None
+            for p in zip(syms, syms[1:]):
+                r = ranks.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = p, r
+            if best is None:
+                break
+            a, b = best
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches):
+        ranks = bc.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_out = []
+            for words in pdf["_words"]:
+                doc_toks: list[str] = []
+                for w in words:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w, ranks)
+                        cache[w] = enc
+                    doc_toks.extend(enc)
+                toks_out.append(doc_toks)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks_out,
+                    "n_tokens": [len(t) for t in toks_out],
+                }
+            )
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.filter(toks, lambda w: F.length(w) > 0).alias("_words"),
+    )
+    id_type = dict(base.dtypes)[id_col]
+    return base.mapInPandas(
+        run, schema=f"{id_col} {id_type}, tokens array<string>, n_tokens int"
     )

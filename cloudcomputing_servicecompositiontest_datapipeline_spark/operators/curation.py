@@ -119,7 +119,13 @@ def temperature_resample(
     membership is the md5(salt‖id) draw against rate*2^draw_bits — pure
     function of (salt, id): reproducible across engines/epochs, no RNG
     state, and the corpus itself never shuffles (row-local predicate after
-    a broadcast hash join on the domain)."""
+    a broadcast hash join on the domain).
+
+    NULL domains are resampled as their own domain (null-safe join), per
+    the curation-family convention that a missing label is never silently
+    dropped (cf. blocklist_filter passing NULL sources to the next gate).
+    Output keeps the input columns plus ``keep_rate`` — the applied
+    per-domain rate, deliberately surfaced as sampling provenance."""
     mult = 1000000.0
     counts = df.groupBy(F.col(domain_col).alias("_d")).agg(
         F.count(F.lit(1)).alias("_n")
@@ -145,7 +151,7 @@ def temperature_resample(
     ).cast("long")
     thr = F.floor(F.col("keep_rate") * (1 << draw_bits)).cast("long")
     return (
-        df.join(F.broadcast(rates), df[domain_col] == rates["_d"])
+        df.join(F.broadcast(rates), df[domain_col].eqNullSafe(rates["_d"]))
         .filter(draw < thr)
         .drop("_d")
     )
@@ -185,9 +191,13 @@ def select_to_token_budget(
     wv = Window.orderBy(F.col("_v").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # <= (not <) so a zero-token value group landing exactly ON the budget
+    # is still admitted, matching the naive running-sum's `cum <= budget`;
+    # positive-value groups at the boundary are still cut by the final
+    # `_cum <= budget` filter
     value_cum = per_value.select(
         "_v", (F.sum("_vsum").over(wv) - F.col("_vsum")).alias("_cum_before")
-    ).filter(F.col("_cum_before") < budget)
+    ).filter(F.col("_cum_before") <= budget)
     joined = df.join(
         F.broadcast(value_cum), df[token_col].cast("long") == value_cum["_v"]
     )

@@ -143,7 +143,13 @@ def psi_drift(
     broadcast), then each snapshot reduces map-side to ``bins`` counts --
     the shuffle carries bins rows per partition, never data rows.  Shares
     are eps-smoothed so empty bins stay finite; all math is double with
-    floor-rounding, hence oracle-checkable."""
+    floor-rounding, hence oracle-checkable.
+
+    NULL values of ``col`` are excluded from the bin shares (they have no
+    position on the numeric axis) but are SURFACED as ``n_null_old`` /
+    ``n_null_new`` so a batch that suddenly arrives half-missing cannot
+    drift silently.  Two empty snapshots yield the zero row (counts 0,
+    psi/js 0.0), not a crash."""
     from pyspark.sql import functions as F
 
     c = F.col(col).cast("double")
@@ -153,17 +159,25 @@ def psi_drift(
     # plan literals make both binning passes map-only instead of
     # re-aggregating min/max per snapshot behind a one-row broadcast.
     srow = both.agg(F.min("_v").alias("mn"), F.max("_v").alias("mx")).first()
-    mn, mx = float(srow["mn"]), float(srow["mx"])
+    # all-NULL/empty snapshots: no axis to bin on — keep the report finite
+    mn = 0.0 if srow["mn"] is None else float(srow["mn"])
+    mx = 0.0 if srow["mx"] is None else float(srow["mx"])
     width = (mx - mn) / bins or 1.0
 
     def binned(df: DataFrame, label: str) -> DataFrame:
+        # NULLs land in sentinel bin -1 (counted in the SAME single pass,
+        # split out below); the all_bins join keeps only real bins
         return (
             df.select(c.alias("_v"))
             .select(
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor((F.col("_v") - F.lit(mn)) / F.lit(width)).cast("int"),
-                ).alias("bin")
+                F.when(F.col("_v").isNull(), F.lit(-1))
+                .otherwise(
+                    F.least(
+                        F.lit(bins - 1),
+                        F.floor((F.col("_v") - F.lit(mn)) / F.lit(width)).cast("int"),
+                    )
+                )
+                .alias("bin")
             )
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias(f"n_{label}"))
@@ -171,6 +185,13 @@ def psi_drift(
 
     o = binned(old, "old")
     n = binned(new, "new")
+    # one-row null-count frames off the already-reduced bin tables
+    nulls_o = o.filter(F.col("bin") == -1).agg(
+        F.coalesce(F.sum("n_old"), F.lit(0)).cast("long").alias("n_null_old")
+    )
+    nulls_n = n.filter(F.col("bin") == -1).agg(
+        F.coalesce(F.sum("n_new"), F.lit(0)).cast("long").alias("n_null_new")
+    )
     all_bins = old.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
     joined = (
         all_bins.join(o, "bin", "left")
@@ -189,8 +210,10 @@ def psi_drift(
     def r6(x):
         return F.floor(x * mult + 0.5) / mult
 
-    p = F.col("n_old") / F.col("_to") + eps
-    q = F.col("n_new") / F.col("_tn") + eps
+    # empty-snapshot guard: a zero total means every share is 0 (then
+    # eps-smoothed), not an ANSI division error
+    p = F.when(F.col("_to") > 0, F.col("n_old") / F.col("_to")).otherwise(0.0) + eps
+    q = F.when(F.col("_tn") > 0, F.col("n_new") / F.col("_tn")).otherwise(0.0) + eps
     m = (p + q) / 2
     per_bin = (
         joined.crossJoin(F.broadcast(tot))
@@ -206,11 +229,15 @@ def psi_drift(
     # (terms themselves are engine-identical doubles; only the fold order
     # would otherwise differ between engines/partitionings)
     dec = "decimal(28,12)"
-    return per_bin.agg(
-        F.sum("n_old").cast("long").alias("n_old"),
-        F.sum("n_new").cast("long").alias("n_new"),
-        r6(F.sum(F.col("_psi").cast(dec)).cast("double")).alias("psi"),
-        r6(F.sum(F.col("_js").cast(dec)).cast("double")).alias("js_divergence"),
+    return (
+        per_bin.agg(
+            F.sum("n_old").cast("long").alias("n_old"),
+            F.sum("n_new").cast("long").alias("n_new"),
+            r6(F.sum(F.col("_psi").cast(dec)).cast("double")).alias("psi"),
+            r6(F.sum(F.col("_js").cast(dec)).cast("double")).alias("js_divergence"),
+        )
+        .crossJoin(F.broadcast(nulls_o))
+        .crossJoin(F.broadcast(nulls_n))
     )
 
 
@@ -236,8 +263,10 @@ def categorical_drift(
     )
     tot = joined.agg(F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn"))
     mult = float(10**round_scale)
-    p = F.col("n_old") / F.col("_to") + eps
-    q = F.col("n_new") / F.col("_tn") + eps
+    # empty-snapshot guard: a zero total means every share is 0 (then
+    # eps-smoothed), not an ANSI division error
+    p = F.when(F.col("_to") > 0, F.col("n_old") / F.col("_to")).otherwise(0.0) + eps
+    q = F.when(F.col("_tn") > 0, F.col("n_new") / F.col("_tn")).otherwise(0.0) + eps
     return (
         joined.crossJoin(F.broadcast(tot))
         .select(

@@ -783,7 +783,13 @@ def projection_distortion_eval(
     ||p(a)-p(b)|| / ||a-b|| plus the fraction within the classic (0.5, 2.0)
     band.  JL guarantees concentration near 1 as out_dim grows; the floors
     are pinned in tests so a broken projection (wrong scaling, collapsed
-    dim) fails loudly."""
+    dim) fails loudly.
+
+    Identical-vector pairs (base distance 0, ratio undefined) are EXCLUDED
+    from the panel and counted separately as ``n_zero_pairs``, so n_pairs,
+    mean/min/max and frac_in_band all share one denominator — on a dedup
+    corpus full of duplicate embeddings the band fraction is otherwise
+    biased low by pairs that say nothing about distortion."""
     proj = random_projection(emb, id_col=id_col, vec_col=vec_col, out_dim=out_dim, seed=seed)
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).join(
         proj.select(F.col(id_col).alias("_id"), "projected"), "_id"
@@ -808,15 +814,89 @@ def projection_distortion_eval(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            (dist(F.col("pa"), F.col("pb")) / dist(F.col("va"), F.col("vb"))).alias("ratio")
+            dist(F.col("va"), F.col("vb")).alias("_base"),
+            dist(F.col("pa"), F.col("pb")).alias("_proj"),
+        )
+        .select(
+            (F.col("_base") == 0.0).alias("_zero"),
+            F.when(F.col("_base") > 0.0, F.col("_proj") / F.col("_base")).alias("ratio"),
         )
     )
     return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.col("ratio")).alias("n_pairs"),
+        F.sum(F.col("_zero").cast("long")).alias("n_zero_pairs"),
         F.avg("ratio").alias("mean_ratio"),
         F.min("ratio").alias("min_ratio"),
         F.max("ratio").alias("max_ratio"),
         F.avg(
-            F.when((F.col("ratio") > 0.5) & (F.col("ratio") < 2.0), 1.0).otherwise(0.0)
+            F.when(F.col("ratio").isNull(), None)
+            .when((F.col("ratio") > 0.5) & (F.col("ratio") < 2.0), 1.0)
+            .otherwise(0.0)
         ).alias("frac_in_band"),
+    )
+
+
+def normalize_embeddings_zscore(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """X45 per-dimension z-score standardization of an embedding column —
+    the feature-scaling step before quantization / distance computations
+    when dimensions have heterogeneous ranges.
+
+    100 TB shape: ONE posexplode partial-agg shuffle reduces the corpus to
+    D rows of (count, Σx, Σx²) with the sums decimal-accumulated (exact, so
+    fold order cannot diverge across partitionings/engines); D is the
+    embedding dimensionality (64–4096: bounded by the MODEL, not the data),
+    so the stats table is collected and baked as plan literals — the same
+    bounded-collect justification as IVF centroids / PQ codebooks — and
+    normalization is a row-local transform.  Zero-variance dimensions map
+    to 0.0.  Output: (id, normalized array<double> rounded 1e-6)."""
+    dec = "decimal(38,12)"
+    x = F.col("_x").cast("double")
+    stats = (
+        emb.select(F.posexplode(vec_col).alias("_dim", "_x"))
+        .groupBy("_dim")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x.cast(dec)).alias("_sx"),
+            F.sum((x * x).cast(dec)).alias("_sxx"),
+        )
+        .select(
+            "_dim",
+            (F.col("_sx").cast("double") / F.col("_n")).alias("_mean"),
+            F.sqrt(
+                F.col("_sxx").cast("double") / F.col("_n")
+                - (F.col("_sx").cast("double") / F.col("_n"))
+                * (F.col("_sx").cast("double") / F.col("_n"))
+            ).alias("_std"),
+        )
+        .orderBy("_dim")
+        .collect()
+    )
+    means = [float(r["_mean"]) for r in stats]
+    stds = [float(r["_std"]) for r in stats]
+    mean_arr = F.array(*[F.lit(m) for m in means])
+    std_arr = F.array(*[F.lit(s) for s in stds])
+    mult = float(10**round_scale)
+    normalized = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.when(
+            F.element_at(std_arr, i + 1) > 0.0,
+            F.floor(
+                (v.cast("double") - F.element_at(mean_arr, i + 1))
+                / F.element_at(std_arr, i + 1)
+                * mult
+                + 0.5
+            )
+            / mult,
+        ).otherwise(F.lit(0.0)),
+    )
+    from ..sources.star import ensure_parallelism
+
+    return ensure_parallelism(emb).select(
+        F.col(id_col), normalized.alias("normalized")
     )

@@ -5,7 +5,7 @@ quality scoring, token counting, document fingerprinting.  All JVM-side
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.star import ensure_parallelism
@@ -569,4 +569,358 @@ def perplexity_scores(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         (F.floor(ppl * mult + 0.5) / mult).alias("perplexity"),
+    )
+
+
+def train_bigram_lm_df(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_k: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """X42 training, fully distributed: the count tables STAY DataFrames —
+    nothing reaches the driver at any vocabulary size.  Returns
+    ``(uni_df(w, n), bi_df(a, b, n))``; pair with
+    :func:`perplexity_scores_join`.  ``top_k`` (count-desc, word-asc
+    deterministic) keeps the broadcast sides bounded; ``None`` is legal here
+    because the model never leaves the cluster."""
+    from .dedup import normalized_text
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    words = ensure_parallelism(df).select(F.explode(toks).alias("w")).filter(
+        F.length("w") > 0
+    )
+    uni_df = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    if top_k:
+        uni_df = uni_df.orderBy(F.col("n").desc(), "w").limit(top_k)
+    pairs_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("a"),
+            F.element_at(toks, i + 2).alias("b"),
+        ),
+    )
+    bi_df = (
+        ensure_parallelism(df)
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k:
+        bi_df = bi_df.orderBy(F.col("n").desc(), "a", "b").limit(top_k)
+    return uni_df, bi_df
+
+
+def perplexity_scores_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    uni_df: DataFrame,
+    bi_df: DataFrame,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X42 scoring, broadcast-join variant: the model arrives as the two
+    count DATAFRAMES from :func:`train_bigram_lm_df` — no driver collect, no
+    plan-size growth with vocabulary.  Pairs left-join ``broadcast(bi_df)``
+    on the bigram key and ``broadcast(uni_df)`` on each side word; per-pair
+    log-probs use the exact literal-path expression shape (same double op
+    order, same ``decimal(28,12)`` accumulation, decimal addition is exact so
+    groupBy-sum order cannot diverge), so this is RESULT-IDENTICAL to
+    :func:`perplexity_scores` given the same (capped) model — pinned by
+    ``tests/test_curation.py`` parity.
+
+    100 TB shape: three broadcast hash joins + one groupBy(id) shuffle of
+    (id, decimal) pair rows; corpus text never shuffles.  If the capped model
+    outgrows broadcast, the same plan degrades gracefully to shuffle joins
+    keyed on the bigram — semantics unchanged."""
+    from .dedup import normalized_text
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("_tk")
+    )
+    # n_tokens/vocab come from the SAME capped table the literal path sums
+    stats = uni_df.agg(
+        F.sum("n").cast("double").alias("_n_tok"),
+        F.count(F.lit(1)).cast("double").alias("_vocab"),
+    )
+    pairs = (
+        base.filter(F.size("_tk") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_tk"), i + 1).alias("a"),
+                        F.element_at(F.col("_tk"), i + 2).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(F.col(id_col), F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(bi_df.select("a", "b", F.col("n").alias("_bc"))),
+            ["a", "b"],
+            "left",
+        )
+        .join(
+            F.broadcast(uni_df.select(F.col("w").alias("a"), F.col("n").alias("_uac"))),
+            "a",
+            "left",
+        )
+        .join(
+            F.broadcast(uni_df.select(F.col("w").alias("b"), F.col("n").alias("_ubc"))),
+            "b",
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    dec = "decimal(28,12)"
+    lp = F.log(
+        (
+            F.coalesce(F.col("_bc").cast("double"), F.lit(0.0))
+            + (F.coalesce(F.col("_ubc").cast("double"), F.lit(0.0)) + 1.0)
+            / (F.col("_n_tok") + F.col("_vocab"))
+        )
+        / (F.coalesce(F.col("_uac").cast("double"), F.lit(0.0)) + 1.0)
+    ).cast(dec)
+    sums = j.groupBy(id_col).agg(F.sum(lp).alias("_slp"))
+    mult = float(10**round_scale)
+    n_tok_col = F.size("_tk")
+    mean_logp = F.col("_slp").cast("double") / (n_tok_col - 1)
+    ppl = F.when(n_tok_col >= 2, F.exp(-mean_logp))
+    return base.join(sums, id_col, "left").select(
+        F.col(id_col),
+        n_tok_col.alias("n_tokens"),
+        (F.floor(ppl * mult + 0.5) / mult).alias("perplexity"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """X43 winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm), word-gram variant: hash every
+    k-token gram (first 8 md5 hex digits → 32-bit int), then keep the MIN
+    hash of each sliding length-``window`` hash window; the distinct-sorted
+    selection is the document's fingerprint set.
+
+    The winnowing guarantee: two documents sharing a token run of at least
+    ``window + k - 1`` tokens share at least one fingerprint — unlike the
+    whole-doc :func:`fingerprint`, this detects PARTIAL overlap (the
+    copied-paragraph case), with density ~2/(window+1) of all grams.
+
+    100 TB shape: entirely row-local array expressions — no shuffle, no
+    UDF, output partitioning follows input.  Docs shorter than ``k`` tokens
+    get an empty set; docs with fewer than ``window`` grams keep all their
+    gram hashes (degenerate winnow)."""
+    from .dedup import normalized_text
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    hashes = F.when(n_grams >= 1, gram_hashes).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    winnowed = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    fps = F.array_sort(
+        F.array_distinct(F.when(n_windows >= 1, winnowed).otherwise(hashes))
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        fps.alias("fingerprints"),
+        F.size(fps).alias("n_fingerprints"),
+    )
+
+
+def winnow_candidates(
+    fps: DataFrame,
+    id_col: str,
+    *,
+    min_shared: int = 2,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """X43 candidate pairs from winnowing fingerprints: explode the
+    fingerprint sets and self-join on the fingerprint value — each shared
+    fingerprint is evidence of a shared ≥(window+k-1)-token run, and
+    ``min_shared`` of them promote a pair to near-dup candidate (the MOSS
+    match step, distributed).
+
+    100 TB shape: one shuffle on the fingerprint value (the bucket key,
+    like the LSH band join); buckets larger than ``max_bucket_size`` are
+    dropped BEFORE the join — a stop-fingerprint that frequent (boilerplate
+    headers, license blocks) is evidence of nothing and would square the
+    join (same skew cap + printed-justification pattern as dedup LSH).
+    Output: (id_a, id_b, n_shared) — downstream exact-verify is cheap
+    because candidates are few."""
+    e = fps.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
+    small = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_bucket"))
+        .filter(F.col("_bucket") <= max_bucket_size)
+        .select("fp")
+    )
+    e = e.join(small, "fp")
+    a = e.select(F.col("_id").alias("id_a"), "fp")
+    b = e.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: list[tuple[str, list[str]]],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X44 BM25 lexical retrieval (Robertson & Zaragoza 2009; Lucene's
+    non-negative idf ``ln(1 + (N - df + .5)/(df + .5))``) for a bounded
+    query panel — the keyword-search face of a corpus engine, and the
+    lexical complement of the embedding ANN operators.
+
+    100 TB shape: the only corpus-wide work is one projection + explode
+    FILTERED map-side to the panel's term set, so the (doc, term) shuffle
+    carries only panel-term hits; document length rides along in the same
+    pass (no second corpus join).  Corpus stats (N, total length) and the
+    per-term document frequencies are tiny one-row/|terms|-row broadcast
+    sides; scoring is a broadcast join + windowed top-k per query.
+    Per-term contributions decimal-accumulate so the score is
+    fold-order-independent (oracle-checkable).  Output: (query_id, doc_id,
+    score, rank<=topk), rank ties broken by doc_id ASC on the ROUNDED
+    score for engine determinism."""
+    from .dedup import normalized_text
+
+    spark = df.sparkSession
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id STRING, term STRING"
+    )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_tk")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.sum(F.size("_tk")).alias("_sum_dl")
+    )
+    term_arr = F.array(*[F.lit(t) for t in all_terms])
+    tf = (
+        base.select("doc_id", F.size("_tk").alias("_dl"), F.explode("_tk").alias("term"))
+        .filter(F.array_contains(term_arr, F.col("term")))
+        .groupBy("doc_id", "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_d = F.col("_n_docs").cast("double")
+    avgdl = F.col("_sum_dl").cast("double") / n_d
+    idf = F.log((n_d - F.col("_df").cast("double") + 0.5) / (F.col("_df").cast("double") + 0.5) + 1.0)
+    tf_d = F.col("_tf").cast("double")
+    dl_d = F.col("_dl").cast("double")
+    tfn = tf_d * (k1 + 1.0) / (tf_d + k1 * (1.0 - b + b * dl_d / avgdl))
+    dec = "decimal(28,12)"
+    mult = float(10**round_scale)
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", (idf * tfn).cast(dec).alias("_contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            (F.floor(F.sum("_contrib").cast("double") * mult + 0.5) / mult).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def winnow_verify(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    min_jaccard: float = 0.2,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X43 verify stage: EXACT k-gram Jaccard over the candidate pairs from
+    :func:`winnow_candidates` — the cheap-candidates → exact-verify
+    composition every near-dup pipeline runs (MOSS match confirmation).
+
+    100 TB shape: gram sets are row-local per doc; the joins are driven by
+    the CANDIDATE list (tiny after fingerprint bucketing), so gram arrays
+    shuffle only for documents that appear in some pair — never the corpus.
+    Jaccard = |A∩B| / |A∪B| over distinct gram hashes, rounded before the
+    threshold filter so both engines cut on the identical value."""
+    from .dedup import normalized_text
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.when(
+        n_grams >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gsets = ensure_parallelism(df).select(
+        F.col(id_col).alias("_gid"), grams.alias("_grams")
+    )
+    j = (
+        candidates.join(
+            gsets.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")),
+            "id_a",
+        ).join(
+            gsets.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size("_ga") + F.size("_gb") - inter
+    mult = float(10**round_scale)
+    jac = F.floor(inter.cast("double") / union.cast("double") * mult + 0.5) / mult
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.col("n_shared"),
+            inter.alias("n_common_grams"),
+            F.when(union > 0, jac).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -229,7 +229,7 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * 1000000 + 0.5) / 1000000 AS keep_rate
       FROM counts)
     SELECT doc_id, lang, keep_rate
-    FROM documents JOIN rates ON lang = d
+    FROM documents JOIN rates ON lang IS NOT DISTINCT FROM d
     WHERE cast(('0x' || substr(md5('t0:' || cast(doc_id AS varchar)), 1, 6)) AS bigint)
           < cast(floor(keep_rate * 16777216) AS bigint)
     """,
@@ -250,8 +250,8 @@ def curation_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH ordered AS (
       SELECT doc_id, cast(n_chars AS bigint) AS n_tokens,
-             sum(cast(n_chars AS bigint)) OVER (ORDER BY n_chars DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             cast(sum(cast(n_chars AS bigint)) OVER (ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_tokens
       FROM documents)
     SELECT doc_id, n_tokens, cum_tokens FROM ordered WHERE cum_tokens <= 30000
     """,
@@ -454,6 +454,36 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_encode_parity",
+    oracle="SELECT count(*) AS n_docs, 0 AS n_mismatch FROM documents",
+)
+def text_bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 scale-path self-eval, hash-checked: encode the corpus with BOTH
+    encoders -- the literal-fold chain (plan grows per merge; the small-vocab
+    demo) and the rank-priority greedy ``mapInPandas`` encoder (O(1) plan,
+    merges broadcast; the 32k-vocab scale path) -- and assert token-sequence
+    identity per document.  The oracle pins n_mismatch = 0, so the driver's
+    value hash certifies the equivalence, not just a row count.  n_merges=20
+    exercises compound-of-compound merges beyond the 10-merge demo."""
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_train(docs, "text", n_merges=20)
+    a = bpe.bpe_encode(docs, "text", "doc_id", merges).select(
+        "doc_id", F.col("tokens").alias("_ta")
+    )
+    b = bpe.bpe_encode_pandas(docs, "text", "doc_id", merges).select(
+        "doc_id", F.col("tokens").alias("_tb")
+    )
+    return a.join(b, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("_ta") != F.col("_tb"), 1).otherwise(0)
+        ).alias("n_mismatch"),
+    )
+
+
+@query(
     "drift_events_value",
     oracle="""
     WITH stats AS (
@@ -479,7 +509,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bins, tot)
     SELECT cast(sum(n_old) AS bigint) AS n_old, cast(sum(n_new) AS bigint) AS n_new,
            floor(cast(sum(cast((q - p) * ln(q / p) AS decimal(28,12))) AS double) * 1000000 + 0.5) / 1000000 AS psi,
-           floor(cast(sum(cast(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m) AS decimal(28,12))) AS double) * 1000000 + 0.5) / 1000000 AS js_divergence
+           floor(cast(sum(cast(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m) AS decimal(28,12))) AS double) * 1000000 + 0.5) / 1000000 AS js_divergence,
+           (SELECT count(*) FROM events WHERE event_id % 2 = 0 AND value IS NULL) AS n_null_old,
+           (SELECT count(*) FROM events WHERE event_id % 2 = 1 AND value IS NULL) AS n_null_new
     FROM terms
     """,
 )
@@ -592,12 +624,15 @@ def similarity_jl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X42 CCNet-style perplexity quality scoring (Wenzek et al. 2020): an
-    interpolated add-one bigram LM trained on the corpus itself (counts =
-    distributed aggregates; only the bounded count tables reach the
-    driver), then every document scored row-locally against the
-    literal-baked model -- low perplexity = in-distribution text, the
-    classic keep-band filter.  Per-pair log-probs decimal-accumulate so the
-    DuckDB twin (which rebuilds the same model with joins) hash-matches."""
+    interpolated add-one bigram LM trained on the corpus itself, scored via
+    the BROADCAST-JOIN path -- the count tables stay DataFrames end to end,
+    so nothing is collected to the driver and the plan size is O(1) in
+    vocabulary.  ``top_k=50_000`` bounds the broadcast sides (far above this
+    corpus's 31-word vocabulary, so the uncapped DuckDB twin -- which
+    rebuilds the same model with joins -- still hash-matches); per-pair
+    log-probs decimal-accumulate so fold order cannot diverge.  The
+    literal-map variant (:func:`~...operators.text.perplexity_scores`) is
+    parity-pinned against this path in tests/test_curation.py."""
     docs = _docs(spark, sf_dir)
-    model = tx.train_bigram_lm(docs, "text")
-    return tx.perplexity_scores(docs, "text", "doc_id", model)
+    uni_df, bi_df = tx.train_bigram_lm_df(docs, "text", top_k=50_000)
+    return tx.perplexity_scores_join(docs, "text", "doc_id", uni_df, bi_df)

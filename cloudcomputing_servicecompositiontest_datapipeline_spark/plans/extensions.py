@@ -1358,3 +1358,226 @@ def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = score("lsh", sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=4))
     ivf = score("ivf", sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=4))
     return lsh.unionByName(ivf).orderBy("method")
+
+
+_WINNOW_CTE = f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, greatest(len(tk) - 4, 0) AS n_grams,
+             CASE WHEN len(tk) >= 5 THEN
+               list_transform(range(1, len(tk) - 4 + 1), i ->
+                 cast(('0x' || substr(md5(array_to_string(list_slice(tk, i, i + 4), ' ')), 1, 8)) AS bigint))
+             ELSE [] END AS hashes
+      FROM t),
+    w AS (
+      SELECT doc_id, n_grams,
+             CASE WHEN len(hashes) >= 4 THEN
+               list_sort(list_distinct(list_transform(range(1, len(hashes) - 3 + 1), i ->
+                 list_min(list_slice(hashes, i, i + 3)))))
+             ELSE list_sort(list_distinct(hashes)) END AS fingerprints
+      FROM g)
+"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=_WINNOW_CTE
+    + "SELECT doc_id, n_grams, fingerprints, len(fingerprints) AS n_fingerprints FROM w",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003,
+    the MOSS algorithm): per-document selected k-gram hash set with the
+    guarantee that any shared >= (window+k-1)-token run yields a shared
+    fingerprint -- the partial-overlap detector the whole-doc fingerprint
+    cannot be.  Entirely row-local array expressions (no UDF, no shuffle);
+    k=5 word-grams, window=4."""
+    docs = _docs(spark, sf_dir)
+    return tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+
+
+@query(
+    "dedup_winnow_candidates",
+    oracle=_WINNOW_CTE
+    + """
+    , e AS (SELECT doc_id AS id, unnest(fingerprints) AS fp FROM w),
+    small AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 200),
+    ee AS (SELECT e.id, e.fp FROM e JOIN small USING (fp))
+    SELECT a.id AS id_a, b.id AS id_b, cast(count(*) AS bigint) AS n_shared
+    FROM ee a JOIN ee b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 match step: near-dup candidate pairs by shared winnowing
+    fingerprints -- ONE shuffle on the fingerprint value (the bucket key),
+    with over-frequent fingerprints (boilerplate) dropped before the join
+    under the same skew-cap discipline as the LSH band join.  min_shared=2
+    keeps only pairs with at least two independent shared runs."""
+    docs = _docs(spark, sf_dir)
+    fps = tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    return tx.winnow_candidates(fps, "doc_id", min_shared=2, max_bucket_size=200)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(tk)) AS sum_dl FROM t),
+    q AS (SELECT * FROM (VALUES
+      ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+      ('q_window_sort', 'window'), ('q_window_sort', 'sort'), ('q_window_sort', 'agg'),
+      ('q_vector_scan', 'vector'), ('q_vector_scan', 'scan')) AS v(query_id, term)),
+    tf AS (
+      SELECT doc_id, len(tk) AS dl, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS w FROM t)
+      WHERE w IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             cast(
+               ln((cast(n_docs AS double) - cast(df AS double) + 0.5)
+                  / (cast(df AS double) + 0.5) + 1.0)
+               * (cast(tf AS double) * (1.2 + 1.0)
+                  / (cast(tf AS double) + 1.2 * (1.0 - 0.75 + 0.75 * cast(dl AS double)
+                     / (cast(sum_dl AS double) / cast(n_docs AS double)))))
+             AS decimal(28,12)) AS c
+      FROM tf JOIN q ON q.term = tf.term JOIN dft ON dft.term = tf.term, stats),
+    scored AS (
+      SELECT query_id, doc_id,
+             floor(cast(sum(c) AS double) * 1000000 + 0.5) / 1000000 AS score
+      FROM contrib GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS int) AS rank
+      FROM scored)
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 BM25 lexical retrieval (Robertson & Zaragoza 2009, Lucene idf
+    variant) over a 3-query panel: top-10 documents per query.  The corpus
+    pass is one map-side-filtered explode (only panel-term hits shuffle);
+    stats/doc-freqs are broadcast; per-term contributions
+    decimal-accumulate so the engines' fold orders cannot diverge; ranking
+    happens on the ROUNDED score with doc_id tiebreak."""
+    docs = _docs(spark, sf_dir)
+    panel = [
+        ("q_hash_join", ["hash", "join"]),
+        ("q_window_sort", ["window", "sort", "agg"]),
+        ("q_vector_scan", ["vector", "scan"]),
+    ]
+    return tx.bm25_topk(docs, "text", "doc_id", panel, topk=10)
+
+
+@query(
+    "dedup_winnow_verified",
+    oracle=_WINNOW_CTE
+    + """
+    , e AS (SELECT doc_id AS id, unnest(fingerprints) AS fp FROM w),
+    small AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 200),
+    ee AS (SELECT e.id, e.fp FROM e JOIN small USING (fp)),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, cast(count(*) AS bigint) AS n_shared
+      FROM ee a JOIN ee b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    gs AS (
+      SELECT doc_id, CASE WHEN len(tk) >= 5 THEN
+        list_distinct(list_transform(range(1, len(tk) - 4 + 1), i ->
+          md5(array_to_string(list_slice(tk, i, i + 4), ' '))))
+      ELSE [] END AS grams FROM t),
+    v AS (
+      SELECT c.id_a, c.id_b, c.n_shared,
+             len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS n_common_grams,
+             len(ga.grams) + len(gb.grams) AS tot
+      FROM cand c JOIN gs ga ON ga.doc_id = c.id_a JOIN gs gb ON gb.doc_id = c.id_b),
+    scored AS (
+      SELECT id_a, id_b, n_shared, n_common_grams,
+             CASE WHEN tot - n_common_grams > 0 THEN
+               floor(cast(n_common_grams AS double) / (tot - n_common_grams) * 1000000 + 0.5) / 1000000
+             ELSE 0.0 END AS jaccard
+      FROM v)
+    SELECT * FROM scored WHERE jaccard >= 0.2
+    """,
+)
+def dedup_winnow_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 full candidates→verify composition: winnowing fingerprint bucket
+    join proposes pairs, then EXACT 5-gram Jaccard confirms them -- the
+    two-stage shape (cheap recall, exact precision) every near-dup pipeline
+    ships.  Gram sets shuffle only for candidate docs; Jaccard rounds
+    before the 0.2 threshold so both engines cut identically."""
+    docs = _docs(spark, sf_dir)
+    fps = tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    cand = tx.winnow_candidates(fps, "doc_id", min_shared=2, max_bucket_size=200)
+    return tx.winnow_verify(docs, "text", "doc_id", cand, k=5, min_jaccard=0.2)
+
+
+@query(
+    "embedding_normalize_zscore",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, i, cast(embedding[i] AS double) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+    s AS (
+      SELECT i, count(*) AS n,
+             cast(sum(cast(x AS decimal(38,12))) AS double) AS sx,
+             cast(sum(cast(x * x AS decimal(38,12))) AS double) AS sxx
+      FROM e GROUP BY 1),
+    st AS (SELECT i, sx / n AS mean, sqrt(sxx / n - (sx / n) * (sx / n)) AS std FROM s)
+    SELECT e.vec_id, cast(e.i - 1 AS int) AS dim,
+           CASE WHEN st.std > 0 THEN
+             floor((e.x - st.mean) / st.std * 1000000 + 0.5) / 1000000
+           ELSE 0.0 END AS z
+    FROM e JOIN st ON st.i = e.i
+    """,
+)
+def embedding_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 per-dimension z-score standardization: one posexplode
+    partial-agg to D decimal-exact (n, Σx, Σx²) rows, baked as plan
+    literals (D bounded by the model, the IVF-centroid justification), then
+    a row-local normalize.  Exploded to (vec_id, dim, z) for the oracle
+    hash; the operator's native output is the normalized array."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    out = sim.normalize_embeddings_zscore(emb)
+    return out.select(
+        "vec_id", F.posexplode("normalized").alias("dim", "z")
+    )
+
+
+#: Decay rate for the 24h-half-life activity feature; repr-injected into the
+#: oracle so both engines bake the IDENTICAL double literal.
+import math as _math
+
+_LAM_24H = _math.log(2.0) / 24.0
+
+
+@query(
+    "events_decayed_activity",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    g AS (
+      SELECT user_id,
+             cast(floor(value * exp(-({_LAM_24H!r}) * (date_diff('microsecond', ts, m) / 3600000000.0))
+                        * 1000000 + 0.5) AS decimal(38,0)) AS grid,
+             date_diff('microsecond', ts, m) AS dmic
+      FROM events, mx)
+    SELECT user_id, cast(count(*) AS bigint) AS n_events,
+           cast(sum(grid) AS double) / 1000000.0 AS decayed_score,
+           floor(min(dmic) / 3600000000.0 * 1000000 + 0.5) / 1000000 AS hours_since_last
+    FROM g GROUP BY 1
+    """,
+)
+def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 recency-weighted activity feature: per-user sum of
+    value·2^(-Δt/24h) to the corpus max timestamp plus hours-since-last --
+    the classic feature-store rollup.  One single-row max-ts broadcast +
+    one groupBy(user) shuffle; per-row decay terms are quantized onto a
+    1e-6 integer grid BEFORE the exact decimal sum, because Java and glibc
+    exp() differ at ulp level (measured: 867/10000 rows bitwise-different)
+    and raw double sums would hash-diverge."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.decayed_activity(ev, half_life_hours=24.0)

@@ -732,10 +732,10 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_partkey % 7 AS pk_mod,
            greatest(l_discount, l_tax) AS max_rate,
            least(l_discount, l_tax) AS min_rate,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
+           cast(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           cast(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            round(sqrt(l_quantity), 6) AS qty_sqrt,
-           sign(l_discount - 0.05) AS disc_sign
+           cast(sign(l_discount - 0.05) AS INTEGER) AS disc_sign
     FROM lineitem
     """,
 )
@@ -758,7 +758,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").alias("price_floor"),
         F.ceil("l_extendedprice").alias("price_ceil"),
         F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
     )
 
 

@@ -42,86 +42,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r3 window: the 50 (of 53) registered queries with no driver row in the
-    # r1+r2 union.  r2 had 0 failures, so nothing needs a re-check slot.
-    # Scalar/conditional function families
-    "scalar_string_funcs",
-    "scalar_date_funcs",
+    # r4 window.  Leads with the single r3 FAIL (scalar_math_funcs: output
+    # typing now pinned BIGINT/INT on both engines), then the 31 registered
+    # queries with no driver row in the r1+r2+r3 union (everything added in
+    # r3), then the queries added/changed in r4.  This completes the sweep:
+    # after this round every registered query has a driver row.
     "scalar_math_funcs",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "scalar_map_struct_funcs",
-    "scalar_variant_ingest",
-    "scalar_fuzzy_funcs",
-    "conditional_funcs",
-    "json_struct_roundtrip",
-    "explode_posexplode",
-    # IO / UDF / pipeline-payload surfaces
-    "io_csv_roundtrip",
-    "io_json_runs_roundtrip",
-    "udf_user_function",
-    "udf_sql_registered",
-    "udaf_grouped_custom",
-    "rename_transitions",
-    "payload_merge_defaults",
-    "payload_cycling",
-    # CDC / quality / profile / sketch / skew
-    "cdc_snapshot_diff",
-    "cdc_apply_delta",
-    "quality_constraint_report",
-    "profile_documents",
-    "sketch_distinct_rollup",
-    "sketch_frequency_heavy_hitters",
-    "sketch_quantile_rollup",
-    "skew_key_report",
-    "incremental_agg_merge",
-    # Text-analytics tail + sampling/packing
-    "text_redact_pii",
-    "text_repetition_score",
-    "text_decontaminate",
-    "text_tfidf_top_terms",
-    "text_vocabulary_topk",
-    "text_length_histogram",
-    "text_quality_percentile",
-    "sample_global_shuffle",
-    "sample_domain_mix",
-    "sample_weighted_hash",
-    "pack_chunks_token_budget",
-    "embedding_centroid_by_label",
-    "multimodal_features",
-    # Scale-path overlap + regression + event analytics
-    "overlap_global_binned",
-    "report_linear_regression",
-    "events_time_rollup",
-    "events_cumulative_distinct_users",
-    "window_distribution_funcs",
-    # Quality self-evals for the rows-only dedup/ANN paths (verdict task #2)
-    "dedup_lsh_eval",
-    "similarity_ann_eval",
-    # Streaming batch-twins rotated back in (r2 rotated them out)
-    "events_tumbling_window",
-    "events_sliding_window",
+    # --- r3 rename needing a row under its new name
+    "overlap_global_demo",
+    # --- X24-X26 dedup/split family
+    "dedup_bloom_ingest",
+    "dedup_semantic_clusters",
+    "dedup_semantic_centroids",
+    "split_leakage_safe",
+    # --- X27/X32/X33 curation family
+    "curation_source_cap",
+    "curation_blocklist",
+    "curation_source_mix",
+    "curation_temperature_resample",
+    "curation_token_budget",
+    # --- X28/X35/X42 text-quality family
+    "text_topngram_coverage",
+    "text_quality_funnel",
+    "text_quality_funnel_report",
+    "text_perplexity_scores",
+    # --- X29 inference harness
+    "inference_model_scores",
+    # --- X30/X37/X41 embedding compression + evals
+    "embedding_quantize_int8",
+    "similarity_quantized_recall",
+    "similarity_pq_encode",
+    "similarity_pq_eval",
+    "similarity_jl_projection",
+    "similarity_jl_eval",
+    # --- X31 layout
+    "layout_zorder_key",
+    # --- X36 BPE (incl. the r4 scale-path parity query)
+    "text_bpe_pair_counts",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "text_bpe_encode_parity",
+    # --- X34 + streaming batch-twins (rows-only by design, pytest-verified)
+    "streaming_source_quota",
+    "streaming_available_now",
+    "streaming_dedup_on_arrival",
+    "streaming_stateful_lifetimes",
+    # --- X38 drift monitors (r4: null surfacing added to psi output)
+    "drift_events_value",
+    "drift_documents_lang",
+    # --- r4 additions (X43 winnowing + verify, X44 BM25, X45 z-score,
+    # X46 decayed activity)
+    "text_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "dedup_winnow_verified",
+    "text_bm25_topk",
+    "embedding_normalize_zscore",
+    "events_decayed_activity",
+    # --- re-checks: queries whose semantics/oracles were touched in r4
+    # (psi null-surfacing landed above via drift_events_value; these two
+    # carried bench regressions worth a correctness reconfirmation) plus
+    # green-since-r1 anchors filling the remaining slots.  Each is replaced
+    # as further r4 queries land.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "tlq_transform",
+    "report_full",
+    "overlap_selfjoin",
+    "dedup_exact_text",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "window_rank_topk",
+    "pipeline_cumulative",
+    "events_session_window",
 ]
-# Deferred to r4 to stay within the 50-row cap (all three are rows-only by
-# design AND pytest-verified, so a driver row adds the least signal):
-# streaming_available_now / streaming_dedup_on_arrival /
-# streaming_stateful_lifetimes.  Also queued for r4: overlap_global_demo —
-# the r3 rename of the driver-green-r1 overlap_global (same bounded query,
-# demo status now explicit in the name), which therefore needs a row under
-# its new name — and the queries ADDED in r3: dedup_bloom_ingest (X24),
-# dedup_semantic_clusters + dedup_semantic_centroids (X25),
-# split_leakage_safe (X26), curation_source_cap + curation_blocklist +
-# curation_source_mix (X27), text_topngram_coverage (X28),
-# inference_model_scores (X29), embedding_quantize_int8 +
-# similarity_quantized_recall (X30), layout_zorder_key (X31),
-# curation_temperature_resample (X32), curation_token_budget (X33),
-# streaming_source_quota (X34, rows-only), text_quality_funnel +
-# text_quality_funnel_report (X35), text_bpe_pair_counts +
-# text_bpe_merges + text_bpe_encode (X36), similarity_pq_encode +
-# similarity_pq_eval (X37), drift_events_value + drift_documents_lang (X38),
-# similarity_jl_projection + similarity_jl_eval (X41), and
-# text_perplexity_scores (X42).
-# r4 leads with those (plus any r3 FAILs) to finish the sweep.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

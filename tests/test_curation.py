@@ -220,6 +220,19 @@ def test_select_to_token_budget_matches_naive_greedy(spark):
     assert max(got.values()) <= budget
 
 
+def test_select_to_token_budget_zero_token_docs_on_exact_boundary(spark):
+    """Zero-token docs whose running total lands EXACTLY on the budget must
+    be kept (naive `cum <= budget` keeps them: they cost nothing) -- the
+    boundary filter is `<=`, not `<`."""
+    rows = [(1, 60), (2, 40), (3, 0), (4, 0)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tok LONG")
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in cu.select_to_token_budget(df, "n_tok", "doc_id", budget=100).collect()
+    }
+    assert got == {1: 60, 2: 100, 3: 100, 4: 100}
+
+
 def test_select_to_token_budget_doc_window_is_partitioned(spark):
     """The corpus-sized window must be partitioned by the token value (only
     the tiny per-value histogram may run as an unpartitioned window)."""
@@ -382,6 +395,67 @@ def test_bpe_encode_applies_merges_in_order(spark):
     assert raw[2] == len("new") + len("news")
 
 
+def _syllable_corpus():
+    """Deterministic corpus with enough vocabulary to learn 100+ merges."""
+    import itertools
+
+    sylls = ["ba", "ne", "to", "ri", "lum", "ka", "shi", "or"]
+    words = ["".join(p) for p in itertools.product(sylls, repeat=2)] + [
+        "".join(p) for p in itertools.product(sylls, repeat=3)
+    ]
+    texts = []
+    for d in range(60):
+        ws = [words[(d * 13 + k * 7) % len(words)] for k in range(40)]
+        texts.append(" ".join(ws))
+    return texts
+
+
+def test_bpe_encode_pandas_matches_fold_path(spark):
+    """Rank-priority greedy (mapInPandas, scale path) must produce the same
+    token sequences as applying the learned merges in order (fold path) --
+    the creation-order invariant of learned merge lists guarantees it."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    texts = _syllable_corpus()
+    # 40 is just under the fold path's hard analyzer bound (~50 merges =
+    # "Max iterations (100) reached for batch Resolution"), documented in
+    # bpe_encode's docstring -- beyond it ONLY the pandas path works
+    merges = _bpe_reference(texts, 40)
+    assert len(merges) == 40  # the corpus really supports this depth
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING").repartition(4)
+    fold = {r.doc_id: (r.tokens, r.n_tokens) for r in bpe.bpe_encode(df, "text", "doc_id", merges).collect()}
+    pand = {r.doc_id: (r.tokens, r.n_tokens) for r in bpe.bpe_encode_pandas(df, "text", "doc_id", merges).collect()}
+    assert fold == pand
+
+
+def test_bpe_encode_pandas_large_vocab_scales(spark):
+    """At n_merges >= 100 the pandas encoder still round-trips (tokens minus
+    EOW re-concatenate to the normalized words) and its PLAN stays O(1) in
+    |merges| -- the property the fold chain lacks."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    texts = _syllable_corpus()
+    merges = _bpe_reference(texts, 150)
+    assert len(merges) == 150
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    out = {r.doc_id: r.tokens for r in bpe.bpe_encode_pandas(df, "text", "doc_id", merges).collect()}
+    import re
+
+    for doc_id, text in enumerate(texts):
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        joined = "".join(out[doc_id]).replace(bpe.EOW, "")
+        assert joined == norm.replace(" ", "")
+        assert "".join(out[doc_id]).count(bpe.EOW) == len(norm.split(" "))
+    # more merges -> fewer tokens than raw characters
+    raw = {r.doc_id: r.n_tokens for r in bpe.bpe_encode_pandas(df, "text", "doc_id", []).collect()}
+    assert all(len(out[d]) < raw[d] for d in out)
+    # plan size must not grow with the merge count
+    p10 = bpe.bpe_encode_pandas(df, "text", "doc_id", merges[:10])._jdf.queryExecution().simpleString()
+    p150 = bpe.bpe_encode_pandas(df, "text", "doc_id", merges)._jdf.queryExecution().simpleString()
+    assert len(p150) <= len(p10) + 50
+    assert "MapInPandas" in p150
+
+
 
 # ----------------------------------------------------- X38 drift monitors
 
@@ -393,6 +467,40 @@ def test_psi_drift_zero_for_identical_snapshots(spark):
     r = psi_drift(df, df, "v", bins=10).first()
     assert r.n_old == 500 and r.n_new == 500
     assert abs(r.psi) < 1e-9 and abs(r.js_divergence) < 1e-9
+
+
+def test_psi_drift_surfaces_nulls_and_survives_empty(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import psi_drift
+
+    old = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(40)] + [(100 + i, None) for i in range(6)],
+        "id LONG, v DOUBLE",
+    )
+    new = spark.createDataFrame([(i, float(i % 5)) for i in range(40)], "id LONG, v DOUBLE")
+    r = psi_drift(old, new, "v", bins=5).first()
+    # NULLs excluded from shares but surfaced, not silently swallowed
+    assert r.n_null_old == 6 and r.n_null_new == 0
+    assert r.n_old == 40 and r.n_new == 40
+    assert abs(r.psi) < 1e-9  # non-null distributions identical
+    # two empty snapshots: finite zero report, not a TypeError
+    empty = spark.createDataFrame([], "id LONG, v DOUBLE")
+    r0 = psi_drift(empty, empty, "v", bins=5).first()
+    assert (r0.n_old, r0.n_new, r0.n_null_old, r0.n_null_new) == (0, 0, 0, 0)
+    assert r0.psi == 0.0 and r0.js_divergence == 0.0
+
+
+def test_temperature_resample_null_domain_is_own_group(spark):
+    """NULL-domain rows resample as their own domain (null-safe join), not
+    silently dropped — the curation family never loses unlabeled rows."""
+    rows = [(i, "en") for i in range(80)] + [(100 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = cu.temperature_resample(df, "lang", "doc_id", tau=0.0)
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert None in by and by[None] > 0  # NULL group survived
+    # tau=0 equalizes: NULL group (smallest, n=10) keeps rate 1.0
+    assert {r.keep_rate for r in out.filter(F.col("lang").isNull()).select("keep_rate").collect()} == {1.0}
+    assert by[None] == 10
 
 
 def test_psi_drift_detects_shift(spark):
@@ -459,6 +567,21 @@ def test_jl_projection_distortion_bounds(spark, sf_check_dir):
     assert abs(r32.mean_ratio - 1.0) <= abs(r16.mean_ratio - 1.0) + 0.02
 
 
+def test_jl_distortion_excludes_identical_vector_pairs(spark):
+    """Duplicate embeddings (base distance 0, ratio undefined) must not
+    poison the panel: they are counted in n_zero_pairs, and n_pairs /
+    frac_in_band / mean share the defined-ratio denominator."""
+    vec = [1.0, 2.0, 3.0, 4.0]
+    rows = [(0, vec), (1, vec), (2, [5.0, 1.0, 0.0, 2.0]), (3, [0.0, 7.0, 2.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    r = sim.projection_distortion_eval(emb, out_dim=4, n_pairs_side=4).first()
+    assert r.n_zero_pairs == 1  # the (0,1) duplicate pair
+    assert r.n_pairs == 5  # 6 pairs total minus the zero-distance one
+    assert r.min_ratio > 0.0  # no collapsed ratios from dup pairs
+    # all stats share the 5-pair denominator: band fraction is over ratios only
+    assert 0.0 <= r.frac_in_band <= 1.0
+
+
 def test_jl_projection_deterministic_and_seeded(spark, sf_dir):
     from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
 
@@ -500,3 +623,37 @@ def test_perplexity_short_doc_is_null_and_partition_stable(spark):
     assert a == b
     assert a[1] is None  # <2 tokens -> no bigram evidence
     assert a[2] is not None and a[2] > 0
+
+
+def test_perplexity_join_path_matches_literal_path(spark):
+    """The broadcast-join scorer (model stays DataFrames, no driver collect)
+    must be result-IDENTICAL to the literal-map scorer given the same
+    corpus: same per-pair double expression, exact decimal accumulation."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug and the cat sat too"),
+        (3, "singleton"),
+        (4, ""),
+        (5, "zz qq the cat unseen pair zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING").repartition(3)
+    model = tx.train_bigram_lm(df, "text")
+    lit = {r.doc_id: (r.n_tokens, r.perplexity) for r in tx.perplexity_scores(df, "text", "doc_id", model).collect()}
+    uni_df, bi_df = tx.train_bigram_lm_df(df, "text")
+    jn = {r.doc_id: (r.n_tokens, r.perplexity) for r in tx.perplexity_scores_join(df, "text", "doc_id", uni_df, bi_df).collect()}
+    assert lit == jn
+
+
+def test_perplexity_join_path_capped_model_matches_capped_literal(spark):
+    """With top_k capping, both trainers keep the SAME deterministic
+    (count-desc, word-asc) slice, so the scorers still agree exactly."""
+    rows = [(i, "alpha beta gamma delta alpha beta epsilon zeta") for i in range(4)] + [
+        (10, "alpha beta rare1 rare2 rare3")
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    model = tx.train_bigram_lm(df, "text", top_k=3)
+    lit = {r.doc_id: (r.n_tokens, r.perplexity) for r in tx.perplexity_scores(df, "text", "doc_id", model).collect()}
+    uni_df, bi_df = tx.train_bigram_lm_df(df, "text", top_k=3)
+    jn = {r.doc_id: (r.n_tokens, r.perplexity) for r in tx.perplexity_scores_join(df, "text", "doc_id", uni_df, bi_df).collect()}
+    assert lit == jn
+    assert uni_df.count() == 3 and bi_df.count() == 3  # the cap is real

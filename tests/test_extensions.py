@@ -687,3 +687,157 @@ def test_leakage_safe_split_deterministic_and_redealable(spark):
         for r in dd.leakage_safe_split(docs, empty_pairs, "doc_id", salt="split1").collect()
     }
     assert a != c  # epoch/salt re-deal actually re-deals
+
+
+# ------------------------------------------- X43 winnowing fingerprints
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): documents sharing a
+    token run of >= window + k - 1 tokens share >= 1 fingerprint; documents
+    with no common k-gram share none."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = 4 + 5 - 1
+    rows = [
+        (1, "one two three " + shared + " four five"),
+        (2, shared + " completely different tail words here"),
+        (3, "nothing in common with either document at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = {r.doc_id: set(r.fingerprints) for r in tx.winnow_fingerprints(df, "text", "doc_id").collect()}
+    assert fps[1] & fps[2], "shared 8-token run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "only four words here"), (2, ""), (3, "exactly five tokens right here")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in tx.winnow_fingerprints(df, "text", "doc_id", k=5, window=4).collect()}
+    assert out[1].n_grams == 0 and out[1].fingerprints == []  # < k tokens
+    assert out[2].n_grams == 0 and out[2].fingerprints == []
+    assert out[3].n_grams == 1 and len(out[3].fingerprints) == 1  # degenerate winnow
+
+
+def test_winnow_candidates_find_planted_pair_and_cap_boilerplate(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, body + " unique one"), (2, body + " unique two")] + [
+        (10 + i, f"filler doc number {i} " + " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = tx.winnow_fingerprints(df, "text", "doc_id")
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in tx.winnow_candidates(fps, "doc_id").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # boilerplate cap: a fingerprint present in EVERY doc is dropped before
+    # the join when the bucket exceeds max_bucket_size
+    boiler = [(i, body + f" tail_{i} end_{i} more_{i} words_{i} pad_{i}") for i in range(8)]
+    bdf = spark.createDataFrame(boiler, "doc_id LONG, text STRING")
+    bfps = tx.winnow_fingerprints(bdf, "text", "doc_id")
+    capped = tx.winnow_candidates(bfps, "doc_id", min_shared=1, max_bucket_size=3)
+    full = tx.winnow_candidates(bfps, "doc_id", min_shared=1, max_bucket_size=200)
+    assert capped.count() < full.count()  # the cap really prunes hot buckets
+
+
+# ------------------------------------------------- X44 BM25 retrieval
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (1, "spark spark spark engine engine fast"),
+        (2, "spark engine slow other words here"),
+        (3, "nothing relevant at all in this one"),
+        (4, "rareword appears here exactly once only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = tx.bm25_topk(df, "text", "doc_id", [("q1", ["spark"]), ("q2", ["rareword"])], topk=3)
+    got = {(r.query_id, r.rank): (r.doc_id, r.score) for r in out.collect()}
+    assert got[("q1", 1)][0] == 1  # tf 3 beats tf 1
+    assert got[("q1", 2)][0] == 2
+    assert ("q1", 3) not in got  # doc 3/4 have no 'spark'
+    assert got[("q2", 1)][0] == 4
+    # rarer term (df=1 of 4) carries more idf weight than 'spark' (df=2)
+    assert got[("q2", 1)][1] > got[("q1", 2)][1]
+
+
+def test_bm25_partition_stable_and_topk_bounded(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [(i, ("alpha " * (i % 4 + 1)) + "beta gamma") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    panel = [("q", ["alpha", "beta"])]
+    a = sorted((r.query_id, r.doc_id, r.score, r.rank) for r in tx.bm25_topk(df, "text", "doc_id", panel, topk=5).collect())
+    b = sorted((r.query_id, r.doc_id, r.score, r.rank) for r in tx.bm25_topk(df.repartition(7), "text", "doc_id", panel, topk=5).collect())
+    assert a == b
+    assert len(a) == 5 and all(t[3] <= 5 for t in a)
+
+
+def test_winnow_verify_confirms_real_overlap_and_rejects_coincidence(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [
+        (1, body + " tail one extra words here now"),
+        (2, body + " other ending tokens entirely different"),
+        (3, "unrelated content with no overlap whatsoever in any gram"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = tx.winnow_fingerprints(df, "text", "doc_id")
+    cand = tx.winnow_candidates(fps, "doc_id", min_shared=1)
+    out = {(r.id_a, r.id_b): r for r in tx.winnow_verify(df, "text", "doc_id", cand, min_jaccard=0.2).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r.n_common_grams >= 8  # the 12-token shared run yields 8 shared 5-grams
+    assert 0.2 <= r.jaccard <= 1.0
+    # a high threshold rejects the pair
+    assert tx.winnow_verify(df, "text", "doc_id", cand, min_jaccard=0.9).count() == 0
+
+
+def test_zscore_normalization_standardizes_each_dimension(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import similarity as s
+
+    rows = [(i, [float(i), 100.0 + 10.0 * i, 5.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r.vec_id: r.normalized for r in s.normalize_embeddings_zscore(emb).collect()}
+    import statistics
+
+    for d in range(2):
+        zs = [out[i][d] for i in range(20)]
+        assert abs(sum(zs)) < 1e-3  # mean ~0
+        assert abs(statistics.pstdev(zs) - 1.0) < 1e-3  # unit variance
+    assert all(out[i][2] == 0.0 for i in range(20))  # constant dim -> 0, not NaN
+    # partitioning independence (decimal-exact stats)
+    out2 = {r.vec_id: r.normalized for r in s.normalize_embeddings_zscore(emb.repartition(7)).collect()}
+    assert out == out2
+
+
+def test_decayed_activity_recency_weighting(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+    rows = [
+        # user 1: one event AT the max ts (weight 1.0)
+        (1, t0, 10.0),
+        # user 2: same value but exactly one half-life (24h) earlier -> 0.5x
+        (2, t0 - dt.timedelta(hours=24), 10.0),
+        # user 3: two events, 48h earlier each -> 2 * 10 * 0.25
+        (3, t0 - dt.timedelta(hours=48), 10.0),
+        (3, t0 - dt.timedelta(hours=48), 10.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP_NTZ, value DOUBLE")
+    got = {r.user_id: r for r in ft.decayed_activity(ev).collect()}
+    assert abs(got[1].decayed_score - 10.0) < 1e-6
+    assert abs(got[2].decayed_score - 5.0) < 1e-6
+    assert abs(got[3].decayed_score - 5.0) < 1e-6
+    assert got[1].hours_since_last == 0.0
+    assert abs(got[2].hours_since_last - 24.0) < 1e-6
+    assert got[3].n_events == 2

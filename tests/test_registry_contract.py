@@ -30,6 +30,25 @@ ROWS_ONLY_ALLOWED = {
     "multimodal_features",
     "dedup_lsh_eval",
     "similarity_ann_eval",
+    # r4 window: finishing the never-checked sweep pulls in the remaining
+    # rows-only-by-design queries — streaming batch-twins (incremental
+    # micro-batch semantics aren't one SQL statement), the xxhash64-seeded /
+    # learned-codebook compression ops (PQ/int8/JL outputs are
+    # implementation-defined but pinned by recall/distortion pytest floors),
+    # k-means semantic-dedup centroids, and the learned-merge BPE outputs
+    # (training argmax sequence pinned against a pure-Python reference).
+    "streaming_available_now",
+    "streaming_dedup_on_arrival",
+    "streaming_stateful_lifetimes",
+    "streaming_source_quota",
+    "dedup_semantic_centroids",
+    "similarity_quantized_recall",
+    "similarity_pq_encode",
+    "similarity_pq_eval",
+    "similarity_jl_projection",
+    "similarity_jl_eval",
+    "text_bpe_merges",
+    "text_bpe_encode",
 }
 
 

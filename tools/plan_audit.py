@@ -55,6 +55,11 @@ ALLOWLIST = {
     "similarity_pq_eval": ("BroadcastNestedLoopJoin", "bounded query panel vs linear code scan"),
     # JL distortion eval: all-pairs over a bounded 40-vector id slice
     "similarity_jl_eval": ("CartesianProduct", "bounded 40x40 pair panel for distortion stats"),
+    # r4 broadcast-join perplexity: the broadcast side is the ONE
+    # (n_tokens, vocab) stats row from the capped unigram table
+    "text_perplexity_scores": ("BroadcastNestedLoopJoin", "single model-stats row (n_tokens, vocab)"),
+    # BM25: the broadcast side is the ONE corpus-stats row (N, total length)
+    "text_bm25_topk": ("BroadcastNestedLoopJoin", "single corpus-stats row (N, sum_dl)"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
