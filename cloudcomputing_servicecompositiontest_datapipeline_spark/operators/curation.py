@@ -215,3 +215,43 @@ def select_to_token_budget(
             F.col("_cum").alias("cum_tokens"),
         )
     )
+
+
+def value_deciles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """X47 curriculum binning: assign each document its quantile bin
+    (decile by default) of ``value_col`` — the label a curriculum/quality-
+    mixture sampler consumes ("train on top deciles first").
+
+    Same two-phase histogram shape as :func:`select_to_token_budget` (the
+    single global ``ntile()`` window would funnel the corpus through one
+    task): ONE partial-agg shuffle to per-value counts, a running sum over
+    that tiny value table, then a broadcast join back — bin =
+    ``floor(n_bins * rows_before / total)`` capped at ``n_bins - 1``, so
+    ties (equal values) always share a bin and the assignment is
+    deterministic at any partitioning.  Bins are ascending: 0 = lowest
+    values, ``n_bins``-1 = highest."""
+    v = F.col(value_col)
+    per_value = df.groupBy(v.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+    wv = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_value.select(
+        "_v", (F.sum("_c").over(wv) - F.col("_c")).alias("_before")
+    )
+    total = per_value.agg(F.sum("_c").alias("_total"))
+    bins = cum.crossJoin(F.broadcast(total)).select(
+        "_v",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.lit(n_bins) * F.col("_before") / F.col("_total")).cast("int"),
+        ).alias("bin"),
+    )
+    return df.join(F.broadcast(bins), v == F.col("_v")).select(
+        F.col(id_col), v.alias("value"), F.col("bin")
+    )

@@ -56,3 +56,81 @@ def decayed_activity(
             ),
         )
     )
+
+
+def robust_stats_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X48 robust per-group statistics: exact median and MAD (median
+    absolute deviation) of ``value_col`` per group — the outlier-resistant
+    monitoring pair (mean/stddev are blown up by exactly the anomalies one
+    monitors for).
+
+    Two passes, both reducing to |groups| rows: exact percentile per group
+    (Spark's ``percentile`` aggregate), then the deviation pass re-joins
+    the per-group median (broadcast — |groups| is bounded for a monitoring
+    dimension) and takes the median of |x − med|.  Rounded 1e-6 for
+    engine-stable hashing."""
+    mult = float(10**round_scale)
+
+    def r6(c):
+        return F.floor(c * mult + 0.5) / mult
+
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = (
+        df.join(F.broadcast(med), df[group_col].eqNullSafe(F.col("_g")))
+        .select("_g", "n", "_med", F.abs(F.col(value_col) - F.col("_med")).alias("_ad"))
+        .groupBy("_g", "n", "_med")
+        .agg(F.percentile(F.col("_ad"), F.lit(0.5)).alias("_mad"))
+    )
+    return dev.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        r6(F.col("_med")).alias("median"),
+        r6(F.col("_mad")).alias("mad"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X49 cohort-retention matrix: users bucketed by first-seen day, then
+    distinct active users per (cohort_day, day_offset) — the standard
+    product-analytics rollup, and a representative two-level aggregation
+    (per-entity min, re-join, distinct count).
+
+    One groupBy(user) shuffle for first-seen, one shuffle back on the user
+    key to tag events (at 100 TB both shuffles hash-partition on the same
+    key, so AQE coalesces them into co-partitioned exchanges), then a
+    partial-agg distinct count keyed by the (cohort, offset) pair — whose
+    cardinality is days², not events."""
+    day = F.to_date(F.col(ts_col))
+    first_seen = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(day).alias("cohort_day")
+    )
+    tagged = events.join(
+        first_seen, events[user_col] == F.col("_u")
+    ).select(
+        "cohort_day",
+        F.datediff(day, F.col("cohort_day")).alias("day_offset"),
+        F.col(user_col).alias("_uid"),
+    )
+    return (
+        tagged.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("_uid").alias("n_active_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            F.col("n_active_users").cast("long").alias("n_active_users"),
+        )
+    )

@@ -1581,3 +1581,140 @@ def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
     return ft.decayed_activity(ev, half_life_hours=24.0)
+
+
+@query(
+    "curation_quality_deciles",
+    oracle="""
+    WITH pv AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+    cum AS (
+      SELECT v, cast(sum(c) OVER (ORDER BY v ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS bigint) AS nbefore
+      FROM pv),
+    tot AS (SELECT cast(sum(c) AS bigint) AS total FROM pv)
+    SELECT d.doc_id, d.n_chars AS value,
+           cast(least(9, floor(10 * nbefore / total)) AS int) AS bin
+    FROM documents d JOIN cum ON cum.v = d.n_chars, tot
+    """,
+)
+def curation_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 curriculum binning: each document's decile of n_chars, via the
+    histogram-threshold plan (per-value counts -> tiny running sum ->
+    broadcast join back) -- the global-ntile() answer would funnel the
+    corpus through ONE window task; this shape never materializes more
+    than the distinct-value table in a single place.  Ties share a bin,
+    so assignment is deterministic at any partitioning."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    return cu.value_deciles(docs, "n_chars", "doc_id", n_bins=10)
+
+
+@query(
+    "dedup_winnow_clusters",
+    oracle=_WINNOW_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + """
+    , e AS (SELECT doc_id AS id, unnest(fingerprints) AS fp FROM w),
+    small AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 200),
+    ee AS (SELECT e.id, e.fp FROM e JOIN small USING (fp)),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM ee a JOIN ee b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    gs AS (
+      SELECT doc_id, CASE WHEN len(tk) >= 5 THEN
+        list_distinct(list_transform(range(1, len(tk) - 4 + 1), i ->
+          md5(array_to_string(list_slice(tk, i, i + 4), ' '))))
+      ELSE [] END AS grams FROM t),
+    vp AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS ninter,
+             len(ga.grams) + len(gb.grams) AS tot
+      FROM cand c JOIN gs ga ON ga.doc_id = c.id_a JOIN gs gb ON gb.doc_id = c.id_b),
+    vpairs AS (
+      SELECT id_a, id_b FROM vp
+      WHERE tot - ninter > 0
+        AND floor(cast(ninter AS double) / (tot - ninter) * 1000000 + 0.5) / 1000000 >= 0.2),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vpairs
+      UNION SELECT id_b, id_a FROM vpairs),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+    canon AS (SELECT node AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY 1)
+    SELECT doc_id, canonical_id,
+           cast(count(*) OVER (PARTITION BY canonical_id) AS bigint) AS cluster_size
+    FROM canon
+    """,
+)
+def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 end-to-end: winnow fingerprints -> bucket-capped candidates ->
+    exact-Jaccard verify -> connected components -> (doc, canonical,
+    cluster_size).  The full fingerprint-dedup pipeline as one declared
+    query; the oracle rebuilds the clustering with a recursive CTE
+    (min-reachable-id == the min-label fixpoint of cluster_canonical)."""
+    docs = _docs(spark, sf_dir)
+    fps = tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    cand = tx.winnow_candidates(fps, "doc_id", min_shared=2, max_bucket_size=200)
+    pairs = tx.winnow_verify(docs, "text", "doc_id", cand, k=5, min_jaccard=0.2)
+    canon = dd.cluster_canonical(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return canon.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+
+
+@query(
+    "events_mad_by_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m, count(*) AS n
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, med.n, med.m, abs(e.value - med.m) AS ad
+      FROM events e JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type)
+    SELECT event_type, cast(n AS bigint) AS n,
+           floor(m * 1000000 + 0.5) / 1000000 AS median,
+           floor(quantile_cont(ad, 0.5) * 1000000 + 0.5) / 1000000 AS mad
+    FROM dev GROUP BY 1, 2, 3
+    """,
+)
+def events_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 robust monitoring stats: exact median + MAD of events.value per
+    event_type.  Two |groups|-row aggregations (exact percentile, then the
+    deviation pass against the broadcast medians) -- the outlier-resistant
+    pair a monitor wants where mean/stddev would be blown up by the very
+    anomalies it hunts."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.robust_stats_by_group(ev, "event_type", "value")
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, min(cast(ts AS date)) AS cohort_day FROM events GROUP BY 1)
+    SELECT cast(fs.cohort_day AS varchar) AS cohort_day,
+           date_diff('day', fs.cohort_day, cast(e.ts AS date)) AS day_offset,
+           cast(count(DISTINCT e.user_id) AS bigint) AS n_active_users
+    FROM events e JOIN fs ON fs.user_id = e.user_id
+    GROUP BY fs.cohort_day, date_diff('day', fs.cohort_day, cast(e.ts AS date))
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 cohort-retention matrix: distinct active users per (first-seen
+    day, day offset).  Two same-key user shuffles + one (cohort, offset)
+    partial agg whose cardinality is days-squared, never events."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.cohort_retention(ev)

@@ -98,6 +98,10 @@ DRIVER_WINDOW: list[str] = [
     "text_bm25_topk",
     "embedding_normalize_zscore",
     "events_decayed_activity",
+    "curation_quality_deciles",
+    "dedup_winnow_clusters",
+    "events_mad_by_type",
+    "events_cohort_retention",
     # --- re-checks: queries whose semantics/oracles were touched in r4
     # (psi null-surfacing landed above via drift_events_value; these two
     # carried bench regressions worth a correctness reconfirmation) plus
@@ -108,11 +112,7 @@ DRIVER_WINDOW: list[str] = [
     "tlq_transform",
     "report_full",
     "overlap_selfjoin",
-    "dedup_exact_text",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
     "window_rank_topk",
-    "pipeline_cumulative",
     "events_session_window",
 ]
 

@@ -841,3 +841,76 @@ def test_decayed_activity_recency_weighting(spark):
     assert got[1].hours_since_last == 0.0
     assert abs(got[2].hours_since_last - 24.0) < 1e-6
     assert got[3].n_events == 2
+
+
+def test_value_deciles_ties_share_bins_and_partition_stable(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    rows = [(i, (i % 5) * 10) for i in range(100)]  # 5 distinct values x 20 docs
+    df = spark.createDataFrame(rows, "doc_id LONG, v LONG")
+    out = {r.doc_id: r.bin for r in cu.value_deciles(df, "v", "doc_id").collect()}
+    # equal values -> equal bins, ascending with value
+    by_value = {}
+    for i, v in rows:
+        by_value.setdefault(v, set()).add(out[i])
+    assert all(len(bins) == 1 for bins in by_value.values())
+    ordered = [next(iter(by_value[v])) for v in sorted(by_value)]
+    assert ordered == sorted(ordered) and ordered[0] == 0
+    assert max(out.values()) <= 9
+    out2 = {r.doc_id: r.bin for r in cu.value_deciles(df.repartition(9), "v", "doc_id").collect()}
+    assert out == out2
+
+
+def test_winnow_clusters_transitive_chain(spark):
+    """A -> B -> C paraphrase chain must collapse into ONE cluster even when
+    A and C share nothing directly (connected components, not pairwise)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import dedup as dd
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    run1 = "alpha beta gamma delta epsilon zeta eta theta"
+    run2 = "one two three four five six seven eight"
+    rows = [
+        (1, run1 + " filler a b c d e"),
+        (2, run1 + " middle words " + run2),
+        (3, run2 + " closing different tokens here"),
+        (4, "completely independent document with unique content words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = tx.winnow_fingerprints(df, "text", "doc_id")
+    cand = tx.winnow_candidates(fps, "doc_id", min_shared=1)
+    pairs = tx.winnow_verify(df, "text", "doc_id", cand, min_jaccard=0.1)
+    canon = {r.doc_id: r.canonical_id for r in dd.cluster_canonical(df.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id").collect()}
+    assert canon[1] == canon[2] == canon[3] == 1  # chain collapses to min id
+    assert canon[4] == 4  # singleton keeps itself
+
+
+def test_robust_stats_median_and_mad(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # the outlier barely moves median/MAD
+    rows = [("a", v) for v in vals] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = {r.g: r for r in ft.robust_stats_by_group(df, "g", "v").collect()}
+    assert out["a"].median == 3.0
+    assert out["a"].mad == 1.0  # deviations [2,1,0,1,97] -> median 1
+    assert out["a"].n == 5
+    assert out["b"].median == 7.0 and out["b"].mad == 0.0
+
+
+def test_cohort_retention_matrix(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 3, 1, 9, 0)
+    rows = [
+        (1, d0), (2, d0),                     # cohort day 0: two users
+        (1, d0 + dt.timedelta(days=1)),       # user 1 returns on day 1
+        (3, d0 + dt.timedelta(days=1)),       # user 3 joins on day 1
+        (1, d0 + dt.timedelta(days=1, hours=5)),  # same day, still 1 distinct
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP_NTZ")
+    got = {(r.cohort_day, r.day_offset): r.n_active_users for r in ft.cohort_retention(ev).collect()}
+    assert got[("2024-03-01", 0)] == 2
+    assert got[("2024-03-01", 1)] == 1
+    assert got[("2024-03-02", 0)] == 1
+    assert len(got) == 3

@@ -60,6 +60,8 @@ ALLOWLIST = {
     "text_perplexity_scores": ("BroadcastNestedLoopJoin", "single model-stats row (n_tokens, vocab)"),
     # BM25: the broadcast side is the ONE corpus-stats row (N, total length)
     "text_bm25_topk": ("BroadcastNestedLoopJoin", "single corpus-stats row (N, sum_dl)"),
+    # decile binning: the broadcast side is the ONE corpus-total row
+    "curation_quality_deciles": ("BroadcastNestedLoopJoin", "single corpus-total row over per-value counts"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
