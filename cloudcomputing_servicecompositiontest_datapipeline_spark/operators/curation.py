@@ -255,3 +255,28 @@ def value_deciles(
     return df.join(F.broadcast(bins), v == F.col("_v")).select(
         F.col(id_col), v.alias("value"), F.col("bin")
     )
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    k: int,
+    salt: str = "rs0",
+) -> DataFrame:
+    """X50 exact k-per-group uniform sample ("1000 random docs per
+    language"): rank rows within each group by the md5(salt‖id) draw and
+    keep the first ``k``.  Deterministic (pure function of salt and id — 
+    reproducible across engines, epochs and partitionings, re-dealable by
+    changing ``salt``), and unlike driver-side reservoir sampling it is
+    fully distributed: the ``row_number() <= k`` shape compiles to
+    WindowGroupLimit, so every map task pre-prunes to its local top-k per
+    group BEFORE the shuffle — a group with 10^9 rows ships k rows per
+    task, not 10^9 to one reducer.  Adds ``draw_rank`` (1-based)."""
+    draw = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("draw_rank", F.row_number().over(w))
+        .filter(F.col("draw_rank") <= k)
+    )

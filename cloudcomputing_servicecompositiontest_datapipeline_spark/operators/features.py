@@ -134,3 +134,45 @@ def cohort_retention(
             F.col("n_active_users").cast("long").alias("n_active_users"),
         )
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    k: float = 3.0,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X48b robust outlier flagging: |x − median| > k·MAD per group (the
+    modified z-score rule, resistant to the outliers it hunts — a stddev
+    threshold would be inflated by them).  Reuses
+    :func:`robust_stats_by_group`'s |groups|-row table as a broadcast; the
+    flagging pass is row-local.  Groups with MAD = 0 flag any deviation
+    (a constant stream moving at all is anomalous).  Returns only the
+    flagged rows with their robust z-score."""
+    mult = float(10**round_scale)
+    stats = robust_stats_by_group(df, group_col, value_col, round_scale=round_scale)
+    dev = F.abs(F.col(value_col) - F.col("median"))
+    flagged = F.when(F.col("mad") > 0, dev > F.lit(k) * F.col("mad")).otherwise(
+        dev > 0
+    )
+    score = F.when(
+        F.col("mad") > 0, F.floor(dev / F.col("mad") * mult + 0.5) / mult
+    )
+    return (
+        df.join(
+            F.broadcast(stats.select(F.col(group_col).alias("_g"), "median", "mad")),
+            df[group_col].eqNullSafe(F.col("_g")),
+        )
+        .filter(flagged)
+        .select(
+            F.col(id_col),
+            df[group_col],
+            F.col(value_col),
+            "median",
+            "mad",
+            score.alias("robust_z"),
+        )
+    )

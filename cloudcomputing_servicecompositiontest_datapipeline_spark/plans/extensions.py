@@ -1718,3 +1718,67 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
     return ft.cohort_retention(ev)
+
+
+@query(
+    "events_outliers_robust",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m, count(*) AS n
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, med.n, med.m, abs(e.value - med.m) AS ad
+      FROM events e JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type),
+    st AS (
+      SELECT event_type,
+             floor(m * 1000000 + 0.5) / 1000000 AS median,
+             floor(quantile_cont(ad, 0.5) * 1000000 + 0.5) / 1000000 AS mad
+      FROM dev GROUP BY 1, m)
+    SELECT e.event_id, e.event_type, e.value, st.median, st.mad,
+           CASE WHEN st.mad > 0 THEN
+             floor(abs(e.value - st.median) / st.mad * 1000000 + 0.5) / 1000000
+           END AS robust_z
+    FROM events e JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type
+    WHERE CASE WHEN st.mad > 0 THEN abs(e.value - st.median) > 3.0 * st.mad
+               ELSE abs(e.value - st.median) > 0 END
+    """,
+)
+def events_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48b robust anomaly flagging: events whose value deviates from the
+    per-type median by more than 3 MADs (modified z-score rule) -- the
+    monitoring cut mean/stddev cannot make because the anomalies inflate
+    it.  The |groups|-row stat table broadcasts; flagging is row-local;
+    thresholds compare ROUNDED stats so both engines cut identically."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.robust_outliers(ev, "event_type", "value", "event_id", k=3.0)
+
+
+@query(
+    "sample_per_group_reservoir",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             cast(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('rs0:' || cast(doc_id AS varchar)) ASC, doc_id ASC
+             ) AS int) AS draw_rank
+      FROM documents)
+    SELECT doc_id, lang, draw_rank FROM r WHERE draw_rank <= 30
+    """,
+)
+def sample_per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 exact k-per-group uniform sample (30 docs per language) by
+    md5-draw ranking -- deterministic, re-dealable by salt, and the
+    row_number<=k shape compiles to WindowGroupLimit so each map task
+    pre-prunes to k rows per group before the shuffle (plan-asserted in
+    tests); the distributed replacement for driver-side reservoir
+    sampling."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    return cu.per_group_sample(docs, "lang", "doc_id", k=30).select(
+        "doc_id", "lang", "draw_rank"
+    )

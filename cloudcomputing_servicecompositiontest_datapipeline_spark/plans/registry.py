@@ -102,6 +102,8 @@ DRIVER_WINDOW: list[str] = [
     "dedup_winnow_clusters",
     "events_mad_by_type",
     "events_cohort_retention",
+    "events_outliers_robust",
+    "sample_per_group_reservoir",
     # --- re-checks: queries whose semantics/oracles were touched in r4
     # (psi null-surfacing landed above via drift_events_value; these two
     # carried bench regressions worth a correctness reconfirmation) plus
@@ -110,8 +112,6 @@ DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "tlq_transform",
-    "report_full",
-    "overlap_selfjoin",
     "window_rank_topk",
     "events_session_window",
 ]

@@ -914,3 +914,36 @@ def test_cohort_retention_matrix(spark):
     assert got[("2024-03-01", 1)] == 1
     assert got[("2024-03-02", 0)] == 1
     assert len(got) == 3
+
+
+def test_robust_outliers_flags_planted_anomaly(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    rows = [(i, "a", float(10 + i % 3)) for i in range(30)] + [
+        (100, "a", 500.0),               # blatant outlier
+        (200, "b", 7.0), (201, "b", 7.0), (202, "b", 7.5),  # near-constant group
+    ]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v DOUBLE")
+    got = {r.id: r for r in ft.robust_outliers(df, "g", "v", "id", k=3.0).collect()}
+    assert 100 in got and got[100].robust_z > 100
+    assert all(i not in got for i in range(30))  # in-band rows stay
+    # MAD=0 group: any deviation from the median flags
+    assert 202 in got and got[202].mad == 0.0 and got[202].robust_z is None
+    assert 200 not in got and 201 not in got
+
+
+def test_per_group_sample_exact_k_deterministic_and_plan(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, g STRING")
+    out = cu.per_group_sample(df, "g", "doc_id", k=7)
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"g0": 7, "g1": 7, "g2": 7}
+    a = sorted((r.doc_id, r.draw_rank) for r in out.collect())
+    b = sorted((r.doc_id, r.draw_rank) for r in cu.per_group_sample(df.repartition(11), "g", "doc_id", k=7).collect())
+    assert a == b  # partitioning-independent
+    c = sorted(r.doc_id for r in cu.per_group_sample(df, "g", "doc_id", k=7, salt="rs1").collect())
+    assert c != sorted(x[0] for x in a)  # salt re-deals
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side per-group pruning
