@@ -80,15 +80,24 @@ def ngram_jaccard_pairs(
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per document (exploded)."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
+    """Distinct n-word shingles per document (exploded).
+
+    Staged select + explode_outer, not inline explode: the optimizer's
+    InferFiltersFromGenerate adds a size()>0 filter that pushes below the
+    projection with the WHOLE shingle expression substituted in — its
+    per-element lambda then re-evaluates the token split per shingle,
+    turning this row-local pass quadratic in document length."""
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_tk"),
+    )
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        F.sequence(F.lit(0), F.greatest(F.size("_tk") - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, n), " "),
     )
-    return ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+    return staged.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(sh)).alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
 
 
 def minhash_signatures(
@@ -196,7 +205,10 @@ def lsh_candidate_pairs(
         )
     )
     return (
-        grouped.select(F.explode(pairs).alias("p"))
+        # explode_outer: keeps InferFiltersFromGenerate from duplicating the
+        # O(bucket^2) pair-expression into a pushed-down filter
+        grouped.select(F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
@@ -464,7 +476,16 @@ def cluster_canonical(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # Iterate over TOUCHED nodes only (nodes on some edge): singletons can
+    # never change label, so keeping them in the loop just multiplies every
+    # round's join/agg by |corpus|.  With this cut the iterative frames
+    # scale with the DUPLICATE population (pairs), not the corpus — at a
+    # typical few-% dup rate that is a 10-100x smaller loop; singletons
+    # rejoin as themselves at the end.
+    touched = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    )
+    labels = touched.select("node", F.col("node").alias("label"))
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(
@@ -500,8 +521,13 @@ def cluster_canonical(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(labels.select("node", "label"), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", F.col("node")).alias("canonical_id"),
+        )
     )
 
 

@@ -384,6 +384,11 @@ def semantic_dedup(
         centers = _train_centroids(sample, n_centroids)
         blocked = c.withColumn("_block", _argmin_centroids(F.col("_vec"), centers, 1)[0])
 
+    # The self-join below reads `blocked` TWICE; without a checkpoint Spark
+    # re-evaluates the expensive row-local work (norm fold + n_centroids
+    # argmin folds per row) once per side.  localCheckpoint materializes the
+    # assignment exactly once (lazy: first action triggers it).
+    blocked = blocked.localCheckpoint(eager=False)
     a = blocked.select(
         F.col("_id").alias("id_a"),
         F.col("_vec").alias("vec_a"),
@@ -663,7 +668,9 @@ def pq_topk_recall(
     parts = []
     for j, cb in enumerate(codebooks):
         qsub = F.slice(F.col("q_vec"), j * sub + 1, sub)
-        table = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in cb])
+        # one F.lit(nested list) call — per-element F.lit would cost one
+        # py4j round-trip per centroid component (k*dsub per subspace)
+        table = F.lit([[float(x) for x in row] for row in cb])
         cent = F.element_at(table, F.element_at(F.col("c_codes"), j + 1) + 1)
         parts.append(
             F.aggregate(
@@ -879,8 +886,8 @@ def normalize_embeddings_zscore(
     )
     means = [float(r["_mean"]) for r in stats]
     stds = [float(r["_std"]) for r in stats]
-    mean_arr = F.array(*[F.lit(m) for m in means])
-    std_arr = F.array(*[F.lit(s) for s in stds])
+    mean_arr = F.lit(means)
+    std_arr = F.lit(stds)
     mult = float(10**round_scale)
     normalized = F.transform(
         F.col(vec_col),

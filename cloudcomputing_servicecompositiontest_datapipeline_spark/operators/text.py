@@ -259,15 +259,19 @@ def token_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataF
     Documents shorter than ``n`` tokens produce no rows.  Explode is
     row-local — no shuffle; downstream joins/aggregations decide the
     partitioning."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return (
+    staged = (
         ensure_parallelism(df)
-        .filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(F.col(id_col), F.split(normalized_text(F.col(text_col)), " ").alias("_tk"))
+        .filter(F.size("_tk") >= n)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_tk") - n),
+        lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, n), " "),
+    )
+    # explode_outer: see shingles() — a pushed inferred filter would inline
+    # the gram expression and re-evaluate the split per gram element
+    return staged.select(F.col(id_col), F.explode_outer(grams).alias("gram")).filter(
+        F.col("gram").isNotNull()
     )
 
 
@@ -457,17 +461,24 @@ def train_bigram_lm(
     if top_k:
         uq = uq.orderBy(F.col("n").desc(), "w").limit(top_k)
     uni = {r["w"]: int(r["n"]) for r in uq.collect()}
+    # staged select: the pair transform's lambda must index a BOUND token
+    # column — an inlined split expression re-evaluates per pair element
+    # (no CSE inside interpreted higher-order lambdas), an O(tokens²) trap
+    staged = (
+        ensure_parallelism(df)
+        .select(toks.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+    )
     pairs_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(F.size("_tk") - 2, F.lit(0))),
         lambda i: F.struct(
-            F.element_at(toks, i + 1).alias("a"),
-            F.element_at(toks, i + 2).alias("b"),
+            F.element_at(F.col("_tk"), i + 1).alias("a"),
+            F.element_at(F.col("_tk"), i + 2).alias("b"),
         ),
     )
     bq = (
-        ensure_parallelism(df)
-        .filter(F.size(toks) >= 2)
-        .select(F.explode(pairs_arr).alias("p"))
+        staged.select(F.explode_outer(pairs_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -593,17 +604,21 @@ def train_bigram_lm_df(
     uni_df = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     if top_k:
         uni_df = uni_df.orderBy(F.col("n").desc(), "w").limit(top_k)
+    staged = (
+        ensure_parallelism(df)
+        .select(toks.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+    )
     pairs_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(F.size("_tk") - 2, F.lit(0))),
         lambda i: F.struct(
-            F.element_at(toks, i + 1).alias("a"),
-            F.element_at(toks, i + 2).alias("b"),
+            F.element_at(F.col("_tk"), i + 1).alias("a"),
+            F.element_at(F.col("_tk"), i + 2).alias("b"),
         ),
     )
     bi_df = (
-        ensure_parallelism(df)
-        .filter(F.size(toks) >= 2)
-        .select(F.explode(pairs_arr).alias("p"))
+        staged.select(F.explode_outer(pairs_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -723,33 +738,55 @@ def winnow_fingerprints(
     100 TB shape: entirely row-local array expressions — no shuffle, no
     UDF, output partitioning follows input.  Docs shorter than ``k`` tokens
     get an empty set; docs with fewer than ``window`` grams keep all their
-    gram hashes (degenerate winnow)."""
+    gram hashes (degenerate winnow).
+
+    Each array stage is a separate ``select`` so the lambdas below read a
+    BOUND column: an expression referenced inside a ``transform`` lambda is
+    re-evaluated per element (no CSE for interpreted higher-order funcs),
+    so inlining the md5-array expression under the window-min transform
+    made fingerprinting O(n_grams²) md5 calls per document — measured ~5 s
+    for 500 docs before staging, sub-second after."""
     from .dedup import normalized_text
 
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    toks = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_tk"),
+    )
+    n_grams = F.greatest(F.size("_tk") - (k - 1), F.lit(0))
     gram_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
         lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 8), 16, 10
+            F.substring(F.md5(F.array_join(F.slice(F.col("_tk"), i, k), " ")), 1, 8),
+            16,
+            10,
         ).cast("long"),
     )
-    hashes = F.when(n_grams >= 1, gram_hashes).otherwise(
-        F.array().cast("array<bigint>")
-    )
-    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
-    winnowed = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
-    )
-    fps = F.array_sort(
-        F.array_distinct(F.when(n_windows >= 1, winnowed).otherwise(hashes))
-    )
-    return ensure_parallelism(df).select(
+    hashed = toks.select(
         F.col(id_col),
         n_grams.alias("n_grams"),
-        fps.alias("fingerprints"),
-        F.size(fps).alias("n_fingerprints"),
+        F.when(n_grams >= 1, gram_hashes)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_h"),
+    )
+    n_windows = F.greatest(F.size("_h") - (window - 1), F.lit(0))
+    winnowed = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("_h"), i, window)),
+    )
+    staged = hashed.select(
+        F.col(id_col),
+        "n_grams",
+        F.array_sort(
+            F.array_distinct(
+                F.when(n_windows >= 1, winnowed).otherwise(F.col("_h"))
+            )
+        ).alias("fingerprints"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_grams",
+        "fingerprints",
+        F.size("fingerprints").alias("n_fingerprints"),
     )
 
 
@@ -773,7 +810,11 @@ def winnow_candidates(
     join (same skew cap + printed-justification pattern as dedup LSH).
     Output: (id_a, id_b, n_shared) — downstream exact-verify is cheap
     because candidates are few."""
-    e = fps.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
+    # explode_outer: see winnow_fingerprints — the inferred size()>0 filter
+    # otherwise re-derives the whole fingerprint expression per element
+    e = fps.select(
+        F.col(id_col).alias("_id"), F.explode_outer("fingerprints").alias("fp")
+    ).filter(F.col("fp").isNotNull())
     small = (
         e.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_bucket"))
@@ -887,20 +928,24 @@ def winnow_verify(
     threshold filter so both engines cut on the identical value."""
     from .dedup import normalized_text
 
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    # staged select: the gram transform's lambda must slice a BOUND column
+    # (see winnow_fingerprints — an inlined token expression re-evaluates
+    # per gram element, turning this row-local pass quadratic)
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_gid"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_tk"),
+    )
+    n_grams = F.greatest(F.size("_tk") - (k - 1), F.lit(0))
     grams = F.when(
         n_grams >= 1,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-                lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_tk"), i, k), " ")),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gsets = ensure_parallelism(df).select(
-        F.col(id_col).alias("_gid"), grams.alias("_grams")
-    )
+    gsets = toks.select("_gid", grams.alias("_grams"))
     j = (
         candidates.join(
             gsets.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")),
