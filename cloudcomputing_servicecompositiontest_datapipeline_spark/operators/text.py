@@ -533,7 +533,12 @@ def perplexity_scores(
         if bi
         else F.create_map().cast("map<string,double>")
     )
-    toks = F.split(normalized_text(F.col(text_col)), " ")
+    # staged token column: an inlined split under the per-pair lambda would
+    # re-evaluate per element (see train_bigram_lm) — O(tokens²) per doc
+    staged = ensure_parallelism(df).select(
+        F.col(id_col), F.split(normalized_text(F.col(text_col)), " ").alias("_tk")
+    )
+    toks = F.col("_tk")
     pair_logps = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda i: (
@@ -576,7 +581,7 @@ def perplexity_scores(
         / F.size(pair_logps)
     )
     ppl = F.when(F.size(toks) >= 2, F.exp(-mean_logp))
-    return ensure_parallelism(df).select(
+    return staged.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         (F.floor(ppl * mult + 0.5) / mult).alias("perplexity"),

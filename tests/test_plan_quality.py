@@ -341,3 +341,29 @@ def test_binned_overlap_is_keyed_join_not_bnlj(spark):
     # keyed plan becomes sort-merge when both sides are large)
     import re
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[bin#", phys)
+
+
+def test_hof_explodes_do_not_regrow_inferred_filters(spark):
+    """Regression pin for the InferFiltersFromGenerate trap: exploding a
+    higher-order-function array lets the optimizer infer a size()>0 filter
+    that pushes below the projections with the WHOLE array expression
+    substituted in — its per-element lambdas then re-evaluate the token
+    split per element, turning row-local passes quadratic (measured 25 s
+    for 500 docs on the winnowing pipeline).  The fix is explode_outer +
+    isNotNull, which the rule does not fire on: the optimized plans must
+    carry no Filter whose condition embeds a transform() lambda."""
+    import re
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.plans import registry
+
+    registry.load_all()
+    for name in ("dedup_winnow_candidates", "text_perplexity_scores", "dedup_passages"):
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = [
+            ln
+            for ln in opt.splitlines()
+            if ln.strip().startswith(("Filter", "+- Filter"))
+            and "transform(" in ln
+        ]
+        assert not bad, f"{name}: inferred filter re-embeds the HOF array:\n" + "\n".join(bad[:2])

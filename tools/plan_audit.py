@@ -62,6 +62,8 @@ ALLOWLIST = {
     "text_bm25_topk": ("BroadcastNestedLoopJoin", "single corpus-stats row (N, sum_dl)"),
     # decile binning: the broadcast side is the ONE corpus-total row
     "curation_quality_deciles": ("BroadcastNestedLoopJoin", "single corpus-total row over per-value counts"),
+    # decayed activity: the broadcast side is the ONE max-timestamp row
+    "events_decayed_activity": ("BroadcastNestedLoopJoin", "single max-timestamp anchor row"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
