@@ -63,6 +63,27 @@ NEW_R3 = [
     "drift_events_value",
 ]
 
+#: Added in r4 (X43-X50 + the scale-path/parity queries) — fourth table,
+#: vs_prev-tracked from r5 on via BENCH_DETAIL.json.
+NEW_R4 = [
+    "text_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "dedup_winnow_verified",
+    "dedup_winnow_clusters",
+    "text_bm25_topk",
+    "text_bpe_encode_parity",
+    "text_perplexity_scores",
+    "embedding_normalize_zscore",
+    "events_decayed_activity",
+    "events_mad_by_type",
+    "events_cohort_retention",
+    "events_outliers_robust",
+    "curation_quality_deciles",
+    "sample_per_group_reservoir",
+    "curation_target_mix",
+    "pack_sequences_sharded",
+]
+
 #: Added after r1 — timed outside the headline total for bench continuity.
 EXTRA = [
     "overlap_global_binned",
@@ -145,6 +166,16 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             new_r3[name] = round(best, 3)
 
+    new_r4: dict[str, float] = {}
+    for name in NEW_R4:
+        if name in qs:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            new_r4[name] = round(best, 3)
+
     # Second scale factor: the same headline queries at SF2 (10x less data),
     # min-of-2.  sf_scaling_ratio = t(SF)/t(SF2) per query — for a 10x SF
     # step, a ratio well under 10 means fixed overhead still dominates at
@@ -170,6 +201,7 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra,
         "new_queries": new_r3,
+        "new_r4_queries": new_r4,
         "sf": _sf(SF_DIR),
     }
     if secondary:
@@ -211,6 +243,11 @@ def main() -> None:
                 },
                 "new_delta_sec": {
                     n: round(t - pn[n], 3) for n, t in new_r3.items() if n in pn
+                },
+                "new_r4_delta_sec": {
+                    n: round(t - prev.get("new_r4_queries", {}).get(n), 3)
+                    for n, t in new_r4.items()
+                    if n in prev.get("new_r4_queries", {})
                 },
             }
             break

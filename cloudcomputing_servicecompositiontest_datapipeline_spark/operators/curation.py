@@ -280,3 +280,112 @@ def per_group_sample(
         df.withColumn("draw_rank", F.row_number().over(w))
         .filter(F.col("draw_rank") <= k)
     )
+
+
+def target_mix_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    *,
+    salt: str = "m0",
+    draw_bits: int = 24,
+) -> DataFrame:
+    """X51 rebalance the corpus to EXPLICIT target proportions (the
+    Dolma/FineWeb-style "15% code, 60% web, 25% books" mixture spec), by
+    subsampling only: the largest achievable corpus with exact proportions
+    keeps ``N = min_i(n_i / t_i)`` total rows, so domain i keeps
+    ``rate_i = t_i * N / n_i`` (the binding domain keeps 100%).  Domains
+    absent from ``targets`` are dropped (an explicit mixture spec is a
+    whitelist).
+
+    Same scale shape as :func:`temperature_resample`: ONE per-domain count
+    aggregate, rates rounded 1e-6 and broadcast back, membership a pure
+    md5(salt‖id) draw — reproducible, no corpus shuffle.  Output adds
+    ``keep_rate`` as sampling provenance."""
+    mult = 1000000.0
+    if not targets or abs(sum(targets.values()) - 1.0) > 1e-9:
+        raise ValueError("targets must be a non-empty distribution summing to 1")
+    tgt = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())], f"{domain_col} STRING, _t DOUBLE"
+    )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("_d")).agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(tgt), F.col("_d").eqNullSafe(F.col(domain_col)))
+        .drop(domain_col)
+    )
+    nmax = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_nk"))
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        "_d",
+        (
+            F.floor(
+                F.least(F.lit(1.0), F.col("_t") * F.col("_nk") / F.col("_n")) * mult + 0.5
+            )
+            / mult
+        ).alias("keep_rate"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = F.floor(F.col("keep_rate") * (1 << draw_bits)).cast("long")
+    return (
+        df.join(F.broadcast(rates), df[domain_col].eqNullSafe(rates["_d"]))
+        .filter(draw < thr)
+        .drop("_d")
+    )
+
+
+def pack_sequences_sharded(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    *,
+    context_len: int,
+    n_shards: int = 32,
+    salt: str = "p0",
+) -> DataFrame:
+    """X52 pretraining sequence packing, sharded: concatenate the document
+    stream and cut fixed ``context_len`` windows — the standard "pack then
+    split" exporter step.  A single global running total is the
+    one-task-window anti-pattern, so documents are first dealt into
+    ``n_shards`` deterministic hash shards (md5 draw — reproducible), and
+    packing runs per shard: window partitioned BY SHARD, ordered by the
+    in-shard draw with ``id_col`` tie-break.
+
+    Output per doc: (shard, pack_id, offset_in_pack, n_tokens) where
+    pack_id = floor(running_offset / context_len) within the shard —
+    documents spanning a boundary start a new pack's tail (offset
+    continues; an exporter reading in (shard, pack_id, offset) order
+    reproduces the exact byte stream).  At 100 TB: one shuffle on the
+    shard key; each shard's window is 1/n_shards of the corpus, and
+    n_shards scales with the cluster."""
+    draw = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(draw, 1, 6), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    toks = F.col(token_col).cast("long")
+    base = df.select(
+        F.col(id_col), toks.alias("n_tokens"), shard.alias("shard"), draw.alias("_draw")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_draw").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_before")
+    return base.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        cum_before,
+    ).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(F.col("_before") / context_len).cast("int").alias("pack_id"),
+        (F.col("_before") % context_len).cast("int").alias("offset_in_pack"),
+    )

@@ -1782,3 +1782,67 @@ def sample_per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.per_group_sample(docs, "lang", "doc_id", k=30).select(
         "doc_id", "lang", "draw_rank"
     )
+
+
+@query(
+    "curation_target_mix",
+    oracle="""
+    WITH tgt AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.3), ('fr', 0.2)) v(lang, t)),
+    counts AS (
+      SELECT d.lang, count(*) AS n, any_value(t.t) AS t
+      FROM documents d JOIN tgt t ON d.lang IS NOT DISTINCT FROM t.lang
+      GROUP BY 1),
+    nk AS (SELECT min(n / t) AS nk FROM counts),
+    rates AS (
+      SELECT lang, floor(least(1.0, t * nk / n) * 1000000 + 0.5) / 1000000 AS keep_rate
+      FROM counts, nk)
+    SELECT d.doc_id, d.lang, r.keep_rate
+    FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
+    WHERE cast(('0x' || substr(md5('m0:' || cast(d.doc_id AS varchar)), 1, 6)) AS bigint)
+          < cast(floor(keep_rate * 16777216) AS bigint)
+    """,
+)
+def curation_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 explicit-proportion mixture rebalance (50% en / 30% de / 20% fr):
+    keeps the LARGEST corpus with exactly those shares (binding domain at
+    100%), domains outside the spec dropped.  One count agg + broadcast
+    rates + md5-draw membership -- no corpus shuffle, reproducible."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    out = cu.target_mix_resample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.3, "fr": 0.2}
+    )
+    return out.select("doc_id", "lang", "keep_rate")
+
+
+@query(
+    "pack_sequences_sharded",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, cast(n_chars AS bigint) AS n_tokens,
+             md5('p0:' || cast(doc_id AS varchar)) AS draw,
+             cast(cast(('0x' || substr(md5('p0:' || cast(doc_id AS varchar)), 1, 6)) AS bigint) % 8 AS int) AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             cast(sum(n_tokens) OVER (PARTITION BY shard ORDER BY draw, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS bigint) AS nbefore
+      FROM b)
+    SELECT doc_id, shard, n_tokens,
+           cast(floor(nbefore / 2048) AS int) AS pack_id,
+           cast(nbefore % 2048 AS int) AS offset_in_pack
+    FROM c
+    """,
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 pretraining sequence packing: concatenate-and-cut into 2048-token
+    contexts, SHARDED so the running-offset window partitions by an md5
+    hash shard instead of funnelling the corpus through one task; exporter
+    order (shard, pack_id, offset) reproduces the exact stream."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    return cu.pack_sequences_sharded(
+        docs, "n_chars", "doc_id", context_len=2048, n_shards=8
+    )

@@ -104,6 +104,8 @@ DRIVER_WINDOW: list[str] = [
     "events_cohort_retention",
     "events_outliers_robust",
     "sample_per_group_reservoir",
+    "curation_target_mix",
+    "pack_sequences_sharded",
     # --- re-checks: queries whose semantics/oracles were touched in r4
     # (psi null-surfacing landed above via drift_events_value; these two
     # carried bench regressions worth a correctness reconfirmation) plus
@@ -112,8 +114,6 @@ DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "tlq_transform",
-    "window_rank_topk",
-    "events_session_window",
 ]
 
 

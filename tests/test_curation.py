@@ -657,3 +657,54 @@ def test_perplexity_join_path_capped_model_matches_capped_literal(spark):
     jn = {r.doc_id: (r.n_tokens, r.perplexity) for r in tx.perplexity_scores_join(df, "text", "doc_id", uni_df, bi_df).collect()}
     assert lit == jn
     assert uni_df.count() == 3 and bi_df.count() == 3  # the cap is real
+
+
+# -------------------------------- X51 target mix / X52 sequence packing
+
+
+def test_target_mix_hits_proportions_and_whitelists(spark):
+    rows = (
+        [(i, "en") for i in range(1000)]
+        + [(2000 + i, "de") for i in range(200)]
+        + [(4000 + i, "xx") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = cu.target_mix_resample(df, "lang", "doc_id", {"en": 0.5, "de": 0.5})
+    by = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert "xx" not in by  # outside the spec -> dropped
+    # binding domain (de: 200/0.5=400 < en: 1000/0.5=2000) keeps ~100%
+    assert by["de"] >= 190
+    # en keeps ~ t_en * N_k / n_en = 0.5*400/1000 = 20%
+    assert 130 <= by["en"] <= 270
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cu.target_mix_resample(df, "lang", "doc_id", {"en": 0.5})  # doesn't sum to 1
+
+
+def test_pack_sequences_contiguous_per_shard(spark):
+    rows = [(i, 100 + (i * 37) % 900) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tok LONG")
+    out = cu.pack_sequences_sharded(df, "n_tok", "doc_id", context_len=1000, n_shards=4)
+    got = out.collect()
+    assert {r.shard for r in got} <= set(range(4))
+    # reconstruct each shard's stream: offsets must be the exact running sum
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in got:
+        by_shard[r.shard].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.pack_id, r.offset_in_pack, r.doc_id))
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // 1000
+            assert r.offset_in_pack == cum % 1000
+            cum += r.n_tokens
+    # deterministic across partitioning
+    a = sorted((r.doc_id, r.shard, r.pack_id, r.offset_in_pack) for r in got)
+    b = sorted(
+        (r.doc_id, r.shard, r.pack_id, r.offset_in_pack)
+        for r in cu.pack_sequences_sharded(df.repartition(13), "n_tok", "doc_id", context_len=1000, n_shards=4).collect()
+    )
+    assert a == b

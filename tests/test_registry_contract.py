@@ -93,10 +93,9 @@ def test_bench_contract_shape():
     import __spark_entry__ as em
 
     qs = set(em.queries())
-    for name in bench.HEADLINE + bench.EXTRA + bench.NEW_R3:
+    timed = bench.HEADLINE + bench.EXTRA + bench.NEW_R3 + bench.NEW_R4
+    for name in timed:
         assert name in qs, f"bench times unknown query {name!r}"
     # headline set frozen since r1 for cross-round comparability
     assert len(bench.HEADLINE) == 15
-    assert len(set(bench.HEADLINE + bench.EXTRA + bench.NEW_R3)) == len(
-        bench.HEADLINE + bench.EXTRA + bench.NEW_R3
-    )
+    assert len(set(timed)) == len(timed)

@@ -64,6 +64,8 @@ ALLOWLIST = {
     "curation_quality_deciles": ("BroadcastNestedLoopJoin", "single corpus-total row over per-value counts"),
     # decayed activity: the broadcast side is the ONE max-timestamp row
     "events_decayed_activity": ("BroadcastNestedLoopJoin", "single max-timestamp anchor row"),
+    # target mix: the broadcast side is the ONE N_k = min(n/t) row
+    "curation_target_mix": ("BroadcastNestedLoopJoin", "single achievable-corpus-size row"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
