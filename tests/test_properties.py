@@ -519,3 +519,77 @@ def test_cluster_canonical_matches_union_find(spark, edges):
         for r in cluster_canonical(docs, pairs, "doc_id").collect()
     }
     assert got == expect
+
+
+# --------------------------------------------- X43 winnowing (property)
+
+_words_st = st.lists(
+    st.sampled_from(["ba", "ne", "to", "ri", "lum", "ka", "shi", "or", "qe", "vu"]),
+    min_size=0,
+    max_size=40,
+)
+_winnow_docs_st = st.lists(_words_st, min_size=1, max_size=8)
+
+
+def _winnow_model(tokens, k=5, w=4):
+    """Pure-Python winnowing reference (Schleimer et al. 2003, word grams,
+    first-8-hex-digits-of-md5 hashes — the operator's exact scheme)."""
+    import hashlib
+
+    if len(tokens) < k:
+        return 0, []
+    hashes = [
+        int(hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(tokens) - k + 1)
+    ]
+    if len(hashes) < w:
+        sel = hashes
+    else:
+        sel = [min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)]
+    return len(hashes), sorted(set(sel))
+
+
+@given(docs=_winnow_docs_st)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_winnow_fingerprints_match_python_model(spark, docs):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_grams, list(r.fingerprints))
+        for r in tx.winnow_fingerprints(df, "text", "doc_id", k=5, window=4).collect()
+    }
+    for i, ws in enumerate(docs):
+        # empty docs normalize to [""] (split semantics), like the operator
+        toks = " ".join(ws).split(" ") if ws else [""]
+        assert got[i] == _winnow_model(toks), (i, ws)
+
+
+# ------------------------------------------ X52 sequence packing (property)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60),
+    ctx=st.sampled_from([128, 1000, 4096]),
+    shards=st.sampled_from([1, 3, 8]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_sequences_offsets_reconstruct_stream(spark, toks, ctx, shards):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tok LONG")
+    got = cu.pack_sequences_sharded(df, "n_tok", "doc_id", context_len=ctx, n_shards=shards).collect()
+    assert len(got) == len(toks)
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in got:
+        by_shard[r.shard].append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: (r.pack_id, r.offset_in_pack, r.doc_id))
+        cum = 0
+        for r in rs:
+            assert (r.pack_id, r.offset_in_pack) == (cum // ctx, cum % ctx)
+            cum += r.n_tokens
