@@ -373,3 +373,122 @@ class Engine:
             raise ValueError("method='literal' requires a top_k bound (unbounded driver collect otherwise)")
         model = tx.train_bigram_lm(docs, text_col, top_k=top_k)
         return tx.perplexity_scores(docs, text_col, id_col, model)
+
+    def fingerprint_dedup(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        *,
+        k: int = 5,
+        window: int = 4,
+        min_shared: int = 2,
+        min_jaccard: float = 0.2,
+        max_bucket_size: int = 200,
+    ) -> DataFrame:
+        """X43: winnowing-fingerprint near-dup clustering end to end —
+        fingerprints → capped candidate buckets → exact-Jaccard verify →
+        connected components.  Returns (id, canonical_id, cluster_size)."""
+        from .operators import dedup as dd
+        from .operators import text as tx
+        from pyspark.sql import functions as F
+
+        fps = tx.winnow_fingerprints(docs, text_col, id_col, k=k, window=window)
+        cand = tx.winnow_candidates(
+            fps, id_col, min_shared=min_shared, max_bucket_size=max_bucket_size
+        )
+        pairs = tx.winnow_verify(
+            docs, text_col, id_col, cand, k=k, min_jaccard=min_jaccard
+        )
+        canon = dd.cluster_canonical(
+            docs.select(id_col), pairs.select("id_a", "id_b"), id_col
+        )
+        sizes = canon.groupBy("canonical_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size")
+        )
+        return canon.join(sizes, "canonical_id").select(
+            id_col, "canonical_id", "cluster_size"
+        )
+
+    def search_bm25(
+        self,
+        docs: DataFrame,
+        queries: list[tuple[str, list[str]]],
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        *,
+        topk: int = 10,
+    ) -> DataFrame:
+        """X44: BM25 lexical top-k retrieval for a bounded query panel."""
+        from .operators import text as tx
+
+        return tx.bm25_topk(docs, text_col, id_col, queries, topk=topk)
+
+    def normalize_embeddings(self, emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        """X45: per-dimension z-score standardization of an embedding column."""
+        from .operators import similarity as s
+
+        return s.normalize_embeddings_zscore(emb, id_col=id_col, vec_col=vec_col)
+
+    def activity_features(self, events: DataFrame, *, half_life_hours: float = 24.0, **kw) -> DataFrame:
+        """X46: time-decayed per-entity activity score + recency."""
+        from .operators import features as ft
+
+        return ft.decayed_activity(events, half_life_hours=half_life_hours, **kw)
+
+    def robust_stats(self, df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+        """X48: exact median + MAD per group."""
+        from .operators import features as ft
+
+        return ft.robust_stats_by_group(df, group_col, value_col)
+
+    def flag_outliers(self, df: DataFrame, group_col: str, value_col: str, id_col: str, *, k: float = 3.0) -> DataFrame:
+        """X48b: 3-MAD modified z-score outlier rows per group."""
+        from .operators import features as ft
+
+        return ft.robust_outliers(df, group_col, value_col, id_col, k=k)
+
+    def cohort_retention(self, events: DataFrame, **kw) -> DataFrame:
+        """X49: distinct active users per (first-seen day, day offset)."""
+        from .operators import features as ft
+
+        return ft.cohort_retention(events, **kw)
+
+    def quality_bins(self, df: DataFrame, value_col: str, id_col: str, *, n_bins: int = 10) -> DataFrame:
+        """X47: curriculum quantile bin per document (histogram plan)."""
+        from .operators import curation as cu
+
+        return cu.value_deciles(df, value_col, id_col, n_bins=n_bins)
+
+    def sample_per_group(self, df: DataFrame, group_col: str, id_col: str, *, k: int, salt: str = "rs0") -> DataFrame:
+        """X50: exact k-per-group uniform sample (md5-draw rank)."""
+        from .operators import curation as cu
+
+        return cu.per_group_sample(df, group_col, id_col, k=k, salt=salt)
+
+    def resample_to_targets(self, df: DataFrame, targets: dict, domain_col: str = "lang", id_col: str = "doc_id", **kw) -> DataFrame:
+        """X51: rebalance to an explicit mixture spec (largest exact-share corpus)."""
+        from .operators import curation as cu
+
+        return cu.target_mix_resample(df, domain_col, id_col, targets, **kw)
+
+    def pack_for_training(self, df: DataFrame, token_col: str, id_col: str, *, context_len: int, n_shards: int = 32) -> DataFrame:
+        """X52: sharded concatenate-and-cut sequence packing."""
+        from .operators import curation as cu
+
+        return cu.pack_sequences_sharded(
+            df, token_col, id_col, context_len=context_len, n_shards=n_shards
+        )
+
+    def tokenize_bpe(
+        self,
+        docs: DataFrame,
+        merges: list,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """X36 scale path: tokenize the corpus with a learned merge list via
+        the O(1)-plan rank-priority mapInPandas encoder."""
+        from .operators import bpe
+
+        return bpe.bpe_encode_pandas(docs, text_col, id_col, merges)

@@ -445,3 +445,47 @@ def test_shard_manifest_and_verify(spark, tmp_path):
     assert len(bad) == 1
     assert bad[0].status == "modified"
     assert bad[0].file == os.path.basename(victim)
+
+
+def test_engine_r4_facade_surface(spark, sf_dir):
+    """Smoke the X43-X52 facade wrappers: each returns a DataFrame with the
+    operator's documented columns (full semantics are tested at the
+    operator level; this pins the public API wiring)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    eng = Engine(spark)
+    docs = star.table(spark, sf_dir, "documents")
+    ev = star.table(spark, sf_dir, "events")
+    emb = star.table(spark, sf_dir, "embeddings").limit(30)
+
+    fd = eng.fingerprint_dedup(docs.limit(40))
+    assert set(fd.columns) == {"doc_id", "canonical_id", "cluster_size"}
+    assert fd.count() == 40
+
+    bm = eng.search_bm25(docs.limit(50), [("q", ["table", "scan"])], topk=3)
+    assert set(bm.columns) == {"query_id", "doc_id", "score", "rank"}
+
+    nz = eng.normalize_embeddings(emb)
+    assert set(nz.columns) == {"vec_id", "normalized"}
+
+    act = eng.activity_features(ev.limit(100))
+    assert "decayed_score" in act.columns and "hours_since_last" in act.columns
+
+    rs = eng.robust_stats(ev.limit(100), "event_type", "value")
+    assert {"median", "mad"} <= set(rs.columns)
+
+    qb = eng.quality_bins(docs.limit(50), "n_chars", "doc_id", n_bins=4)
+    assert set(qb.columns) == {"doc_id", "value", "bin"}
+    assert qb.agg({"bin": "max"}).first()[0] <= 3
+
+    sp = eng.sample_per_group(docs.limit(60), "lang", "doc_id", k=2)
+    assert sp.groupBy("lang").count().agg({"count": "max"}).first()[0] <= 2
+
+    pk = eng.pack_for_training(docs.limit(40), "n_chars", "doc_id", context_len=512, n_shards=2)
+    assert {"shard", "pack_id", "offset_in_pack"} <= set(pk.columns)
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    merges = bpe.bpe_train(docs.limit(20), "text", n_merges=5)
+    tk = eng.tokenize_bpe(docs.limit(20), merges)
+    assert {"tokens", "n_tokens"} <= set(tk.columns)
