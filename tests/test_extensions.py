@@ -947,3 +947,25 @@ def test_per_group_sample_exact_k_deterministic_and_plan(spark):
     assert c != sorted(x[0] for x in a)  # salt re-deals
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # map-side per-group pruning
+
+
+def test_decayed_activity_is_incrementally_maintainable(spark):
+    """The docstring's maintenance law: moving the anchor forward by Δ
+    multiplies every existing score by 2^(-Δ/half_life) — so a feature
+    store can fold in a new batch as old·decay + batch instead of
+    rescanning history.  Exact up to the 1e-6 per-row grid."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0)
+    hist = [(u, t0 - dt.timedelta(hours=h), 3.0 + u) for u in (1, 2, 3) for h in (0, 5, 30)]
+    ev = spark.createDataFrame(hist, "user_id LONG, ts TIMESTAMP_NTZ, value DOUBLE")
+    before = {r.user_id: r.decayed_score for r in ft.decayed_activity(ev).collect()}
+    # a new event 12h later for a NEW user moves the anchor by Δ=12h
+    ev2 = ev.unionByName(
+        spark.createDataFrame([(9, t0 + dt.timedelta(hours=12), 1.0)], "user_id LONG, ts TIMESTAMP_NTZ, value DOUBLE")
+    )
+    after = {r.user_id: r.decayed_score for r in ft.decayed_activity(ev2).collect()}
+    decay = 2.0 ** (-12.0 / 24.0)
+    for u in (1, 2, 3):
+        assert abs(after[u] - before[u] * decay) < 1e-4, (u, before[u], after[u])
