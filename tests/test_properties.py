@@ -593,3 +593,69 @@ def test_pack_sequences_offsets_reconstruct_stream(spark, toks, ctx, shards):
         for r in rs:
             assert (r.pack_id, r.offset_in_pack) == (cum // ctx, cum % ctx)
             cum += r.n_tokens
+
+
+# --------------------------------------------------- X44 BM25 (property)
+
+
+def _bm25_model(texts, queries, k1=1.2, b=0.75, topk=10):
+    """Pure-Python BM25 reference (Lucene non-negative idf), the operator's
+    exact math including the 1e-6 floor-round before ranking."""
+    import collections
+    import math
+    import re
+
+    docs = {}
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        docs[i] = [w for w in norm.split(" ") if w]
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n_docs
+    dfreq = collections.Counter()
+    for toks in docs.values():
+        for w in set(toks):
+            dfreq[w] += 1
+    out = []
+    for qid, terms in queries:
+        scores = {}
+        for i, toks in docs.items():
+            tf = collections.Counter(toks)
+            s = 0.0
+            hit = False
+            for t in terms:
+                if tf[t] == 0 or dfreq[t] == 0:
+                    continue
+                hit = True
+                idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+                tfn = tf[t] * (k1 + 1.0) / (tf[t] + k1 * (1.0 - b + b * len(toks) / avgdl))
+                s += idf * tfn
+            if hit:
+                scores[i] = math.floor(s * 1e6 + 0.5) / 1e6
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+        out.extend((qid, doc, sc, r + 1) for r, (doc, sc) in enumerate(ranked))
+    return sorted(out)
+
+
+_bm25_words = ["spark", "scan", "join", "sort", "hash", "agg", "row", "col"]
+_bm25_texts_st = st.lists(
+    st.lists(st.sampled_from(_bm25_words), min_size=1, max_size=25).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=_bm25_texts_st, qterms=st.lists(st.sampled_from(_bm25_words + ["missing"]), min_size=1, max_size=3, unique=True))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bm25_matches_python_model(spark, texts, qterms):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in tx.bm25_topk(df, "text", "doc_id", [("q", qterms)], topk=10).collect()
+    )
+    want = _bm25_model(texts, [("q", qterms)])
+    # scores are floats: compare rank structure exactly, scores to 1e-9
+    assert [(a, b, d) for a, b, _, d in got] == [(a, b, d) for a, b, _, d in want]
+    for (_, _, s1, _), (_, _, s2, _) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
