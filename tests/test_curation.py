@@ -708,3 +708,23 @@ def test_pack_sequences_contiguous_per_shard(spark):
         for r in cu.pack_sequences_sharded(df.repartition(13), "n_tok", "doc_id", context_len=1000, n_shards=4).collect()
     )
     assert a == b
+
+
+def test_bigram_model_merge_law(spark):
+    """merge(train(A), train(B)) must equal train(A ∪ B) exactly — the
+    additivity that makes the perplexity model incrementally maintainable —
+    and scoring through the merged model must match the one-shot model."""
+    a_rows = [(1, "the cat sat on the mat"), (2, "a dog ran far")]
+    b_rows = [(3, "the cat ran home"), (4, "mat and dog and cat")]
+    A = spark.createDataFrame(a_rows, "doc_id LONG, text STRING")
+    B = spark.createDataFrame(b_rows, "doc_id LONG, text STRING")
+    both = A.unionByName(B)
+    ua, ba = tx.train_bigram_lm_df(A, "text")
+    ub, bb = tx.train_bigram_lm_df(B, "text")
+    mu, mb = tx.merge_bigram_models(ua, ba, ub, bb)
+    fu, fb = tx.train_bigram_lm_df(both, "text")
+    assert sorted(map(tuple, mu.collect())) == sorted(map(tuple, fu.collect()))
+    assert sorted(map(tuple, mb.collect())) == sorted(map(tuple, fb.collect()))
+    one_shot = {r.doc_id: r.perplexity for r in tx.perplexity_scores_join(both, "text", "doc_id", fu, fb).collect()}
+    merged = {r.doc_id: r.perplexity for r in tx.perplexity_scores_join(both, "text", "doc_id", mu, mb).collect()}
+    assert one_shot == merged
