@@ -113,7 +113,7 @@ def main() -> None:
     # timed pass measures steady-state execution, not first-run compilation.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
-        for name in HEADLINE + [n for n in EXTRA if n in qs]:
+        for name in HEADLINE + [n for n in EXTRA + NEW_R3 + NEW_R4 if n in qs]:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     else:
         qs["report_group_avg"](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -302,7 +302,12 @@ def target_mix_resample(
     Same scale shape as :func:`temperature_resample`: ONE per-domain count
     aggregate, rates rounded 1e-6 and broadcast back, membership a pure
     md5(salt‖id) draw — reproducible, no corpus shuffle.  Output adds
-    ``keep_rate`` as sampling provenance."""
+    ``keep_rate`` as sampling provenance.
+
+    A target domain ABSENT from the corpus contributes no rows and no
+    binding constraint: the result then holds the spec's proportions among
+    the present domains only (check the per-domain counts upstream if a
+    missing domain should be an error)."""
     mult = 1000000.0
     if not targets or abs(sum(targets.values()) - 1.0) > 1e-9:
         raise ValueError("targets must be a non-empty distribution summing to 1")

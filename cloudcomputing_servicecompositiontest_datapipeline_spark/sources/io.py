@@ -387,3 +387,16 @@ def verify_manifest(spark: SparkSession, path: str, manifest: "DataFrame") -> "D
     return j.select(
         "file", status.alias("status"), "exp_bytes", "cur_bytes"
     ).filter(F.col("status").isNotNull())
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """S19 schema evolution on ingest: read a parquet directory whose
+    batches were written with DIFFERENT (additive) schemas — older files
+    simply yield NULL for columns they predate (``mergeSchema``: the footer
+    union, not the first-file schema Spark defaults to for speed).
+
+    100 TB note: schema merging lists every footer once at planning time;
+    for high-file-count tables pin the merged schema explicitly
+    (``spark.read.schema(...)``) after the first evolution instead of
+    re-merging per query."""
+    return spark.read.option("mergeSchema", True).parquet(path)

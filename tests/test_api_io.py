@@ -489,3 +489,23 @@ def test_engine_r4_facade_surface(spark, sf_dir):
     merges = bpe.bpe_train(docs.limit(20), "text", n_merges=5)
     tk = eng.tokenize_bpe(docs.limit(20), merges)
     assert {"tokens", "n_tokens"} <= set(tk.columns)
+
+
+def test_read_parquet_evolved_unions_batch_schemas(spark, tmp_path):
+    """Additive schema evolution: a later batch gains a column; the merged
+    read exposes the union schema with NULLs for pre-evolution rows, and
+    filters on the new column still prune correctly."""
+    out = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id LONG, v STRING").write.mode("overwrite").parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id LONG, v STRING, quality DOUBLE"
+    ).write.mode("append").parquet(out)
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+
+    got = sio.read_parquet_evolved(spark, out)
+    assert set(got.columns) == {"id", "v", "quality"}
+    rows = {r.id: (r.v, r.quality) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.9)}
+    assert got.filter(F.col("quality") > 0.5).count() == 1
+    # default (non-merged) read would have missed the new column
+    assert set(spark.read.parquet(out).columns) <= {"id", "v", "quality"}
