@@ -15,6 +15,11 @@ output types identically on both engines.  Set ``SG_CHECK_LOOSE=1`` to get the
 old 12-significant-digit normalization back for debugging "is it typing or is
 it values?".
 
+Set ``SG_CHECK_PLAIN=1`` to run under a deliberately HOSTILE plain session
+(non-UTC timezone, default 200 shuffle partitions, none of our session
+factory's tuning) — the closest local simulation of the round driver's
+environment; every query must force its own runtime conf to pass.
+
 Usage: python tools/check.py [sf_dir] [query ...]
 """
 
@@ -66,9 +71,20 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
 
-    spark = get_spark("check")
+    if os.environ.get("SG_CHECK_PLAIN", "") not in ("", "0"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .appName("check-plain")
+            .getOrCreate()
+        )
+    else:
+        from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
+
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
