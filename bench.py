@@ -82,6 +82,7 @@ NEW_R4 = [
     "sample_per_group_reservoir",
     "curation_target_mix",
     "pack_sequences_sharded",
+    "events_funnel_conversion",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -176,3 +176,54 @@ def robust_outliers(
             score.alias("robust_z"),
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """X53 ordered-funnel conversion: how many users performed the ``steps``
+    event types IN ORDER (first occurrence of each step strictly after the
+    previous step's first occurrence) — the standard product funnel, and a
+    representative conditional-aggregation shape.
+
+    ONE groupBy(user) pass computes every step's first-occurrence timestamp
+    as a conditional ``min``; the order predicate is row-local on that
+    |users|-row frame; the final rollup is a single tiny aggregate per
+    step.  No self-joins, no windows — cost is one user-keyed shuffle at
+    any scale.  Output: (step_index, step, n_users, conversion_rate vs
+    step 1, rounded 1e-6)."""
+    firsts = events.groupBy(F.col(user_col).alias("_u")).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    reached = [F.col("_t0").isNotNull()]
+    for i in range(1, len(steps)):
+        reached.append(reached[i - 1] & (F.col(f"_t{i}") > F.col(f"_t{i-1}")))
+    counts = firsts.agg(
+        *[F.sum(r.cast("long")).alias(f"_n{i}") for i, r in enumerate(reached)]
+    )
+    mult = 1000000.0
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(s).alias("step"),
+                F.col(f"_n{i}").alias("n_users"),
+                (
+                    F.floor(
+                        F.col(f"_n{i}").cast("double") / F.col("_n0") * mult + 0.5
+                    )
+                    / mult
+                ).alias("conversion_rate"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")

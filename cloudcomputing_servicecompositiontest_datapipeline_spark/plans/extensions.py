@@ -1846,3 +1846,37 @@ def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.pack_sequences_sharded(
         docs, "n_chars", "doc_id", context_len=2048, n_shards=8
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT cast(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n0,
+             cast(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END) AS bigint) AS n1,
+             cast(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 ELSE 0 END) AS bigint) AS n2
+      FROM f)
+    SELECT * FROM (
+      SELECT 1 AS step_index, 'view' AS step, n0 AS n_users,
+             floor(cast(n0 AS double) / n0 * 1000000 + 0.5) / 1000000 AS conversion_rate FROM c
+      UNION ALL
+      SELECT 2, 'click', n1, floor(cast(n1 AS double) / n0 * 1000000 + 0.5) / 1000000 FROM c
+      UNION ALL
+      SELECT 3, 'purchase', n2, floor(cast(n2 AS double) / n0 * 1000000 + 0.5) / 1000000 FROM c)
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 ordered funnel (view -> click -> purchase): per-user first
+    occurrences as conditional mins in ONE user-keyed pass, order predicate
+    row-local, tiny rollup -- no self-joins or windows at any scale."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.funnel_conversion(ev, ["view", "click", "purchase"])

@@ -106,6 +106,7 @@ DRIVER_WINDOW: list[str] = [
     "sample_per_group_reservoir",
     "curation_target_mix",
     "pack_sequences_sharded",
+    "events_funnel_conversion",
     # --- re-checks: queries whose semantics/oracles were touched in r4
     # (psi null-surfacing landed above via drift_events_value; these two
     # carried bench regressions worth a correctness reconfirmation) plus
@@ -113,7 +114,6 @@ DRIVER_WINDOW: list[str] = [
     # as further r4 queries land.
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "tlq_transform",
 ]
 
 

@@ -969,3 +969,24 @@ def test_decayed_activity_is_incrementally_maintainable(spark):
     decay = 2.0 ** (-12.0 / 24.0)
     for u in (1, 2, 3):
         assert abs(after[u] - before[u] * decay) < 1e-4, (u, before[u], after[u])
+
+
+def test_funnel_conversion_ordered_semantics(spark):
+    import datetime as dt
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),  # full funnel
+        (2, t(0), "view"), (2, t(1), "click"),                          # stops at click
+        (3, t(1), "click"), (3, t(2), "view"),                          # WRONG order
+        (4, t(0), "purchase"),                                          # never viewed
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP_NTZ, event_type STRING")
+    got = {r.step: r for r in ft.funnel_conversion(ev, ["view", "click", "purchase"]).collect()}
+    assert got["view"].n_users == 3      # users 1, 2, 3
+    assert got["click"].n_users == 2     # 1 and 2 clicked AFTER viewing; 3 clicked before
+    assert got["purchase"].n_users == 1  # only user 1
+    assert got["view"].conversion_rate == 1.0
+    assert abs(got["purchase"].conversion_rate - 1 / 3) < 1e-6
+    assert [got[s].step_index for s in ("view", "click", "purchase")] == [1, 2, 3]
