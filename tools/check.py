@@ -37,8 +37,12 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = [a for a in sys.argv[1:] if a != "--window"]
+#: --window: check exactly the DRIVER_WINDOW slice (the 50 queries the
+#: round driver will record) in driver order — the pre-flight for a round.
+WINDOW_ONLY = "--window" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 LOOSE = os.environ.get("SG_CHECK_LOOSE", "") not in ("", "0")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -90,6 +94,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if WINDOW_ONLY:
+        qs = {n: fn for i, (n, fn) in enumerate(qs.items()) if i < 50}
     failures, n_checked = [], 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
