@@ -235,7 +235,13 @@ def value_deciles(
     ``floor(n_bins * rows_before / total)`` capped at ``n_bins - 1``, so
     ties (equal values) always share a bin and the assignment is
     deterministic at any partitioning.  Bins are ascending: 0 = lowest
-    values, ``n_bins``-1 = highest."""
+    values, ``n_bins``-1 = highest.
+
+    Rows with a NULL value are EXCLUDED (documented, not silent: a missing
+    quality signal has no rank position, and Spark and SQL engines disagree
+    on NULL sort order, so admitting them would make bin assignment
+    engine-dependent)."""
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col)
     per_value = df.groupBy(v.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
     wv = Window.orderBy(F.col("_v").asc()).rowsBetween(

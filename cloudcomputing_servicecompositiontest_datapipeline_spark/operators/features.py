@@ -113,7 +113,15 @@ def cohort_retention(
     key to tag events (at 100 TB both shuffles hash-partition on the same
     key, so AQE coalesces them into co-partitioned exchanges), then a
     partial-agg distinct count keyed by the (cohort, offset) pair — whose
-    cardinality is days², not events."""
+    cardinality is days², not events.
+
+    Events with a NULL user or timestamp are EXCLUDED up front (documented:
+    an anonymous or unstamped event belongs to no cohort; silently letting
+    the join/count drop them would hide the data-quality issue — surface it
+    with profile/constraint checks upstream)."""
+    events = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     day = F.to_date(F.col(ts_col))
     first_seen = events.groupBy(F.col(user_col).alias("_u")).agg(
         F.min(day).alias("cohort_day")

@@ -990,3 +990,24 @@ def test_funnel_conversion_ordered_semantics(spark):
     assert got["view"].conversion_rate == 1.0
     assert abs(got["purchase"].conversion_rate - 1 / 3) < 1e-6
     assert [got[s].step_index for s in ("view", "click", "purchase")] == [1, 2, 3]
+
+
+def test_deciles_and_cohort_null_policy(spark):
+    """NULL quality values / anonymous events are excluded by documented
+    policy, not silently by join semantics (NULL sort order differs across
+    engines, so admitting them would be engine-dependent)."""
+    import datetime as dt
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "doc_id LONG, v LONG"
+    )
+    got = {r.doc_id for r in cu.value_deciles(df, "v", "doc_id", n_bins=2).collect()}
+    assert got == {1, 2}
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (None, dt.datetime(2024, 1, 1)), (2, None)],
+        "user_id LONG, ts TIMESTAMP_NTZ",
+    )
+    rows = ft.cohort_retention(ev).collect()
+    assert sum(r.n_active_users for r in rows) == 1  # only user 1 counted
