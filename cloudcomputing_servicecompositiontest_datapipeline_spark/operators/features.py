@@ -38,7 +38,14 @@ def decayed_activity(
     shuffle.  Per-row terms round to a 1e-``round_scale`` integer grid and
     sum EXACTLY in decimal(38,0) — a 1-ulp libm divergence in exp() can
     only flip a term at a grid boundary (P ≈ 7e-9/row), so the result is
-    reproducible across engines and partitionings."""
+    reproducible across engines and partitionings.
+
+    Rows with a NULL timestamp or value are EXCLUDED up front (documented:
+    they cannot be decay-weighted, and counting them in n_events while the
+    score skipped them would make the two columns disagree)."""
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     lam = math.log(2.0) / half_life_hours
     mult = float(10**round_scale)
     mx = events.agg(F.max(ts_col).alias("_mx"))
@@ -204,7 +211,11 @@ def funnel_conversion(
     |users|-row frame; the final rollup is a single tiny aggregate per
     step.  No self-joins, no windows — cost is one user-keyed shuffle at
     any scale.  Output: (step_index, step, n_users, conversion_rate vs
-    step 1, rounded 1e-6)."""
+    step 1, rounded 1e-6).  ``steps`` must be DISTINCT event types — a
+    repeated step would compare a first-occurrence timestamp to itself and
+    report zero conversions, which is a spec error, not a funnel."""
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError("steps must be a non-empty list of distinct event types")
     firsts = events.groupBy(F.col(user_col).alias("_u")).agg(
         *[
             F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")

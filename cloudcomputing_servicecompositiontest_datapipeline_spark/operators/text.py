@@ -868,8 +868,11 @@ def bm25_topk(
 
     spark = df.sparkSession
     all_terms = sorted({t for _, ts in queries for t in ts})
+    # dedupe (query, term) pairs: a term listed twice in a panel query would
+    # otherwise join twice and silently double its contribution
     qdf = spark.createDataFrame(
-        [(qid, t) for qid, ts in queries for t in ts], "query_id STRING, term STRING"
+        sorted({(qid, t) for qid, ts in queries for t in ts}),
+        "query_id STRING, term STRING",
     )
     toks = F.split(normalized_text(F.col(text_col)), " ")
     base = ensure_parallelism(df).select(

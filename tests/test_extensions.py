@@ -1011,3 +1011,29 @@ def test_deciles_and_cohort_null_policy(spark):
     )
     rows = ft.cohort_retention(ev).collect()
     assert sum(r.n_active_users for r in rows) == 1  # only user 1 counted
+
+
+def test_bm25_duplicate_panel_terms_do_not_double_count(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "spark fast"), (2, "other words")], "doc_id LONG, text STRING")
+    once = {(r.doc_id, r.score) for r in tx.bm25_topk(df, "text", "doc_id", [("q", ["spark"])]).collect()}
+    twice = {(r.doc_id, r.score) for r in tx.bm25_topk(df, "text", "doc_id", [("q", ["spark", "spark"])]).collect()}
+    assert once == twice
+
+
+def test_funnel_and_decay_input_guards(spark):
+    import datetime as dt
+    import pytest as _pt
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view", 1.0), (2, None, "view", 2.0), (3, dt.datetime(2024, 1, 1), "view", None)],
+        "user_id LONG, ts TIMESTAMP_NTZ, event_type STRING, value DOUBLE",
+    )
+    with _pt.raises(ValueError):
+        ft.funnel_conversion(ev, ["view", "view"])
+    got = ft.decayed_activity(ev).collect()
+    # NULL-ts and NULL-value rows excluded from both count and score
+    assert {r.user_id for r in got} == {1}
+    assert got[0].n_events == 1
