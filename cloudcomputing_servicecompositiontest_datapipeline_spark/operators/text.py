@@ -515,20 +515,22 @@ def perplexity_scores(
 
     uni, bi = model["uni"], model["bi"]
     n_tok, vocab = model["n_tokens"], model["vocab"]
+    # map_from_arrays over two F.lit(list) calls, NOT create_map over
+    # per-entry F.lit: the latter is one py4j round-trip per entry, which
+    # at the 50k default top_k would cost minutes of driver time (same trap
+    # as the Bloom word array)
     uni_map = (
-        F.create_map(
-            *[F.lit(x) for kv in uni.items() for x in (kv[0], float(kv[1]))]
+        F.map_from_arrays(
+            F.lit(list(uni.keys())),
+            F.lit([float(v) for v in uni.values()]),
         )
         if uni
         else F.create_map().cast("map<string,double>")
     )
     bi_map = (
-        F.create_map(
-            *[
-                F.lit(x)
-                for (a, b), n in bi.items()
-                for x in (a + "\u0001" + b, float(n))
-            ]
+        F.map_from_arrays(
+            F.lit([a + "\u0001" + b for (a, b) in bi.keys()]),
+            F.lit([float(v) for v in bi.values()]),
         )
         if bi
         else F.create_map().cast("map<string,double>")
