@@ -83,6 +83,7 @@ NEW_R4 = [
     "curation_target_mix",
     "pack_sequences_sharded",
     "events_funnel_conversion",
+    "search_hybrid_rrf",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -933,3 +933,48 @@ def normalize_embeddings_zscore(
     return ensure_parallelism(emb).select(
         F.col(id_col), normalized.alias("normalized")
     )
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    vector: DataFrame,
+    *,
+    k_rrf: int = 60,
+    topk: int = 10,
+    round_scale: int = 9,
+) -> DataFrame:
+    """X54 hybrid retrieval fusion — reciprocal rank fusion (Cormack,
+    Clarke & Buettcher, SIGIR 2009): ``score(d) = Σ_sources 1/(k + rank_s)``
+    over a lexical (BM25) and a vector (cosine) ranking for the same query
+    panel.  RRF needs no score calibration between modalities (ranks only),
+    which is why it is the default fusion in production hybrid search.
+
+    Inputs: ``lexical`` (query_id, doc_id, rank) and ``vector``
+    (query_id, doc_id, rank) — both already top-k-bounded per query, so this
+    operator only ever touches |panel|·k rows: one union, one tiny groupBy,
+    one windowed top-k.  Per-doc contributions are 1/(k+rank) doubles; at
+    most one term per source, and two-term IEEE addition is commutative, so
+    the fused score is deterministic without decimal machinery."""
+    mult = float(10**round_scale)
+    contrib = lambda df: df.select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank").cast("double"))).alias("_c"),
+    )
+    fused = (
+        contrib(lexical)
+        .unionByName(contrib(vector))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            (F.floor(F.sum("_c") * mult + 0.5) / mult).alias("rrf_score"),
+            F.count(F.lit(1)).cast("int").alias("n_sources"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rrf_score", "n_sources", "rank")
+    )

@@ -1880,3 +1880,84 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
     return ft.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(tk)) AS sum_dl FROM t),
+    qp AS (SELECT * FROM (VALUES
+      ('0', 'hash'), ('0', 'join'),
+      ('1', 'window'), ('1', 'sort'),
+      ('2', 'vector'), ('2', 'scan')) AS v(query_id, term)),
+    tf AS (
+      SELECT doc_id, len(tk) AS dl, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS w FROM t)
+      WHERE w IN (SELECT DISTINCT term FROM qp)
+      GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT qp.query_id, tf.doc_id,
+             cast(
+               ln((cast(n_docs AS double) - cast(df AS double) + 0.5)
+                  / (cast(df AS double) + 0.5) + 1.0)
+               * (cast(tf AS double) * (1.2 + 1.0)
+                  / (cast(tf AS double) + 1.2 * (1.0 - 0.75 + 0.75 * cast(dl AS double)
+                     / (cast(sum_dl AS double) / cast(n_docs AS double)))))
+             AS decimal(28,12)) AS c
+      FROM tf JOIN qp ON qp.term = tf.term JOIN dft ON dft.term = tf.term, stats),
+    bm AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               floor(cast(sum(c) AS double) * 1000000 + 0.5) / 1000000 DESC, doc_id) AS rank
+      FROM contrib GROUP BY 1, 2),
+    qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 3),
+    vp AS (
+      SELECT cast(qv.qid AS varchar) AS query_id, c.vec_id AS doc_id,
+        floor(
+          cast(list_sum(list_transform(qv.v, (x, i) -> cast(cast(x AS double) * cast(c.embedding[i] AS double) AS decimal(28,12)))) AS double)
+          / (sqrt(cast(list_sum(list_transform(qv.v, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double))
+             * sqrt(cast(list_sum(list_transform(c.embedding, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)))
+          * 1000000 + 0.5) / 1000000 AS cosine
+      FROM qv, embeddings c WHERE qv.qid != c.vec_id),
+    vr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+      FROM vp),
+    unioned AS (
+      SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM bm WHERE rank <= 10
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM vr WHERE rank <= 10),
+    fused AS (
+      SELECT query_id, doc_id,
+             floor(sum(c) * 1000000000 + 0.5) / 1000000000 AS rrf_score,
+             cast(count(*) AS int) AS n_sources
+      FROM unioned GROUP BY 1, 2),
+    out AS (
+      SELECT query_id, doc_id, rrf_score, n_sources,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS int) AS rank
+      FROM fused)
+    SELECT * FROM out WHERE rank <= 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 hybrid search: BM25 over documents + brute-force cosine over the
+    aligned embeddings (doc_id = vec_id), fused per query with reciprocal
+    rank fusion -- the production default because RRF compares ranks, never
+    raw scores across modalities.  Only |panel|*k rows move after the two
+    retrievers; fusion is one union + tiny groupBy + windowed top-k."""
+    apply_runtime_conf(spark)
+    docs = _docs(spark, sf_dir)
+    emb = star.table(spark, sf_dir, "embeddings")
+    panel = [("0", ["hash", "join"]), ("1", ["window", "sort"]), ("2", ["vector", "scan"])]
+    lex = tx.bm25_topk(docs, "text", "doc_id", panel, topk=10)
+    vec = (
+        sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+        .select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.col("cand_id").alias("doc_id"),
+            F.col("rnk").alias("rank"),
+        )
+    )
+    return sim.hybrid_rrf(lex.select("query_id", "doc_id", "rank"), vec, topk=10)

@@ -107,13 +107,13 @@ DRIVER_WINDOW: list[str] = [
     "curation_target_mix",
     "pack_sequences_sharded",
     "events_funnel_conversion",
+    "search_hybrid_rrf",
     # --- re-checks: queries whose semantics/oracles were touched in r4
     # (psi null-surfacing landed above via drift_events_value; these two
     # carried bench regressions worth a correctness reconfirmation) plus
     # green-since-r1 anchors filling the remaining slots.  Each is replaced
     # as further r4 queries land.
     "q1_pricing_summary",
-    "q3_shipping_priority",
 ]
 
 

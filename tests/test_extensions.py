@@ -1037,3 +1037,22 @@ def test_funnel_and_decay_input_guards(spark):
     # NULL-ts and NULL-value rows excluded from both count and score
     assert {r.user_id for r in got} == {1}
     assert got[0].n_events == 1
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import similarity as s
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], "query_id STRING, doc_id LONG, rank INT"
+    )
+    vec = spark.createDataFrame(
+        [("q", 1, 2), ("q", 9, 1)], "query_id STRING, doc_id LONG, rank INT"
+    )
+    got = {r.doc_id: r for r in s.hybrid_rrf(lex, vec, topk=10).collect()}
+    # doc 1 appears in both sources -> highest fused score
+    assert got[1].rank == 1 and got[1].n_sources == 2
+    assert abs(got[1].rrf_score - (1 / 61 + 1 / 62)) < 1e-9
+    # single-source docs ordered by their reciprocal contributions
+    assert got[9].n_sources == 1 and got[9].rrf_score < got[1].rrf_score
+    assert got[9].rank < got[3].rank  # vec rank 1 beats lex rank 3
+    assert len(got) == 4

@@ -66,6 +66,9 @@ ALLOWLIST = {
     "events_decayed_activity": ("BroadcastNestedLoopJoin", "single max-timestamp anchor row"),
     # target mix: the broadcast side is the ONE N_k = min(n/t) row
     "curation_target_mix": ("BroadcastNestedLoopJoin", "single achievable-corpus-size row"),
+    # hybrid RRF: inherits the brute-force vector arm's broadcast(3-query
+    # panel) x corpus scan plus BM25's single corpus-stats row
+    "search_hybrid_rrf": ("BroadcastNestedLoopJoin", "bounded 3-query vector panel + 1-row BM25 stats"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
