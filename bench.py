@@ -187,6 +187,7 @@ def main() -> None:
         return float(s) if s.replace(".", "").isdigit() else s
 
     secondary: dict[str, float] = {}
+    secondary_new: dict[str, float] = {}
     if os.path.isdir(SF2_DIR) and SF2_DIR != SF_DIR:
         for name in HEADLINE:
             best = float("inf")
@@ -195,6 +196,12 @@ def main() -> None:
                 qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             secondary[name] = round(best, 3)
+        # scaling curvature for this round's additions too
+        for name in NEW_R4:
+            if name in qs:
+                t0 = time.time()
+                qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
+                secondary_new[name] = round(time.time() - t0, 3)
 
     out = {
         "metric": "headline_total",
@@ -214,6 +221,13 @@ def main() -> None:
             "sf_scaling_ratio": {
                 n: round(timings[n] / secondary[n], 2) if secondary[n] > 0 else None
                 for n in secondary
+            },
+            "new_r4_queries": secondary_new,
+            "new_r4_scaling_ratio": {
+                n: round(new_r4[n] / secondary_new[n], 2)
+                if secondary_new[n] > 0 and n in new_r4
+                else None
+                for n in secondary_new
             },
         }
     # Bench continuity: per-query delta vs the previous round's FULL record.

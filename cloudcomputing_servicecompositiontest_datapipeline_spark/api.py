@@ -492,3 +492,38 @@ class Engine:
         from .operators import bpe
 
         return bpe.bpe_encode_pandas(docs, text_col, id_col, merges)
+
+    def search_hybrid(
+        self,
+        docs: DataFrame,
+        emb: DataFrame,
+        queries: list[tuple[str, list[str], int]],
+        *,
+        topk: int = 10,
+    ) -> DataFrame:
+        """X54: hybrid BM25 + cosine retrieval fused with reciprocal rank
+        fusion.  ``queries`` = [(query_id, terms, query_vec_id), ...] —
+        the vector arm uses the embedding of ``query_vec_id``."""
+        from pyspark.sql import functions as F
+
+        from .operators import similarity as s
+        from .operators import text as tx
+
+        lex = tx.bm25_topk(
+            docs, "text", "doc_id", [(q, ts) for q, ts, _ in queries], topk=topk
+        )
+        vid_to_q = {vid: q for q, _, vid in queries}
+        qvecs = emb.filter(F.col("vec_id").isin(list(vid_to_q)))
+        vec = (
+            s.brute_force_topk(emb, qvecs, k=topk)
+            .select(
+                F.col("query_id"),
+                F.col("cand_id").alias("doc_id"),
+                F.col("rnk").alias("rank"),
+            )
+        )
+        mapping = F.create_map(
+            *[x for vid, q in vid_to_q.items() for x in (F.lit(vid), F.lit(q))]
+        )
+        vec = vec.withColumn("query_id", F.element_at(mapping, F.col("query_id")))
+        return s.hybrid_rrf(lex.select("query_id", "doc_id", "rank"), vec, topk=topk)
