@@ -108,13 +108,15 @@ DRIVER_WINDOW: list[str] = [
     "pack_sequences_sharded",
     "events_funnel_conversion",
     "search_hybrid_rrf",
-    # --- re-checks: queries whose semantics/oracles were touched in r4
-    # (psi null-surfacing landed above via drift_events_value; these two
-    # carried bench regressions worth a correctness reconfirmation) plus
-    # green-since-r1 anchors filling the remaining slots.  Each is replaced
-    # as further r4 queries land.
+    # --- re-check: carried a bench regression in r3 worth a correctness
+    # reconfirmation (resolved as virtualization noise; see BENCH_DETAIL)
     "q1_pricing_summary",
 ]
+# r5 queue: with this window the r1+r2+r3+r4 union covers every registered
+# query, so r5 leads with (a) any r4 FAILs (none expected — the whole window
+# is green locally under the hostile plain session: `SG_CHECK_PLAIN=1
+# tools/check.py --window`), then (b) queries added in r5, then (c) rotation
+# of oracle-checked queries whose operators r5 modifies.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
