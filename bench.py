@@ -84,6 +84,7 @@ NEW_R4 = [
     "pack_sequences_sharded",
     "events_funnel_conversion",
     "search_hybrid_rrf",
+    "text_hard_negatives",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

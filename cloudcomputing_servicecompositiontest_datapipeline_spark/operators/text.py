@@ -1007,3 +1007,44 @@ def merge_bigram_models(
         .agg(F.sum("n").alias("n"))
     )
     return uni, bi
+
+
+def mine_hard_negatives(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: list[tuple[str, list[str], list[int]]],
+    *,
+    k_candidates: int = 50,
+    n_negatives: int = 5,
+) -> DataFrame:
+    """X55 hard-negative mining for contrastive/retriever training (the
+    DPR recipe, Karpukhin et al. 2020: negatives = top BM25 hits that are
+    NOT the labeled positives — lexically confusable, semantically wrong).
+
+    ``queries`` = [(query_id, terms, positive_doc_ids), ...].  One BM25
+    pass over the panel (map-side term filter — corpus never shuffles
+    beyond panel-term hits), then an anti-filter against the broadcast
+    positives and a re-rank to the first ``n_negatives`` — everything
+    after retrieval touches |panel|·k rows.  Output: (query_id, doc_id,
+    bm25_rank, score, neg_rank)."""
+    spark = df.sparkSession
+    cand = bm25_topk(
+        df, text_col, id_col, [(q, ts) for q, ts, _ in queries], topk=k_candidates
+    )
+    pos_rows = [(q, int(p)) for q, _, ps in queries for p in ps]
+    if pos_rows:
+        pos = spark.createDataFrame(pos_rows, "query_id STRING, doc_id LONG")
+        cand = cand.join(F.broadcast(pos), ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_negatives)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").alias("bm25_rank"),
+            "score",
+            "neg_rank",
+        )
+    )

@@ -1961,3 +1961,62 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sim.hybrid_rrf(lex.select("query_id", "doc_id", "rank"), vec, topk=10)
+
+
+@query(
+    "text_hard_negatives",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(tk)) AS sum_dl FROM t),
+    qp AS (SELECT * FROM (VALUES
+      ('q_hash', 'hash'), ('q_hash', 'join'),
+      ('q_scan', 'scan'), ('q_scan', 'vector')) AS v(query_id, term)),
+    pos AS (SELECT * FROM (VALUES ('q_hash', 0), ('q_hash', 3), ('q_scan', 1)) AS v(query_id, doc_id)),
+    tf AS (
+      SELECT doc_id, len(tk) AS dl, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, tk, unnest(tk) AS w FROM t)
+      WHERE w IN (SELECT DISTINCT term FROM qp)
+      GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT qp.query_id, tf.doc_id,
+             cast(
+               ln((cast(n_docs AS double) - cast(df AS double) + 0.5)
+                  / (cast(df AS double) + 0.5) + 1.0)
+               * (cast(tf AS double) * (1.2 + 1.0)
+                  / (cast(tf AS double) + 1.2 * (1.0 - 0.75 + 0.75 * cast(dl AS double)
+                     / (cast(sum_dl AS double) / cast(n_docs AS double)))))
+             AS decimal(28,12)) AS c
+      FROM tf JOIN qp ON qp.term = tf.term JOIN dft ON dft.term = tf.term, stats),
+    scored AS (
+      SELECT query_id, doc_id,
+             floor(cast(sum(c) AS double) * 1000000 + 0.5) / 1000000 AS score
+      FROM contrib GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS int) AS bm25_rank
+      FROM scored),
+    cand AS (
+      SELECT r.* FROM ranked r
+      WHERE bm25_rank <= 50
+        AND NOT EXISTS (SELECT 1 FROM pos p WHERE p.query_id = r.query_id AND p.doc_id = r.doc_id)),
+    negs AS (
+      SELECT query_id, doc_id, bm25_rank, score,
+             cast(row_number() OVER (PARTITION BY query_id ORDER BY bm25_rank) AS int) AS neg_rank
+      FROM cand)
+    SELECT query_id, doc_id, bm25_rank, score, neg_rank FROM negs WHERE neg_rank <= 5
+    """,
+)
+def text_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 DPR-style hard-negative mining: top BM25 hits that are not the
+    labeled positives, re-ranked to the first 5 per query -- the
+    contrastive-training data prep step; everything after retrieval
+    touches |panel|*k rows."""
+    docs = _docs(spark, sf_dir)
+    panel = [
+        ("q_hash", ["hash", "join"], [0, 3]),
+        ("q_scan", ["scan", "vector"], [1]),
+    ]
+    return tx.mine_hard_negatives(
+        docs, "text", "doc_id", panel, k_candidates=50, n_negatives=5
+    )

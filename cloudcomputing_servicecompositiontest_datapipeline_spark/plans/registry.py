@@ -108,9 +108,7 @@ DRIVER_WINDOW: list[str] = [
     "pack_sequences_sharded",
     "events_funnel_conversion",
     "search_hybrid_rrf",
-    # --- re-check: carried a bench regression in r3 worth a correctness
-    # reconfirmation (resolved as virtualization noise; see BENCH_DETAIL)
-    "q1_pricing_summary",
+    "text_hard_negatives",
 ]
 # r5 queue: with this window the r1+r2+r3+r4 union covers every registered
 # query, so r5 leads with (a) any r4 FAILs (none expected — the whole window

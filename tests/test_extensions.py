@@ -1056,3 +1056,25 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert got[9].n_sources == 1 and got[9].rrf_score < got[1].rrf_score
     assert got[9].rank < got[3].rank  # vec rank 1 beats lex rank 3
     assert len(got) == 4
+
+
+def test_hard_negatives_exclude_positives_and_rank(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "spark engine spark engine"),   # labeled positive
+        (1, "spark engine fast"),            # hard negative (lexically close)
+        (2, "spark only here"),
+        (3, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = tx.mine_hard_negatives(
+        df, "text", "doc_id", [("q", ["spark", "engine"], [0])], k_candidates=10, n_negatives=2
+    ).collect()
+    got = {r.doc_id: r for r in out}
+    assert 0 not in got  # positive excluded
+    assert got[1].neg_rank == 1  # best non-positive BM25 hit
+    assert len(out) == 2 and all(r.neg_rank <= 2 for r in out)
+    # no labeled positives at all -> plain top-k
+    out2 = tx.mine_hard_negatives(df, "text", "doc_id", [("q", ["spark"], [])], n_negatives=3).collect()
+    assert {r.doc_id for r in out2} <= {0, 1, 2} and len(out2) == 3

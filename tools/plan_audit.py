@@ -69,6 +69,8 @@ ALLOWLIST = {
     # hybrid RRF: inherits the brute-force vector arm's broadcast(3-query
     # panel) x corpus scan plus BM25's single corpus-stats row
     "search_hybrid_rrf": ("BroadcastNestedLoopJoin", "bounded 3-query vector panel + 1-row BM25 stats"),
+    # hard negatives: inherits BM25's single corpus-stats row
+    "text_hard_negatives": ("BroadcastNestedLoopJoin", "single corpus-stats row (N, sum_dl)"),
 }
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
