@@ -2020,3 +2020,40 @@ def text_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.mine_hard_negatives(
         docs, "text", "doc_id", panel, k_candidates=50, n_negatives=5
     )
+
+
+@query(
+    "text_langid_eval",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split({_NORM}, ' ') AS tk FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','a','for'], x))) AS he,
+             len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS hd,
+             len(list_filter(tk, x -> list_contains(['le','la','les','et','est','un','une','des'], x))) AS hf
+      FROM t),
+    g AS (
+      SELECT lang AS actual_lang,
+             CASE WHEN greatest(he, hd, hf) = 0 THEN 'unknown'
+                  WHEN he = greatest(he, hd, hf) THEN 'en'
+                  WHEN hd = greatest(he, hd, hf) THEN 'de'
+                  ELSE 'fr' END AS guessed_lang
+      FROM h)
+    SELECT actual_lang, guessed_lang, cast(count(*) AS bigint) AS n
+    FROM g GROUP BY 1, 2
+    """,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 self-eval: confusion matrix of the stopword language-ID heuristic
+    against the labeled lang column -- languages WITHOUT a stopword list
+    (zh/es in the fixture) surface as 'unknown'/misses instead of
+    vanishing, which is exactly what a coverage report must show.  The
+    guess tie-break matches the operator's when-chain order (en, de, fr)."""
+    docs = _docs(spark, sf_dir)
+    scored = tx.language_scores(docs, "text", "doc_id")
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(scored.select("doc_id", F.col("lang_guess").alias("guessed_lang")), "doc_id")
+        .groupBy("actual_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

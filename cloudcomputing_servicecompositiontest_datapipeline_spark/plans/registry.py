@@ -110,11 +110,13 @@ DRIVER_WINDOW: list[str] = [
     "search_hybrid_rrf",
     "text_hard_negatives",
 ]
-# r5 queue: with this window the r1+r2+r3+r4 union covers every registered
-# query, so r5 leads with (a) any r4 FAILs (none expected — the whole window
+# r5 queue: this window brings the r1+r2+r3+r4 union to every registered
+# query EXCEPT text_langid_eval (added after the 50 slots filled; locally
+# green).  r5 leads with (a) any r4 FAILs (none expected — the whole window
 # is green locally under the hostile plain session: `SG_CHECK_PLAIN=1
-# tools/check.py --window`), then (b) queries added in r5, then (c) rotation
-# of oracle-checked queries whose operators r5 modifies.
+# tools/check.py --window`), then (b) text_langid_eval + queries added in
+# r5, then (c) rotation of oracle-checked queries whose operators r5
+# modifies.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -1078,3 +1078,17 @@ def test_hard_negatives_exclude_positives_and_rank(spark):
     # no labeled positives at all -> plain top-k
     out2 = tx.mine_hard_negatives(df, "text", "doc_id", [("q", ["spark"], [])], n_negatives=3).collect()
     assert {r.doc_id for r in out2} <= {0, 1, 2} and len(out2) == 3
+
+
+def test_langid_eval_confusion_matrix(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (1, "the cat and the dog", "en"),
+        (2, "der hund und die katze ist", "de"),
+        (3, "xyzzy qwerty plugh", "zh"),  # no stopword list -> unknown
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    scored = tx.language_scores(df, "text", "doc_id")
+    got = {r.doc_id: r.lang_guess for r in scored.collect()}
+    assert got == {1: "en", 2: "de", 3: "unknown"}
