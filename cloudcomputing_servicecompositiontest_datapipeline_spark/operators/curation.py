@@ -373,7 +373,13 @@ def pack_sequences_sharded(
     continues; an exporter reading in (shard, pack_id, offset) order
     reproduces the exact byte stream).  At 100 TB: one shuffle on the
     shard key; each shard's window is 1/n_shards of the corpus, and
-    n_shards scales with the cluster."""
+    n_shards scales with the cluster.
+
+    Zero-token documents are EXCLUDED (documented): they contribute no
+    bytes, and several of them tying at one (pack_id, offset) slot would
+    make the exporter order ambiguous — found by a randomized property
+    run, pinned in tests."""
+    df = df.filter(F.col(token_col).cast("long") > 0)
     draw = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     shard = F.pmod(
         F.conv(F.substring(draw, 1, 6), 16, 10).cast("long"), F.lit(n_shards)

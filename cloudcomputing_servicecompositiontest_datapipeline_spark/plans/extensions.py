@@ -1823,7 +1823,7 @@ def curation_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, cast(n_chars AS bigint) AS n_tokens,
              md5('p0:' || cast(doc_id AS varchar)) AS draw,
              cast(cast(('0x' || substr(md5('p0:' || cast(doc_id AS varchar)), 1, 6)) AS bigint) % 8 AS int) AS shard
-      FROM documents),
+      FROM documents WHERE cast(n_chars AS bigint) > 0),
     c AS (
       SELECT doc_id, shard, n_tokens,
              cast(sum(n_tokens) OVER (PARTITION BY shard ORDER BY draw, doc_id

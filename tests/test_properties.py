@@ -581,7 +581,8 @@ def test_pack_sequences_offsets_reconstruct_stream(spark, toks, ctx, shards):
     rows = [(i, t) for i, t in enumerate(toks)]
     df = spark.createDataFrame(rows, "doc_id LONG, n_tok LONG")
     got = cu.pack_sequences_sharded(df, "n_tok", "doc_id", context_len=ctx, n_shards=shards).collect()
-    assert len(got) == len(toks)
+    # zero-token docs are excluded by contract (ambiguous exporter order)
+    assert len(got) == sum(1 for t in toks if t > 0)
     import collections
 
     by_shard = collections.defaultdict(list)
