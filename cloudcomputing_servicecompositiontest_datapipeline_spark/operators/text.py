@@ -1048,3 +1048,46 @@ def mine_hard_negatives(
             "neg_rank",
         )
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    form: str = "NFC",
+    strip_controls: bool = True,
+) -> DataFrame:
+    """X56 unicode normalization — step 0 of every text pipeline: compose
+    to NFC (é as one codepoint, not e+combining-acute: exact dedup, shingle
+    hashes and tokenizers all disagree across the two encodings of the
+    same visible text) and strip C0/DEL control characters (keeping
+    tab/newline/CR).
+
+    Normalization itself runs in an Arrow-batched pandas UDF
+    (``unicodedata`` — Spark has no built-in normalizer); the standard
+    defines a unique result, so it is engine-reproducible and
+    oracle-checkable against DuckDB's utf8proc ``nfc_normalize``.  Control
+    stripping is a JVM-side regexp.  Output: (id, norm_text,
+    changed)."""
+    import pandas as pd
+    import unicodedata
+
+    def _norm_fn(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _norm = F.pandas_udf(_norm_fn, returnType="string")
+    out = F.col("_nfc")
+    if strip_controls:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.col(text_col).alias("_raw"), _norm(F.col(text_col)).alias("_nfc"))
+        .select(
+            F.col(id_col),
+            out.alias("norm_text"),
+            (~out.eqNullSafe(F.col("_raw"))).alias("changed"),
+        )
+    )

@@ -2057,3 +2057,21 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_lang", "guessed_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@query(
+    "text_normalize_unicode",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS norm_text,
+           regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') IS DISTINCT FROM text AS changed
+    FROM documents
+    """,
+)
+def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 unicode step-0: NFC composition (Arrow pandas UDF over
+    ``unicodedata`` -- the standard defines a unique result, so DuckDB's
+    utf8proc twin hash-matches) + C0/DEL control stripping (JVM regexp),
+    with a changed flag for audit."""
+    docs = _docs(spark, sf_dir)
+    return tx.normalize_unicode(docs, "text", "doc_id")

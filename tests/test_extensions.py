@@ -1092,3 +1092,32 @@ def test_langid_eval_confusion_matrix(spark):
     scored = tx.language_scores(df, "text", "doc_id")
     got = {r.doc_id: r.lang_guess for r in scored.collect()}
     assert got == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_normalize_unicode_composes_and_strips(spark):
+    """NFC composes combining sequences (exact-dedup equivalence of the two
+    encodings of the same visible text) and C0 controls vanish while
+    tab/newline survive; cross-checked against DuckDB's utf8proc NFC."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    decomposed = "école"      # e + combining acute
+    composed = "école"          # é precomposed
+    rows = [
+        (1, decomposed),
+        (2, composed),
+        (3, "bad\x00ctrl\x07here"),
+        (4, "keep\ttab\nnewline"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in tx.normalize_unicode(df, "text", "doc_id").collect()}
+    assert got[1].norm_text == composed and got[1].changed
+    assert got[2].norm_text == composed and not got[2].changed
+    assert got[3].norm_text == "badctrlhere" and got[3].changed
+    assert got[4].norm_text == "keep\ttab\nnewline" and not got[4].changed
+    # the two encodings now hash identically for exact dedup
+    assert got[1].norm_text == got[2].norm_text
+    # cross-engine: DuckDB's utf8proc NFC agrees on the non-ASCII case
+    import duckdb
+
+    (d,) = duckdb.connect().execute("SELECT nfc_normalize(?)", [decomposed]).fetchone()
+    assert d == got[1].norm_text
