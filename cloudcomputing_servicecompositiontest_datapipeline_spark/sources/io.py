@@ -400,3 +400,40 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     (``spark.read.schema(...)``) after the first evolution instead of
     re-merging per query."""
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    *,
+    salt: str = "",
+    compression: str | None = "gzip",
+) -> int:
+    """S20: export a curated corpus as reproducible JSONL shards — the
+    interchange format most training dataloaders and external tools read
+    (one JSON object per line).  Same determinism contract as
+    :func:`write_training_shards` (md5(salt‖id) shard membership and
+    in-shard order, salt re-deals an epoch), same ONE shuffle; gzip by
+    default because JSONL is ~3-5x the size of parquet.  Returns the
+    number of data files written."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    out = (
+        df.withColumn("__shard_key", key)
+        .repartition(n_shards, F.col("__shard_key"))
+        .sortWithinPartitions("__shard_key")
+        .drop("__shard_key")
+    )
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+    import os as _os
+
+    return sum(
+        1
+        for root, _d, files in _os.walk(path)
+        for fn in files
+        if fn.startswith("part-")
+    )

@@ -509,3 +509,30 @@ def test_read_parquet_evolved_unions_batch_schemas(spark, tmp_path):
     assert got.filter(F.col("quality") > 0.5).count() == 1
     # default (non-merged) read would have missed the new column
     assert set(spark.read.parquet(out).columns) <= {"id", "v", "quality"}
+
+
+def test_write_jsonl_shards_reproducible_and_readable(spark, tmp_path):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(200)], "doc_id LONG, text STRING, lang STRING"
+    )
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    n1 = sio.write_jsonl_shards(df, out1, 4, "doc_id")
+    n2 = sio.write_jsonl_shards(df.repartition(7), out2, 4, "doc_id")
+    assert n1 == n2 == 4
+    # byte-stable across runs and input partitionings
+    import gzip, os
+
+    def slurp(d):
+        chunks = []
+        for fn in sorted(os.listdir(d)):
+            if fn.startswith("part-"):
+                with gzip.open(os.path.join(d, fn), "rb") as f:
+                    chunks.append(f.read())
+        return chunks
+
+    assert slurp(out1) == slurp(out2)
+    # round-trips through a plain JSON reader
+    back = spark.read.json(out1)
+    assert back.count() == 200 and set(back.columns) == {"doc_id", "text", "lang"}
