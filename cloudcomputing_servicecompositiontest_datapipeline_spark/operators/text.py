@@ -1091,3 +1091,54 @@ def normalize_unicode(
             (~out.eqNullSafe(F.col("_raw"))).alias("changed"),
         )
     )
+
+
+def compression_ratio_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    level: int = 6,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X57 compression-ratio quality signal (the classic cheap filter used
+    alongside Gopher rules: machine-generated or looping text compresses
+    far below prose, so a very LOW deflate ratio flags boilerplate and a
+    ratio near 1 flags random/encrypted junk).
+
+    One Arrow-batched pandas UDF (zlib at a fixed level) — map-only, no
+    shuffle, only the two lengths come back per row.  Declared rows-only:
+    deflate output length is zlib-build-dependent in principle, so no SQL
+    oracle; the monotonicity (repetition ⇒ smaller ratio) and bounds are
+    pytest-pinned.  Output: (id, n_bytes, n_compressed, compression_ratio
+    = compressed/raw rounded 1e-6; empty docs score NULL)."""
+    import pandas as pd
+    import zlib
+
+    def _fn(s):
+        raws, comps = [], []
+        for x in s:
+            if x is None:
+                raws.append(None)
+                comps.append(None)
+                continue
+            raw = x.encode("utf-8")
+            raws.append(len(raw))
+            comps.append(len(zlib.compress(raw, level)) if raw else 0)
+        return pd.DataFrame({"raw": raws, "comp": comps})
+
+    _c = F.pandas_udf(_fn, returnType="struct<raw:long,comp:long>")
+    mult = float(10**round_scale)
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), _c(F.col(text_col)).alias("_z"))
+        .select(
+            F.col(id_col),
+            F.col("_z.raw").alias("n_bytes"),
+            F.col("_z.comp").alias("n_compressed"),
+            F.when(
+                F.col("_z.raw") > 0,
+                F.floor(F.col("_z.comp") / F.col("_z.raw") * mult + 0.5) / mult,
+            ).alias("compression_ratio"),
+        )
+    )

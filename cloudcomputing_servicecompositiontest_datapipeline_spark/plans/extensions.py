@@ -2075,3 +2075,12 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a changed flag for audit."""
     docs = _docs(spark, sf_dir)
     return tx.normalize_unicode(docs, "text", "doc_id")
+
+
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 compression-ratio quality signal: deflate(bytes)/bytes per doc
+    (low = looping boilerplate, ~1 = junk).  Map-only Arrow pass; rows-only
+    (deflate length is zlib-build-dependent), monotonicity pytest-pinned."""
+    docs = _docs(spark, sf_dir)
+    return tx.compression_ratio_scores(docs, "text", "doc_id")

@@ -111,8 +111,8 @@ DRIVER_WINDOW: list[str] = [
     "text_hard_negatives",
 ]
 # r5 queue: this window brings the r1+r2+r3+r4 union to every registered
-# query EXCEPT text_langid_eval and text_normalize_unicode (added after the
-# 50 slots filled; locally green).  r5 leads with (a) any r4 FAILs (none expected — the whole window
+# query EXCEPT text_langid_eval, text_normalize_unicode,
+# text_compression_ratio (added after the 50 slots filled; locally green).  r5 leads with (a) any r4 FAILs (none expected — the whole window
 # is green locally under the hostile plain session: `SG_CHECK_PLAIN=1
 # tools/check.py --window`), then (b) text_langid_eval + queries added in
 # r5, then (c) rotation of oracle-checked queries whose operators r5

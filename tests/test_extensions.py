@@ -1121,3 +1121,22 @@ def test_normalize_unicode_composes_and_strips(spark):
 
     (d,) = duckdb.connect().execute("SELECT nfc_normalize(?)", [decomposed]).fetchone()
     assert d == got[1].norm_text
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (1, "spam " * 400),                                     # pure repetition
+        (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(400))),  # high-entropy-ish
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in tx.compression_ratio_scores(df, "text", "doc_id").collect()}
+    assert got[1].compression_ratio < 0.05          # loops compress away
+    assert got[2].compression_ratio > got[1].compression_ratio * 5
+    assert 0 < got[2].compression_ratio <= 1.1
+    assert got[3].compression_ratio is None and got[3].n_bytes == 0
+    # partitioning-independent (pure per-row function)
+    again = {r.doc_id: r.compression_ratio for r in tx.compression_ratio_scores(df.repartition(5), "text", "doc_id").collect()}
+    assert again == {k: v.compression_ratio for k, v in got.items()}
