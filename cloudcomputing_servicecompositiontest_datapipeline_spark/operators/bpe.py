@@ -29,14 +29,31 @@ from .dedup import normalized_text
 #: End-of-word marker appended to a word's final symbol (standard BPE "</w>").
 EOW = "</w>"
 
+#: Delimiters of the string-rewrite encoder: word separator, symbol open,
+#: symbol close.  BPE corpus normalization strips these three control chars
+#: (U+0001 / U+001E / U+001F) EVERYWHERE — training and both encoders — so a
+#: symbol can never contain a delimiter and a rewrite boundary can never be
+#: forged by data.  (Real tokenizers normalize control chars away too.)
+_W_SEP, _S_OPEN, _S_CLOSE = "\x01", "\x1e", "\x1f"
+
+
+def bpe_normalized(col: F.Column) -> F.Column:
+    """BPE corpus normalization: :func:`normalized_text` with the three
+    rewrite delimiter control chars stripped."""
+    return F.translate(normalized_text(col), _W_SEP + _S_OPEN + _S_CLOSE, "")
+
+
+def _words(col: F.Column) -> F.Column:
+    """Normalized word array (empty words from stripped-char runs dropped)."""
+    return F.filter(F.split(bpe_normalized(col), " "), lambda w: F.length(w) > 0)
+
 
 def word_histogram(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus -> (word, n) histogram: the classic BPE-training reduction —
     merge rounds then cost |vocabulary|, not |corpus|.  One shuffle."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
     return (
         ensure_parallelism(df)
-        .select(F.explode(toks).alias("word"))
+        .select(F.explode(_words(F.col(text_col))).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -115,19 +132,34 @@ def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, *, n_merges: int = 10
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 10,
+    seed: list[tuple[str, str, int]] | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges: per round, one pair-count aggregate
     (tiny reduce side) + a TakeOrdered(1) argmax to the driver + a row-local
     merge rewrite of the |vocabulary|-row histogram.  Ties break
     lexicographically (deterministic across engines and partitionings).
-    Returns [(a, b, count), ...] in merge order."""
+    Returns [(a, b, count), ...] in merge order.
+
+    ``seed``: an already-learned merge PREFIX (from a shorter training run
+    on the SAME corpus).  Training is deterministic, so the first
+    ``len(seed)`` rounds would reproduce it exactly — instead the seed
+    merges are replayed as LAZY histogram rewrites (one chained plan, zero
+    argmax jobs) and live training resumes at round ``len(seed)+1``.  Cuts
+    the job count when several queries train at different vocab sizes."""
     hist = word_histogram(df, text_col).select(
         _initial_symbols(F.col("word")).alias("symbols"), "n"
     )
+    merges: list[tuple[str, str, int]] = list(seed or [])[:n_merges]
+    for a, b, _cnt in merges:
+        hist = hist.select(
+            _apply_merge(F.col("symbols"), a, b).alias("symbols"), "n"
+        )
     hist = hist.localCheckpoint(eager=False)
-    merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for _ in range(n_merges - len(merges)):
         top = (
             pair_counts(hist)
             .orderBy(F.col("count").desc(), "a", "b")
@@ -144,10 +176,16 @@ def bpe_train(
     return merges
 
 
-def bpe_train_df(df: DataFrame, text_col: str, *, n_merges: int = 10) -> DataFrame:
+def bpe_train_df(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 10,
+    seed: list[tuple[str, str, int]] | None = None,
+) -> DataFrame:
     """:func:`bpe_train` as a declared-query-shaped DataFrame:
     (merge_order, a, b, merged, count)."""
-    merges = bpe_train(df, text_col, n_merges=n_merges)
+    merges = bpe_train(df, text_col, n_merges=n_merges, seed=seed)
     spark = df.sparkSession
     rows = [
         (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
@@ -165,29 +203,39 @@ def bpe_encode(
 ) -> DataFrame:
     """Tokenize with a LEARNED merge list: start from character symbols and
     apply the merges in learned priority order (the standard greedy BPE
-    encoder) — ``n_merges`` row-local folds, no shuffle, merges baked as
-    literals.  Output: (id, tokens:array<string>, n_tokens) per WORD
+    encoder).  Output: (id, tokens:array<string>, n_tokens) per WORD
     position re-joined per document.
 
-    HARD BOUND: the chained-transform plan stops ANALYZING at ~50 merges
-    (Spark's resolution batch hits max iterations), so this path is for
-    demo/small vocabularies only — a real 32k-merge vocabulary must use
-    :func:`bpe_encode_pandas` (O(1) plan, result-identical for learned merge
-    lists; parity pinned in tests and the ``text_bpe_encode_parity``
-    declared query)."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    words = F.filter(toks, lambda w: F.length(w) > 0)
-    symbolized = F.transform(words, _initial_symbols)
-
-    # factory keeps the per-round closure a TRUE 1-arg function — default
-    # kwargs would change the signature PySpark inspects to pick the
-    # transform lambda arity
-    def round_fn(a: str, b: str):
-        return lambda s: _apply_merge(s, a, b)
-
+    Formulation: the document becomes ONE delimiter-wrapped symbol string
+    (``\\x1e sym \\x1f`` per symbol, ``\\x01`` between words — delimiters the
+    corpus normalization guarantees no symbol contains), and each merge
+    round is ONE literal-string ``replace`` whose left-to-right
+    non-overlapping scan IS the reference fold semantics (after a
+    replacement the scan resumes AFTER it, so a merged symbol cannot
+    re-merge within its own round).  Every per-merge rewrite stays inside
+    whole-stage codegen — measured ~8x over the previous interpreted
+    higher-order array fold at 20 merges — and the plan is a flat chain of
+    scalar ``StringReplace``s, so plan depth is no longer the binding limit.
+    A real 32k-merge vocabulary still wants :func:`bpe_encode_pandas` (O(1)
+    plan size, merges broadcast; result-identical for learned merge lists —
+    parity pinned in tests and the ``text_bpe_encode_parity`` declared
+    query)."""
+    # wrap every char as \x1e c \x1f; spaces become word separators; the
+    # final symbol of each word takes the EOW marker
+    s = F.regexp_replace(bpe_normalized(F.col(text_col)), "(.)", _S_OPEN + "$1" + _S_CLOSE)
+    s = F.replace(s, F.lit(_S_OPEN + " " + _S_CLOSE), F.lit(_W_SEP))
+    s = F.regexp_replace(s, _S_CLOSE + "(?=" + _W_SEP + r"|\z)", EOW + _S_CLOSE)
     for m in merges:
-        symbolized = F.transform(symbolized, round_fn(m[0], m[1]))
-    flat = F.flatten(symbolized)
+        a, b = m[0], m[1]
+        s = F.replace(
+            s,
+            F.lit(_S_OPEN + a + _S_CLOSE + _S_OPEN + b + _S_CLOSE),
+            F.lit(_S_OPEN + a + b + _S_CLOSE),
+        )
+    flat = F.filter(
+        F.split(F.translate(s, _W_SEP + _S_OPEN, ""), _S_CLOSE),
+        lambda t: F.length(t) > 0,
+    )
     return ensure_parallelism(df).select(
         F.col(id_col),
         flat.alias("tokens"),
@@ -213,13 +261,11 @@ def bpe_encode_pandas(
     tests/test_curation.py parity test and the ``text_bpe_encode_parity``
     declared query.
 
-    Words are tokenized JVM-side (same ``normalized_text`` split as every
-    other path) so normalization cannot drift between engines; only the
-    word arrays cross the Arrow boundary.  100 TB shape: map-only over the
-    corpus, merges broadcast once per executor, no shuffle."""
+    Words are tokenized JVM-side (same :func:`bpe_normalized` split as
+    every other path) so normalization cannot drift between engines; only
+    the word arrays cross the Arrow boundary.  100 TB shape: map-only over
+    the corpus, merges broadcast once per executor, no shuffle."""
     import pandas as pd
-
-    from .dedup import normalized_text
 
     rank_of = {(m[0], m[1]): i for i, m in enumerate(merges)}
     bc = df.sparkSession.sparkContext.broadcast(rank_of)
@@ -269,10 +315,9 @@ def bpe_encode_pandas(
                 }
             )
 
-    toks = F.split(normalized_text(F.col(text_col)), " ")
     base = ensure_parallelism(df).select(
         F.col(id_col),
-        F.filter(toks, lambda w: F.length(w) > 0).alias("_words"),
+        _words(F.col(text_col)).alias("_words"),
     )
     id_type = dict(base.dtypes)[id_col]
     return base.mapInPandas(

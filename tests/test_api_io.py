@@ -536,3 +536,18 @@ def test_write_jsonl_shards_reproducible_and_readable(spark, tmp_path):
     # round-trips through a plain JSON reader
     back = spark.read.json(out1)
     assert back.count() == 200 and set(back.columns) == {"doc_id", "text", "lang"}
+
+
+def test_write_jsonl_shards_empty_corpus(spark, tmp_path):
+    """A filter chain that drops everything must still export cleanly: no
+    crash, no phantom rows — the terminal step of a curation pipeline can't
+    be the one that breaks on the aggressive-filter edge."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import io as sio
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    out = str(tmp_path / "empty")
+    n = sio.write_jsonl_shards(df, out, 4, "doc_id")
+    assert n >= 0
+    # re-read with an explicit schema (nothing to infer from empty JSONL)
+    back = spark.read.schema("doc_id LONG, text STRING").json(out)
+    assert back.count() == 0

@@ -339,6 +339,49 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == _bpe_reference(texts, 8)
 
 
+def test_bpe_train_seeded_prefix_is_equivalent(spark):
+    """Seeded training (replay a learned prefix as lazy histogram rewrites,
+    resume live rounds after it) must produce EXACTLY the merges of an
+    unseeded run — the property the plans-layer ``_bpe_merges`` memo relies
+    on to share one training lineage across the three BPE queries."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    texts = [
+        "low lower lowest low",
+        "new newer newest news",
+        "the newest of the new low lows",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    full = bpe.bpe_train(df, "text", n_merges=8)
+    pre = bpe.bpe_train(df, "text", n_merges=5)
+    assert pre == full[:5]
+    assert bpe.bpe_train(df, "text", n_merges=8, seed=pre) == full
+    # over-long seed is truncated, not extended
+    assert bpe.bpe_train(df, "text", n_merges=5, seed=full) == pre
+
+
+def test_bpe_encoders_agree_on_delimiter_chars(spark):
+    """BPE corpus normalization strips the string-rewrite delimiter control
+    chars (U+0001/U+001E/U+001F) in EVERY path, so adversarial text
+    containing them cannot forge a symbol boundary and the two encoders
+    still agree token-for-token."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    texts = [
+        "low\x01lower \x1elow\x1f lowest",
+        "\x01\x1e\x1f",  # sentinel-only doc -> zero tokens
+        "new newer",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    merges = bpe.bpe_train(df, "text", n_merges=6)
+    a = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(df, "text", "doc_id", merges).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode_pandas(df, "text", "doc_id", merges).collect()}
+    assert a == b
+    assert a[1] == []
+    # "low\x01lower" normalizes to the single word "lowlower"
+    assert "".join(a[0]).startswith("lowlower</w>")
+
+
 def test_bpe_merge_fold_nonoverlapping(spark):
     """aaa with merge (a,a) -> [aa, a]: left-to-right non-overlapping, the
     reference BPE semantics."""

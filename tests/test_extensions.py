@@ -1080,6 +1080,27 @@ def test_hard_negatives_exclude_positives_and_rank(spark):
     assert {r.doc_id for r in out2} <= {0, 1, 2} and len(out2) == 3
 
 
+def test_hybrid_rrf_one_empty_ranking(spark):
+    """A modality that returned nothing (vector index cold, or lexical
+    terms all absent) must degrade to the other ranking, not drop the
+    query: union-based fusion needs no special-casing, pinned here."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import similarity as s
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id STRING, doc_id LONG, rank INT"
+    )
+    empty = spark.createDataFrame([], "query_id STRING, doc_id LONG, rank INT")
+    got = s.hybrid_rrf(lex, empty, topk=10).collect()
+    assert [(r.doc_id, r.rank, r.n_sources) for r in sorted(got, key=lambda r: r.rank)] == [
+        (1, 1, 1),
+        (2, 2, 1),
+    ]
+    # both empty -> empty result, same schema
+    got2 = s.hybrid_rrf(empty, empty, topk=10)
+    assert got2.count() == 0
+    assert got2.columns == ["query_id", "doc_id", "rrf_score", "n_sources", "rank"]
+
+
 def test_langid_eval_confusion_matrix(spark):
     from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
 
@@ -1121,6 +1142,21 @@ def test_normalize_unicode_composes_and_strips(spark):
 
     (d,) = duckdb.connect().execute("SELECT nfc_normalize(?)", [decomposed]).fetchone()
     assert d == got[1].norm_text
+
+
+def test_normalize_unicode_null_and_empty_text(spark):
+    """NULL text must pass through as NULL (changed=false, not a crash in
+    the pandas UDF) and empty text is unchanged — the ingest reality of a
+    corpus with missing bodies."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ok")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r for r in tx.normalize_unicode(df, "text", "doc_id").collect()}
+    assert got[1].norm_text is None and got[1].changed is False
+    assert got[2].norm_text == "" and got[2].changed is False
+    assert got[3].norm_text == "ok" and got[3].changed is False
 
 
 def test_compression_ratio_separates_repetition_from_prose(spark):

@@ -79,6 +79,33 @@ def test_every_oracle_has_a_query():
 
 
 
+def test_oracle_queries_return_no_nested_columns(spark, sf_dir):
+    """No oracle-checked query may return a raw array/map/struct column: the
+    driver canonicalizes via pandas ``sort_values`` BEFORE stringifying, and
+    factorize cannot hash numpy arrays — the failure class behind the r01
+    ``report_show_as_list`` and r04 ``text_winnow_fingerprints`` driver reds
+    (``TypeError: unhashable type: 'numpy.ndarray'``) while the old local
+    gate (stringify-then-sort) stayed green.  Nested outputs must be
+    ``array_join``-ed / ``to_json``-ed in the declared query (the
+    plans/report.py pattern).  Schema derivation is lazy — no job runs."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name in registry.ORACLES:
+        df = registry.QUERIES[name](spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        "oracle-checked queries returning nested columns (driver hash "
+        f"canonicalization would crash): {offenders}"
+    )
+
+
 def test_bench_contract_shape():
     """bench.py is a driver contract too: it must print ONE JSON line with
     metric/value/unit/queries/sf, and every name it times must be a

@@ -68,6 +68,16 @@ def norm_cell(v):
 def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns)
     df = df[cols]
+    # Driver-faithful canonicalization ORDER: the round driver sorts the RAW
+    # pandas frame (sort_values) BEFORE stringifying, so array/map/struct
+    # output columns crash its hash step (r01 report_show_as_list, r04
+    # text_winnow_fingerprints: ``TypeError: unhashable type:
+    # 'numpy.ndarray'`` inside factorize).  Reproduce that here: any query
+    # whose output cannot be sort_values'd must fail THIS gate, not only the
+    # driver's.  The value hash itself stays order-insensitive (stringified
+    # rows re-sorted) so engine row order still can't matter.
+    if len(df):
+        df = df.sort_values(by=cols, kind="stable")
     rows = sorted("\x1f".join(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None))
     h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
     return len(df), cols, h
@@ -117,8 +127,13 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         n_checked += 1
-        sn, sc, sh = frame_fingerprint(sdf)
-        on, oc, oh = frame_fingerprint(odf)
+        try:
+            sn, sc, sh = frame_fingerprint(sdf)
+            on, oc, oh = frame_fingerprint(odf)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: canonicalize error (driver-class): {type(e).__name__}: {e}")
+            continue
         ok = (sn, sc, sh) == (on, oc, oh)
         if not ok:
             failures.append(name)
