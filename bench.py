@@ -87,6 +87,16 @@ NEW_R4 = [
     "text_hard_negatives",
 ]
 
+#: Added in r5 (X58-X63) — fifth table, vs_prev-tracked from r6 on.
+NEW_R5 = [
+    "curation_importance_weights",
+    "split_stratified",
+    "curation_quality_quantile_norm",
+    "text_token_stats_by_source",
+    "dedup_cluster_size_histogram",
+    "events_burst_zscore",
+]
+
 #: Added after r1 — timed outside the headline total for bench continuity.
 EXTRA = [
     "overlap_global_binned",
@@ -116,7 +126,7 @@ def main() -> None:
     # timed pass measures steady-state execution, not first-run compilation.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
-        for name in HEADLINE + [n for n in EXTRA + NEW_R3 + NEW_R4 if n in qs]:
+        for name in HEADLINE + [n for n in EXTRA + NEW_R3 + NEW_R4 + NEW_R5 if n in qs]:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     else:
         qs["report_group_avg"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -179,6 +189,16 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             new_r4[name] = round(best, 3)
 
+    new_r5: dict[str, float] = {}
+    for name in NEW_R5:
+        if name in qs:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            new_r5[name] = round(best, 3)
+
     # Second scale factor: the same headline queries at SF2 (10x less data),
     # min-of-2.  sf_scaling_ratio = t(SF)/t(SF2) per query — for a 10x SF
     # step, a ratio well under 10 means fixed overhead still dominates at
@@ -198,7 +218,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             secondary[name] = round(best, 3)
         # scaling curvature for this round's additions too
-        for name in NEW_R4:
+        for name in NEW_R4 + NEW_R5:
             if name in qs:
                 t0 = time.time()
                 qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
@@ -212,6 +232,7 @@ def main() -> None:
         "extra_queries": extra,
         "new_queries": new_r3,
         "new_r4_queries": new_r4,
+        "new_r5_queries": new_r5,
         "sf": _sf(SF_DIR),
     }
     if secondary:
@@ -225,8 +246,8 @@ def main() -> None:
             },
             "new_r4_queries": secondary_new,
             "new_r4_scaling_ratio": {
-                n: round(new_r4[n] / secondary_new[n], 2)
-                if secondary_new[n] > 0 and n in new_r4
+                n: round({**new_r4, **new_r5}[n] / secondary_new[n], 2)
+                if secondary_new[n] > 0 and n in {**new_r4, **new_r5}
                 else None
                 for n in secondary_new
             },
@@ -265,6 +286,11 @@ def main() -> None:
                     n: round(t - prev.get("new_r4_queries", {}).get(n), 3)
                     for n, t in new_r4.items()
                     if n in prev.get("new_r4_queries", {})
+                },
+                "new_r5_delta_sec": {
+                    n: round(t - prev.get("new_r5_queries", {}).get(n), 3)
+                    for n, t in new_r5.items()
+                    if n in prev.get("new_r5_queries", {})
                 },
             }
             break

@@ -406,3 +406,159 @@ def pack_sequences_sharded(
         F.floor(F.col("_before") / context_len).cast("int").alias("pack_id"),
         (F.col("_before") % context_len).cast("int").alias("offset_in_pack"),
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: F.Column,
+    *,
+    n_buckets: int = 1024,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X58 DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", public): score every
+    raw document by how target-like its hashed word-feature distribution
+    is.  weight(doc) = Σ_occurrences log p̂_target(bucket) − log p̂_raw(bucket)
+    over the doc's hashed unigram occurrences, with add-one smoothing over
+    ``n_buckets`` buckets — the log importance ratio of two hashed bag-of-
+    words multinomials.  Resample raw docs ∝ exp(weight) to shift a crawl
+    toward a target domain without training a classifier.
+
+    ``is_target`` is a boolean Column over ``df``'s rows marking the target
+    exemplars (e.g. ``F.col("lang") == "en"`` or a curated-source flag).
+
+    100 TB shape: ONE feature-bucket aggregate whose reduce side is
+    ``n_buckets`` rows (the distributions), broadcast back onto the
+    exploded features (map-side), then ONE doc-key aggregate — the corpus
+    shuffles once, on the doc id.  Per-bucket log-ratios are
+    engine-identical doubles; per-doc sums decimal-accumulate so the total
+    is order-insensitive (the psi_drift pattern).  Totals come to the
+    driver as TWO longs (bounded-collect pattern).  Docs with no features
+    (empty text) keep weight 0.0 with n_feats 0."""
+    from .dedup import normalized_text
+
+    from ..sources.star import ensure_parallelism
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    feats = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), is_target.alias("_t"), F.explode(toks).alias("_w"))
+        .filter(F.length("_w") > 0)
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    fb = feats.select(F.col(id_col), "_t", bucket.alias("_b"))
+    dist = fb.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n_raw"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_n_tgt"),
+    )
+    tot = dist.agg(F.sum("_n_raw").alias("r"), F.sum("_n_tgt").alias("t")).first()
+    t_raw, t_tgt = int(tot["r"] or 0), int(tot["t"] or 0)
+    log_ratio = F.log(
+        (F.col("_n_tgt") + 1).cast("double") / float(t_tgt + n_buckets)
+    ) - F.log((F.col("_n_raw") + 1).cast("double") / float(t_raw + n_buckets))
+    lr = dist.select("_b", log_ratio.alias("_lr"))
+    mult = float(10**round_scale)
+    per_doc = (
+        fb.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            (
+                F.floor(
+                    F.sum(F.col("_lr").cast("decimal(28,12)")).cast("double") * mult
+                    + 0.5
+                )
+                / mult
+            ).alias("weight"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
+        )
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "strat0",
+) -> DataFrame:
+    """X59 stratified train/val/test split: EXACT per-stratum proportions
+    (±1 doc) — rank each stratum's docs by a deterministic md5 draw and cut
+    at round(train·n) / round((train+val)·n).  A plain hash split only hits
+    the fractions in expectation; per-language eval sets need them exact or
+    rare strata end up with empty validation slices.
+
+    Deterministic: the draw is md5(salt‖id) (no RNG state; new ``salt``
+    re-deals), ordering is (draw, id) — a total order — and the cuts are
+    integer arithmetic, so the assignment is reproducible across engines,
+    partitionings and re-runs.
+
+    100 TB shape: ONE shuffle on the stratum plus a within-partition sort
+    (the price of exactness).  For web-scale strata where a single
+    stratum's sort is the bottleneck, use the expectation-only draw of
+    :func:`~..operators.dedup.leakage_safe_split` instead — and if near-dup
+    structure matters, that function's cluster-keyed draw is the right tool
+    anyway."""
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(draw.asc(), F.col(id_col).asc())
+    n = F.count(F.lit(1)).over(Window.partitionBy(strata_col))
+    r = F.row_number().over(w)
+    cut_train = F.floor(F.lit(float(train)) * n + 0.5)
+    cut_val = F.floor(F.lit(float(train + val)) * n + 0.5)
+    split = (
+        F.when(r <= cut_train, "train").when(r <= cut_val, "val").otherwise("test")
+    )
+    return df.select(
+        F.col(id_col), F.col(strata_col).alias("stratum"), split.alias("split")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X60 within-group quantile (rank) normalization of a score column:
+    percent_rank of ``value_col`` inside each ``group_col`` — the
+    calibration step that makes a quality score comparable ACROSS groups
+    (a "good" Swahili doc and a "good" English doc map to the same
+    percentile even though the raw scorer is biased by language).  Gates
+    like "keep the top 30% per language" become one filter on the output.
+
+    Ties share a rank (standard percent_rank = (rank−1)/(n−1), identical
+    in Spark and DuckDB); a single-row group normalizes to 0.0.  One
+    shuffle on the group + within-partition sort; integer rank arithmetic,
+    engine-deterministic."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    mult = float(10**round_scale)
+    pr = F.floor(F.percent_rank().over(w) * mult + 0.5) / mult
+    return df.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        F.col(value_col).alias("value"),
+        pr.alias("quantile"),
+    )

@@ -573,3 +573,36 @@ def leakage_safe_split(
         F.when(draw < train, "train").when(draw < train + val, "val").otherwise("test")
     )
     return canon.select(F.col(id_col), "canonical_id", split.alias("split"))
+
+
+def cluster_size_histogram(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X62 duplication profile: the distribution of exact-duplicate cluster
+    sizes — the first number a dedup run reports ("how much of the corpus
+    is copies, and is it many small twins or a few megaclusters?").  Built
+    on :func:`exact_dedup`'s (content_hash → n_copies) groups; output one
+    row per cluster size with the cluster count, total docs, and the share
+    of the corpus those docs are.
+
+    100 TB shape: the exact-dedup hash aggregate (one shuffle) followed by
+    a |distinct sizes| aggregate — the histogram reduce side is tiny.
+    Share doubles derive from exact integer sums (engine-identical)."""
+    groups = exact_dedup(df, text_col, id_col)
+    sized = groups.groupBy(F.col("n_copies").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    total = df.count()  # one long to the driver (bounded-collect pattern)
+    mult = 1000000.0
+    return sized.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        (
+            F.floor(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / float(total or 1)
+                * mult
+                + 0.5
+            )
+            / mult
+        ).alias("corpus_share"),
+    )

@@ -246,3 +246,88 @@ def funnel_conversion(
         ]
     )
     return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def burst_detection(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    z_threshold: float = 2.0,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X63 rate-burst detection: bucket each event type's stream onto a
+    DENSE time axis (missing buckets count as 0 — without densification a
+    quiet stream's mean is inflated and bursts hide), then z-score every
+    bucket against its type's own mean/std.  The ops-monitor face of the
+    drift family: "did some event type spike this hour?".
+
+    100 TB shape: one (type, bucket) count aggregate — reduce side is
+    |types|·|buckets| rows, never events.  Densification GENERATES the
+    axis per type (explode of a literal-bounded sequence — two timestamps
+    to the driver, the bounded-collect pattern) instead of cross-joining an
+    axis table, so there is no BroadcastNestedLoopJoin anywhere; the type
+    list reuses the already-reduced counts frame and the count/stat joins
+    broadcast (everything after the first aggregate is metadata-sized).
+    Mean/std come from exact integer count sums via the explicit
+    sum/sum-of-squares formula (NOT the engines' stddev builtins, whose
+    accumulation algorithms differ), so the doubles are engine-identical.
+    A constant-rate type (std 0) yields NULL z and never flags."""
+    t = F.date_trunc(bucket, F.col(ts_col))
+    counts = (
+        events.select(F.col(type_col).alias("event_type"), t.alias("bucket_ts"))
+        .groupBy("event_type", "bucket_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    bounds = events.agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("mn"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("mx"),
+    ).first()
+    if bounds["mn"] is None:
+        return counts.select(
+            "event_type",
+            "bucket_ts",
+            "n_events",
+            F.lit(None).cast("double").alias("z_score"),
+            F.lit(False).alias("is_burst"),
+        )
+    axis = F.explode(
+        F.sequence(
+            F.lit(bounds["mn"]), F.lit(bounds["mx"]), F.expr(f"interval 1 {bucket}")
+        )
+    )
+    dense = (
+        counts.select("event_type")
+        .distinct()
+        .select("event_type", axis.alias("bucket_ts"))
+        .join(F.broadcast(counts), ["event_type", "bucket_ts"], "left")
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sum("n_events").cast("long").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_nb")
+    var = F.col("_ss").cast("double") / F.col("_nb") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    mult = float(10**round_scale)
+    z = F.when(
+        std > 0,
+        F.floor((F.col("n_events") - mean) / std * mult + 0.5) / mult,
+    )
+    return (
+        dense.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "bucket_ts",
+            "n_events",
+            z.alias("z_score"),
+            F.coalesce(z >= z_threshold, F.lit(False)).alias("is_burst"),
+        )
+    )

@@ -1142,3 +1142,70 @@ def compression_ratio_scores(
             ).alias("compression_ratio"),
         )
     )
+
+
+def token_stats_by_group(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X61 per-group corpus token statistics — the datasheet numbers a
+    training-mix designer reads before weighting sources: docs, total
+    whitespace tokens, distinct-word vocabulary, type/token ratio (lexical
+    richness), mean tokens per doc, and chars per token (script density /
+    tokenizer-cost proxy).
+
+    100 TB shape: ONE explode + two aggregates — the distinct-vocabulary
+    count shuffles (group, word) pairs (map-side partial-distinct first),
+    the rest reduces to |groups| rows.  All ratios derive from exact
+    integer sums, so the doubles are engine-identical without decimal
+    machinery."""
+    from .dedup import normalized_text
+
+    mult = float(10**round_scale)
+
+    def r6(x):
+        return F.floor(x * mult + 0.5) / mult
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    words = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("group"),
+            F.length(text_col).alias("_chars"),
+            F.explode(toks).alias("_w"),
+        )
+        .filter(F.length("_w") > 0)
+    )
+    per_doc = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+    )
+    per_word = words.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("_w").cast("long").alias("n_vocab"),
+    )
+    return (
+        per_doc.join(per_word, "group", "left")
+        .select(
+            "group",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_vocab", F.lit(0)).alias("n_vocab"),
+            "n_chars",
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                r6(F.col("n_vocab").cast("double") / F.col("n_tokens")),
+            ).alias("type_token_ratio"),
+            F.when(
+                F.col("n_docs") > 0,
+                r6(F.coalesce("n_tokens", F.lit(0)).cast("double") / F.col("n_docs")),
+            ).alias("tokens_per_doc"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                r6(F.col("n_chars").cast("double") / F.col("n_tokens")),
+            ).alias("chars_per_token"),
+        )
+    )

@@ -2096,3 +2096,202 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deflate length is zlib-build-dependent), monotonicity pytest-pinned."""
     docs = _docs(spark, sf_dir)
     return tx.compression_ratio_scores(docs, "text", "doc_id")
+
+
+@query(
+    "curation_importance_weights",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang = 'en' AS t, unnest(string_split({_NORM}, ' ')) AS w
+      FROM documents),
+    fb AS (
+      SELECT doc_id, t, cast(('0x' || substr(md5(w), 1, 8)) AS bigint) % 1024 AS b
+      FROM f WHERE length(w) > 0),
+    dist AS (
+      SELECT b, count(*) AS n_raw, sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt
+      FROM fb GROUP BY 1),
+    tot AS (SELECT sum(n_raw) AS tr, sum(n_tgt) AS tt FROM dist),
+    lr AS (
+      SELECT b, ln((n_tgt + 1) / (tt + 1024.0)) - ln((n_raw + 1) / (tr + 1024.0)) AS lrv
+      FROM dist, tot),
+    pd AS (
+      SELECT fb.doc_id, count(*) AS n_feats,
+             floor(cast(sum(cast(lrv AS DECIMAL(28,12))) AS double) * 1000000 + 0.5)
+               / 1000000 AS weight
+      FROM fb JOIN lr USING (b) GROUP BY 1)
+    SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+           coalesce(weight, 0.0) AS weight
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 DSIR importance weights (Xie et al. 2023): log-ratio of hashed
+    unigram multinomials, target = lang='en' exemplars — score how
+    target-like each raw doc is, for importance resampling.  One
+    1024-bucket distribution aggregate (broadcast back), one doc-key
+    shuffle; per-doc log sums decimal-accumulated (psi_drift pattern)."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    return cu.importance_weights(
+        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=1024
+    )
+
+
+@query(
+    "split_stratified",
+    oracle="""
+    SELECT doc_id, lang AS stratum,
+           CASE WHEN r <= floor(0.8 * n + 0.5) THEN 'train'
+                WHEN r <= floor(0.9000000000000001 * n + 0.5) THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY cast(('0x' || substr(md5('strat0:' || cast(doc_id AS varchar)), 1, 8)) AS bigint),
+                        doc_id) AS r,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    """,
+)
+def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 stratified split by language: exact 80/10/10 within every
+    stratum via md5-draw ranking (the 0.9000000000000001 literal IS the
+    IEEE double 0.8+0.1 the Spark side computes — spelling it 0.9 would
+    flip boundary rows).  One stratum shuffle + sort; expectation-only
+    hash-draw (leakage_safe_split) is the web-scale-strata alternative."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    return cu.stratified_split(docs, "doc_id", "lang", train=0.8, val=0.1)
+
+
+@query(
+    "curation_quality_quantile_norm",
+    oracle="""
+    SELECT doc_id, lang AS "group", n_chars AS value,
+           floor(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+                 * 1000000 + 0.5) / 1000000 AS quantile
+    FROM documents
+    """,
+)
+def curation_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 within-group quantile normalization: percent_rank of doc length
+    inside each language — the cross-group score calibration that turns
+    "top 30% per language" into one filter.  Ties share a rank (standard
+    percent_rank, engine-identical); one group shuffle + sort."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    return cu.quantile_normalize(docs, "n_chars", "lang", "doc_id")
+
+
+@query(
+    "text_token_stats_by_source",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, unnest(string_split({_NORM}, ' ')) AS w FROM documents),
+    pw AS (
+      SELECT source, count(*) AS n_tokens, count(DISTINCT w) AS n_vocab
+      FROM w WHERE length(w) > 0 GROUP BY 1),
+    pd AS (
+      SELECT source, count(*) AS n_docs, sum(length(text)) AS n_chars
+      FROM documents GROUP BY 1)
+    SELECT pd.source AS "group", cast(n_docs AS bigint) AS n_docs,
+           cast(coalesce(n_tokens, 0) AS bigint) AS n_tokens,
+           cast(coalesce(n_vocab, 0) AS bigint) AS n_vocab,
+           cast(n_chars AS bigint) AS n_chars,
+           CASE WHEN coalesce(n_tokens, 0) > 0
+                THEN floor(cast(n_vocab AS double) / n_tokens * 1000000 + 0.5) / 1000000
+           END AS type_token_ratio,
+           CASE WHEN n_docs > 0
+                THEN floor(cast(coalesce(n_tokens, 0) AS double) / n_docs * 1000000 + 0.5) / 1000000
+           END AS tokens_per_doc,
+           CASE WHEN coalesce(n_tokens, 0) > 0
+                THEN floor(cast(n_chars AS double) / n_tokens * 1000000 + 0.5) / 1000000
+           END AS chars_per_token
+    FROM pd LEFT JOIN pw USING (source)
+    """,
+)
+def text_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 per-source corpus datasheet: docs, tokens, vocabulary,
+    type/token ratio, tokens/doc, chars/token — the numbers a mix designer
+    reads before weighting sources.  One explode + two aggregates; ratios
+    from exact integer sums."""
+    docs = _docs(spark, sf_dir)
+    return tx.token_stats_by_group(docs, "text", "source")
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH g AS (
+      SELECT sha256({_NORM}) AS h, count(*) AS n_copies
+      FROM documents GROUP BY 1),
+    s AS (
+      SELECT n_copies AS cluster_size, count(*) AS n_clusters FROM g GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM documents)
+    SELECT cast(cluster_size AS bigint) AS cluster_size,
+           cast(n_clusters AS bigint) AS n_clusters,
+           cast(cluster_size * n_clusters AS bigint) AS n_docs,
+           floor(cast(cluster_size * n_clusters AS double) / tot.n * 1000000 + 0.5)
+             / 1000000 AS corpus_share
+    FROM s, tot
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 duplication profile: exact-dup cluster-size distribution with
+    corpus share — "how much is copies, twins or megaclusters?".  The
+    exact-dedup hash aggregate plus a tiny histogram reduce."""
+    docs = _docs(spark, sf_dir)
+    return dd.cluster_size_histogram(docs, "text", "doc_id")
+
+
+@query(
+    "events_burst_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+      FROM events),
+    axis AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts FROM b),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+      SELECT ty.event_type, axis.bucket_ts, coalesce(c.n_events, 0) AS n_events
+      FROM ty CROSS JOIN axis
+      LEFT JOIN c ON c.event_type = ty.event_type AND c.bucket_ts = axis.bucket_ts),
+    st AS (
+      SELECT event_type, count(*) AS nb, sum(n_events) AS s,
+             sum(n_events * n_events) AS ss
+      FROM dense GROUP BY 1),
+    z AS (
+      SELECT d.event_type, d.bucket_ts, d.n_events,
+             cast(s AS double) / nb AS mean,
+             sqrt(greatest(cast(ss AS double) / nb
+                           - (cast(s AS double) / nb) * (cast(s AS double) / nb),
+                           0.0)) AS std
+      FROM dense d JOIN st USING (event_type))
+    SELECT event_type, bucket_ts, cast(n_events AS bigint) AS n_events,
+           CASE WHEN std > 0
+                THEN floor((n_events - mean) / std * 1000000 + 0.5) / 1000000
+           END AS z_score,
+           coalesce(CASE WHEN std > 0
+                         THEN floor((n_events - mean) / std * 1000000 + 0.5) / 1000000
+                    END >= 2.0, false) AS is_burst
+    FROM z
+    """,
+)
+def events_burst_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 rate-burst detection: per-type hourly counts on a DENSE time
+    axis (missing hours are real zeros), z-scored against the type's own
+    mean/std from explicit integer sum/sum-of-squares (not the engines'
+    stddev builtins).  Reduce side is |types|x|hours| rows, never events."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.burst_detection(ev)

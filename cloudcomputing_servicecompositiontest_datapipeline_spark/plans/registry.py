@@ -42,81 +42,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r4 window.  Leads with the single r3 FAIL (scalar_math_funcs: output
-    # typing now pinned BIGINT/INT on both engines), then the 31 registered
-    # queries with no driver row in the r1+r2+r3 union (everything added in
-    # r3), then the queries added/changed in r4.  This completes the sweep:
-    # after this round every registered query has a driver row.
-    "scalar_math_funcs",
-    # --- r3 rename needing a row under its new name
-    "overlap_global_demo",
-    # --- X24-X26 dedup/split family
-    "dedup_bloom_ingest",
-    "dedup_semantic_clusters",
-    "dedup_semantic_centroids",
-    "split_leakage_safe",
-    # --- X27/X32/X33 curation family
-    "curation_source_cap",
-    "curation_blocklist",
-    "curation_source_mix",
-    "curation_temperature_resample",
-    "curation_token_budget",
-    # --- X28/X35/X42 text-quality family
-    "text_topngram_coverage",
-    "text_quality_funnel",
-    "text_quality_funnel_report",
-    "text_perplexity_scores",
-    # --- X29 inference harness
-    "inference_model_scores",
-    # --- X30/X37/X41 embedding compression + evals
-    "embedding_quantize_int8",
-    "similarity_quantized_recall",
-    "similarity_pq_encode",
-    "similarity_pq_eval",
-    "similarity_jl_projection",
-    "similarity_jl_eval",
-    # --- X31 layout
-    "layout_zorder_key",
-    # --- X36 BPE (incl. the r4 scale-path parity query)
+    # r5 window.  Leads with the single r4 FAIL (text_winnow_fingerprints:
+    # now array_join-ed per the r1 pattern — the driver's sort-then-hash
+    # canonicalizer cannot factorize raw arrays), then the 3 queries the
+    # r1-r4 union never checked (added after r4's 50 slots filled), then
+    # the BPE family (encoder re-expressed as codegen'd string rewrites +
+    # delimiter-strip normalization this round), then the 6 queries added
+    # in r5 (X58-X63), then a 36-slot refresh rotation of r1/r2-vintage
+    # oracle rows (bench headliners, TPC-H spread, core report/tlq).
+    "text_winnow_fingerprints",
+    # --- never driver-checked until now
+    "text_langid_eval",
+    "text_normalize_unicode",
+    "text_compression_ratio",
+    # --- X36 BPE: operators changed in r5 (string-rewrite encoder, shared
+    # training memo, delimiter-strip corpus normalization)
     "text_bpe_pair_counts",
     "text_bpe_merges",
     "text_bpe_encode",
     "text_bpe_encode_parity",
-    # --- X34 + streaming batch-twins (rows-only by design, pytest-verified)
-    "streaming_source_quota",
-    "streaming_available_now",
-    "streaming_dedup_on_arrival",
-    "streaming_stateful_lifetimes",
-    # --- X38 drift monitors (r4: null surfacing added to psi output)
-    "drift_events_value",
-    "drift_documents_lang",
-    # --- r4 additions (X43 winnowing + verify, X44 BM25, X45 z-score,
-    # X46 decayed activity)
-    "text_winnow_fingerprints",
-    "dedup_winnow_candidates",
-    "dedup_winnow_verified",
-    "text_bm25_topk",
-    "embedding_normalize_zscore",
-    "events_decayed_activity",
-    "curation_quality_deciles",
-    "dedup_winnow_clusters",
-    "events_mad_by_type",
-    "events_cohort_retention",
-    "events_outliers_robust",
-    "sample_per_group_reservoir",
-    "curation_target_mix",
-    "pack_sequences_sharded",
-    "events_funnel_conversion",
-    "search_hybrid_rrf",
-    "text_hard_negatives",
+    # --- r5 additions X58-X63
+    "curation_importance_weights",
+    "split_stratified",
+    "curation_quality_quantile_norm",
+    "text_token_stats_by_source",
+    "dedup_cluster_size_histogram",
+    "events_burst_zscore",
+    # --- refresh rotation: oldest (r1/r2) driver rows re-verified
+    "tlq_transform",
+    "tlq_dedup_first_wins",
+    "tlq_decode_priority",
+    "tlq_invalid_date",
+    "tlq_typed_cast",
+    "report_group_avg",
+    "report_show_as_list",
+    "report_multi_group",
+    "report_full",
+    "report_union_sentinel",
+    "report_summary_cost",
+    "report_tenancy_histogram",
+    "overlap_selfjoin",
+    "tenancy_annotate",
+    "pipeline_cumulative",
+    "join_config_stamp",
+    "join_asof_last_click",
+    "window_lag_lead",
+    "window_rank_topk",
+    "window_range_frame",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "join_full_outer",
+    "setop_intersect",
+    "rollup_region_nation",
+    "topk_orders",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "similarity_bruteforce_topk",
+    "text_quality_score",
+    "events_session_window",
 ]
-# r5 queue: this window brings the r1+r2+r3+r4 union to every registered
-# query EXCEPT text_langid_eval, text_normalize_unicode,
-# text_compression_ratio (added after the 50 slots filled; locally green).  r5 leads with (a) any r4 FAILs (none expected — the whole window
-# is green locally under the hostile plain session: `SG_CHECK_PLAIN=1
-# tools/check.py --window`), then (b) text_langid_eval + queries added in
-# r5, then (c) rotation of oracle-checked queries whose operators r5
-# modifies.
+# r6 queue: with this window the r1-r5 union covers every registered query
+# at least once and re-verifies the oldest third.  r6 leads with (a) any r5
+# FAILs, then (b) queries added/changed in r6, then (c) continue the
+# refresh rotation through the remaining r1/r2-vintage rows
+# (report_derive_row..., q2/q6-q8/q10-q12/q14-q17/q19-q20/q22, scalar
+# families, percentile/pivot, inspector, asof/funnel/retention variants).
 
 
 def ordered_queries() -> dict[str, QueryFn]:

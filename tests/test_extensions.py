@@ -1176,3 +1176,125 @@ def test_compression_ratio_separates_repetition_from_prose(spark):
     # partitioning-independent (pure per-row function)
     again = {r.doc_id: r.compression_ratio for r in tx.compression_ratio_scores(df.repartition(5), "text", "doc_id").collect()}
     assert again == {k: v.compression_ratio for k, v in got.items()}
+
+
+def test_importance_weights_direction_and_empty_doc(spark):
+    """Target-like docs must score above off-target docs (the DSIR ranking
+    property), and an empty doc gets weight 0.0 with zero features."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "alpha beta gamma", True) for i in range(5)]       # target domain
+        + [(10 + i, "delta epsilon zeta", False) for i in range(5)]  # raw-only
+        + [(20, "alpha beta gamma", False),                      # target-like raw doc
+           (21, "delta epsilon zeta", False),
+           (22, "", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, is_t BOOLEAN")
+    got = {
+        r.doc_id: r
+        for r in cu.importance_weights(
+            df, "text", "doc_id", F.col("is_t"), n_buckets=64
+        ).collect()
+    }
+    assert got[20].weight > got[21].weight  # target-like ranks above off-target
+    assert got[22].weight == 0.0 and got[22].n_feats == 0
+    assert got[20].n_feats == 3
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every stratum must hit round(f*n) counts exactly (+-0 here: strata
+    of 20 and 10 docs), and the assignment must be salt-deterministic."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+    from collections import Counter
+
+    rows = [(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = cu.stratified_split(df, "doc_id", "lang", train=0.8, val=0.1).collect()
+    c = Counter((r.stratum, r.split) for r in out)
+    assert c[("a", "train")] == 16 and c[("a", "val")] == 2 and c[("a", "test")] == 2
+    assert c[("b", "train")] == 8 and c[("b", "val")] == 1 and c[("b", "test")] == 1
+    again = cu.stratified_split(df, "doc_id", "lang", train=0.8, val=0.1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different salt re-deals (same counts, some different members)
+    redeal = cu.stratified_split(
+        df, "doc_id", "lang", train=0.8, val=0.1, salt="strat1"
+    ).collect()
+    assert Counter((r.stratum, r.split) for r in redeal) == c
+
+
+def test_quantile_normalize_ties_and_singleton(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    rows = [(1, "g1", 10), (2, "g1", 10), (3, "g1", 20), (4, "g1", 30), (5, "solo", 99)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, v LONG")
+    got = {r.doc_id: r.quantile for r in cu.quantile_normalize(df, "v", "lang", "doc_id").collect()}
+    assert got[1] == got[2] == 0.0          # tied minimum shares rank 1
+    assert abs(got[3] - 2 / 3) < 1e-6
+    assert got[4] == 1.0
+    assert got[5] == 0.0                    # single-row group
+
+
+def test_token_stats_by_group_hand_case(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (1, "a b a", "s1"),
+        (2, "a c", "s1"),
+        (3, "", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = {r.group: r for r in tx.token_stats_by_group(df, "text", "source").collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.n_tokens, s1.n_vocab, s1.n_chars) == (2, 5, 3, 8)
+    assert abs(s1.type_token_ratio - 0.6) < 1e-6
+    assert s1.tokens_per_doc == 2.5 and abs(s1.chars_per_token - 1.6) < 1e-6
+    s2 = got["s2"]
+    assert (s2.n_docs, s2.n_tokens, s2.n_vocab) == (1, 0, 0)
+    assert s2.type_token_ratio is None and s2.chars_per_token is None
+
+
+def test_cluster_size_histogram_shapes(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import dedup as dd
+
+    rows = (
+        [(1, "unique one"), (2, "unique two"), (3, "unique three")]  # 3 singletons
+        + [(4, "twin"), (5, "TWIN  ")]                               # size-2 (normalized)
+        + [(6, "tri"), (7, "tri"), (8, "tri")]                       # size-3
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.cluster_size: r for r in dd.cluster_size_histogram(df, "text", "doc_id").collect()}
+    assert got[1].n_clusters == 3 and got[1].n_docs == 3
+    assert got[2].n_clusters == 1 and got[2].n_docs == 2
+    assert got[3].n_clusters == 1 and got[3].n_docs == 3
+    assert abs(sum(r.corpus_share for r in got.values()) - 1.0) < 1e-5
+
+
+def test_burst_detection_dense_axis_and_flags(spark):
+    """A spike hour must flag; a constant-rate type must not (std 0 -> NULL
+    z); hours with no events for a type must appear as real zeros."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    # steady: 1 event per hour for 6 hours
+    for h in range(6):
+        rows.append((len(rows), base + dt.timedelta(hours=h), "steady"))
+    # bursty: 1 per hour except hour 3 which gets 30
+    for h in range(6):
+        n = 30 if h == 3 else 1
+        for _ in range(n):
+            rows.append((len(rows), base + dt.timedelta(hours=h, minutes=5), "bursty"))
+    # sparse: only hour 0 and hour 5 -> hours 1-4 are zeros on the dense axis
+    rows.append((len(rows), base, "sparse"))
+    rows.append((len(rows), base + dt.timedelta(hours=5), "sparse"))
+    df = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP, event_type STRING")
+    out = ft.burst_detection(df, z_threshold=2.0)
+    got = {(r.event_type, r.bucket_ts.hour): r for r in out.collect()}
+    assert len(got) == 18  # 3 types x 6 dense hours
+    assert got[("steady", 2)].z_score is None and not got[("steady", 2)].is_burst
+    assert got[("bursty", 3)].is_burst
+    assert not any(r.is_burst for k, r in got.items() if k[0] != "bursty")
+    assert got[("sparse", 2)].n_events == 0

@@ -49,6 +49,9 @@ ROWS_ONLY_ALLOWED = {
     "similarity_jl_eval",
     "text_bpe_merges",
     "text_bpe_encode",
+    # r5 window: the compression-ratio signal's deflate byte counts are
+    # zlib-build-dependent (monotonicity pytest-pinned instead).
+    "text_compression_ratio",
 }
 
 
@@ -120,7 +123,7 @@ def test_bench_contract_shape():
     import __spark_entry__ as em
 
     qs = set(em.queries())
-    timed = bench.HEADLINE + bench.EXTRA + bench.NEW_R3 + bench.NEW_R4
+    timed = bench.HEADLINE + bench.EXTRA + bench.NEW_R3 + bench.NEW_R4 + bench.NEW_R5
     for name in timed:
         assert name in qs, f"bench times unknown query {name!r}"
     # headline set frozen since r1 for cross-round comparability
