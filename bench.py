@@ -95,6 +95,8 @@ NEW_R5 = [
     "text_token_stats_by_source",
     "dedup_cluster_size_histogram",
     "events_burst_zscore",
+    "dedup_dup_rate_by_source",
+    "embedding_qc",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

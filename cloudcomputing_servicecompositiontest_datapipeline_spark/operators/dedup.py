@@ -606,3 +606,56 @@ def cluster_size_histogram(df: DataFrame, text_col: str, id_col: str) -> DataFra
             / mult
         ).alias("corpus_share"),
     )
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X64 dedup attribution: per-group duplicate rates — which sources are
+    shipping copies?  A doc is a duplicate when its normalized content hash
+    is shared (cluster size >= 2) and it is not the cluster's keeper
+    (lowest id — the :func:`exact_dedup` keep rule), so ``n_dropped`` is
+    exactly what exact dedup would delete from that group.  Cross-group
+    duplicates count against the group of the DROPPED copy, which is the
+    attribution a source-quality report wants.
+
+    100 TB shape: the annotate-back join keys on the SAME content hash the
+    exact-dedup aggregate shuffled on, so the aggregate side arrives
+    pre-partitioned and only the tagged side shuffles once (the cluster
+    table is corpus-sized — one row per distinct content — so it is NOT
+    broadcastable; this is the tenancy-annotate join shape, not a
+    broadcast).  The final aggregate reduces to |groups| rows.  Rates from
+    exact integer sums."""
+    h = F.sha2(normalized_text(F.col(text_col)), 256)
+    tagged = df.select(
+        F.col(id_col), F.col(group_col).alias("group"), h.alias("content_hash")
+    )
+    groups = exact_dedup(df, text_col, id_col)
+    mult = float(10**round_scale)
+    return (
+        tagged.join(groups, "content_hash")
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_copies") >= 2) & (F.col(id_col) != F.col("keep_id")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "n_dropped",
+            (F.floor(F.col("n_dropped").cast("double") / F.col("n_docs") * mult + 0.5) / mult).alias(
+                "dup_rate"
+            ),
+        )
+    )

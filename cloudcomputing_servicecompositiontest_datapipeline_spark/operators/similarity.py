@@ -978,3 +978,67 @@ def hybrid_rrf(
         .filter(F.col("rank") <= topk)
         .select("query_id", "doc_id", "rrf_score", "n_sources", "rank")
     )
+
+
+def embedding_qc(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    expected_dim: int | None = None,
+    norm_low: float = 1e-6,
+    norm_high: float = 1e6,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X65 embedding quality control — the vector-side ingest gate: flag
+    NULL vectors, wrong dimensionality, non-finite components (NaN/Inf
+    survive parquet and silently poison every downstream dot product), and
+    degenerate norms (all-zero vectors make cosine undefined; exploded
+    norms are usually an upstream scaling bug).  Run BEFORE building any
+    index; one bad vector in an IVF training sample skews every centroid.
+
+    100 TB shape: map-only — one row-local pass computing dim / finiteness
+    / norm² via array expressions (no UDF, no shuffle); downstream filters
+    on the flags pushdown-compose with the scan.  norm² sums per-component
+    doubles in ARRAY ORDER (F.aggregate folds left-to-right), so the value
+    is engine-identical — no shuffle-order concern for row-local folds.
+
+    Output: (id, dim, n_nonfinite, norm, ok plus the reason flags)."""
+    v = F.col(vec_col)
+    dim = F.when(v.isNull(), F.lit(0)).otherwise(F.size(v)).cast("int")
+    nonfinite = F.when(v.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(v, lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e308))))
+    ).cast("int")
+    norm_sq = F.when(
+        v.isNull() | (nonfinite > 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    mult = float(10**round_scale)
+    norm = F.floor(F.sqrt(norm_sq) * mult + 0.5) / mult
+    bad_dim = (
+        F.lit(False) if expected_dim is None else dim != F.lit(int(expected_dim))
+    )
+    flag_null = v.isNull()
+    flag_dim = ~flag_null & bad_dim
+    flag_nonfinite = ~flag_null & (nonfinite > 0)
+    flag_norm = (
+        ~flag_null
+        & ~flag_nonfinite
+        & ((norm < F.lit(norm_low)) | (norm > F.lit(norm_high)))
+    )
+    return df.select(
+        F.col(id_col),
+        dim.alias("dim"),
+        nonfinite.alias("n_nonfinite"),
+        norm.alias("norm"),
+        flag_null.alias("is_null"),
+        flag_dim.alias("bad_dim"),
+        flag_nonfinite.alias("has_nonfinite"),
+        flag_norm.alias("bad_norm"),
+        (~flag_null & ~bad_dim & ~flag_nonfinite & ~flag_norm).alias("ok"),
+    )

@@ -2295,3 +2295,80 @@ def events_burst_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
     return ft.burst_detection(ev)
+
+
+@query(
+    "dedup_dup_rate_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, sha256({_NORM}) AS h FROM documents),
+    g AS (
+      SELECT sha256({_NORM}) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1)
+    SELECT source AS "group", cast(count(*) AS bigint) AS n_docs,
+           cast(sum(CASE WHEN n_copies >= 2 AND doc_id != keep_id THEN 1 ELSE 0 END)
+                AS bigint) AS n_dropped,
+           floor(cast(sum(CASE WHEN n_copies >= 2 AND doc_id != keep_id THEN 1 ELSE 0 END)
+                      AS double) / count(*) * 1000000 + 0.5) / 1000000 AS dup_rate
+    FROM t JOIN g USING (h) GROUP BY 1
+    """,
+)
+def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 dedup attribution: per-source duplicate rates (what exact dedup
+    would drop, charged to the dropped copy's source).  Annotate-back join
+    on the content hash the dedup aggregate already partitioned on — the
+    cluster table is corpus-sized, deliberately NOT broadcast."""
+    docs = _docs(spark, sf_dir)
+    return dd.dup_rate_by_group(docs, "text", "doc_id", "source")
+
+
+@query(
+    "embedding_qc",
+    oracle="""
+    SELECT vec_id,
+           cast(CASE WHEN embedding IS NULL THEN 0 ELSE len(embedding) END AS int) AS dim,
+           cast(CASE WHEN embedding IS NULL THEN 0
+                ELSE len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308))
+                END AS int) AS n_nonfinite,
+           CASE WHEN embedding IS NULL
+                     OR len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308)) > 0
+                THEN NULL
+                ELSE floor(sqrt(list_reduce(
+                       list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
+                       (a, b) -> a + b)) * 1000000 + 0.5) / 1000000
+           END AS norm,
+           embedding IS NULL AS is_null,
+           embedding IS NOT NULL AND len(embedding) != 64 AS bad_dim,
+           embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308)) > 0
+             AS has_nonfinite,
+           coalesce(embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308)) = 0
+             AND (floor(sqrt(list_reduce(
+                    list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
+                    (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 < 0.000001
+                  OR floor(sqrt(list_reduce(
+                       list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
+                       (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 > 1000000.0),
+             false) AS bad_norm,
+           coalesce(embedding IS NOT NULL AND len(embedding) = 64
+             AND len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308)) = 0
+             AND NOT (floor(sqrt(list_reduce(
+                        list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
+                        (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 < 0.000001
+                      OR floor(sqrt(list_reduce(
+                           list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
+                           (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 > 1000000.0),
+             false) AS ok
+    FROM embeddings
+    """,
+)
+def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 embedding QC gate: flag NULL / wrong-dim / non-finite /
+    degenerate-norm vectors before any index build (one poisoned vector in
+    an IVF training sample skews every centroid).  Map-only row-local
+    array expressions; norm² folds in array order so it is
+    engine-identical without decimal machinery."""
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    return sim.embedding_qc(emb, "embedding", "vec_id", expected_dim=64)

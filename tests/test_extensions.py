@@ -1298,3 +1298,44 @@ def test_burst_detection_dense_axis_and_flags(spark):
     assert got[("bursty", 3)].is_burst
     assert not any(r.is_burst for k, r in got.items() if k[0] != "bursty")
     assert got[("sparse", 2)].n_events == 0
+
+
+def test_dup_rate_by_group_attribution(spark):
+    """Drops are charged to the DROPPED copy's group (the keeper's group is
+    not penalized), matching what exact dedup would delete."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import dedup as dd
+
+    rows = [
+        (1, "same text", "s1"),   # keeper (lowest id)
+        (2, "same  TEXT", "s2"),  # normalized dup -> dropped, charged to s2
+        (3, "same text", "s2"),   # dropped, charged to s2
+        (4, "unique a", "s1"),
+        (5, "unique b", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = {r.group: r for r in dd.dup_rate_by_group(df, "text", "doc_id", "source").collect()}
+    assert got["s1"].n_docs == 2 and got["s1"].n_dropped == 0 and got["s1"].dup_rate == 0.0
+    assert got["s2"].n_docs == 3 and got["s2"].n_dropped == 2
+    assert abs(got["s2"].dup_rate - 2 / 3) < 1e-6
+
+
+def test_embedding_qc_flags(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import similarity as s
+
+    rows = [
+        (1, [3.0, 4.0]),            # ok: norm 5
+        (2, [0.0, 0.0]),            # zero norm -> bad_norm
+        (3, [1.0, float("nan")]),   # non-finite
+        (4, [1.0, 2.0, 3.0]),       # wrong dim
+        (5, None),                  # null vector
+        (6, [1.0, float("inf")]),   # inf counts as non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {r.vec_id: r for r in s.embedding_qc(df, "embedding", "vec_id", expected_dim=2).collect()}
+    assert got[1].ok and got[1].norm == 5.0 and got[1].dim == 2
+    assert got[2].bad_norm and not got[2].ok
+    assert got[3].has_nonfinite and got[3].n_nonfinite == 1 and got[3].norm is None
+    assert got[4].bad_dim and not got[4].ok
+    assert got[5].is_null and got[5].dim == 0 and not got[5].ok
+    assert got[6].has_nonfinite and not got[6].ok
+    assert sum(1 for r in got.values() if r.ok) == 1
