@@ -97,6 +97,7 @@ NEW_R5 = [
     "events_burst_zscore",
     "dedup_dup_rate_by_source",
     "embedding_qc",
+    "events_bootstrap_ci",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -331,3 +331,90 @@ def burst_detection(
             F.coalesce(z >= z_threshold, F.lit(False)).alias("is_burst"),
         )
     )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    *,
+    n_replicates: int = 50,
+    sample_frac: float = 0.5,
+    salt: str = "boot0",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X66 deterministic bootstrap confidence intervals for a per-group
+    mean — the error bars an eval/monitoring report should carry before
+    anyone acts on a metric delta.  Subsample-bootstrap form: replicate
+    ``b``'s sample is the rows whose md5(salt:b:id) draw falls under
+    ``sample_frac`` (a pure function — no RNG state, reproducible across
+    engines/partitionings/re-runs; new salt = new resample), the statistic
+    is the replicate mean, and the CI is the [lo, hi] quantile band of the
+    replicate means.
+
+    100 TB shape: ONE pass — each row map-side explodes to its
+    ``n_replicates`` membership trials (compute-only B× blow-up, no join,
+    no BroadcastNestedLoopJoin) and the shuffle carries
+    |groups|·n_replicates partial sums, never rows.  Replicate means
+    decimal-accumulate (order-insensitive); the quantile band runs over
+    n_replicates bounded values per group.  A replicate that samples zero
+    rows of a group contributes no mean (consistently on both engines)."""
+    thr = int(sample_frac * (1 << 24))
+    mult = float(10**round_scale)
+    df = df.filter(F.col(value_col).isNotNull())
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(id_col).cast("string").alias("_id"),
+    ).select(
+        "group",
+        "_v",
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("_b"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col("_b").cast("string"), F.col("_id"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rep_means = (
+        base.filter(draw < F.lit(thr))
+        .groupBy("group", "_b")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("_v").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
+            ).alias("_m")
+        )
+    )
+    band = rep_means.groupBy("group").agg(
+        F.count(F.lit(1)).cast("int").alias("n_replicates"),
+        (F.floor(F.expr(f"percentile(_m, {lo})") * mult + 0.5) / mult).alias("ci_lo"),
+        (F.floor(F.expr(f"percentile(_m, {hi})") * mult + 0.5) / mult).alias("ci_hi"),
+    )
+    point = df.groupBy(F.col(group_col).alias("group")).agg(
+        (
+            F.floor(
+                F.sum(F.col(value_col).cast("decimal(28,12)")).cast("double")
+                / F.count(F.col(value_col))
+                * mult
+                + 0.5
+            )
+            / mult
+        ).alias("mean")
+    )
+    return point.join(band, "group", "left").select(
+        "group", "mean", "ci_lo", "ci_hi", F.coalesce("n_replicates", F.lit(0)).alias("n_replicates")
+    )

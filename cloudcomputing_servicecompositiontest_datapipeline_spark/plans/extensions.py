@@ -2372,3 +2372,48 @@ def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
     return sim.embedding_qc(emb, "embedding", "vec_id", expected_dim=64)
+
+
+@query(
+    "events_bootstrap_ci",
+    oracle="""
+    WITH src AS (
+      SELECT event_type AS g, cast(value AS double) AS v,
+             cast(event_id AS varchar) AS id
+      FROM events WHERE value IS NOT NULL),
+    base AS (
+      SELECT g, v, id, b FROM src, (SELECT unnest(generate_series(0, 49)) AS b)),
+    drawn AS (
+      SELECT g, v, b FROM base
+      WHERE cast(('0x' || substr(md5('boot0:' || cast(b AS varchar) || ':' || id), 1, 6))
+                 AS bigint) < 8388608),
+    rep AS (
+      SELECT g, b,
+             floor(cast(sum(cast(v AS DECIMAL(28,12))) AS double) / count(*)
+                   * 1000000000 + 0.5) / 1000000000 AS m
+      FROM drawn GROUP BY 1, 2),
+    band AS (
+      SELECT g, cast(count(*) AS int) AS n_replicates,
+             floor(quantile_cont(m, 0.05) * 1000000 + 0.5) / 1000000 AS ci_lo,
+             floor(quantile_cont(m, 0.95) * 1000000 + 0.5) / 1000000 AS ci_hi
+      FROM rep GROUP BY 1),
+    pt AS (
+      SELECT g, floor(cast(sum(cast(v AS DECIMAL(28,12))) AS double) / count(v)
+                      * 1000000 + 0.5) / 1000000 AS mean
+      FROM src GROUP BY 1)
+    SELECT pt.g AS "group", mean, ci_lo, ci_hi,
+           coalesce(n_replicates, 0) AS n_replicates
+    FROM pt LEFT JOIN band USING (g)
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 deterministic bootstrap CI of the per-type mean event value —
+    the error bars a metric report needs before anyone acts on a delta.
+    50 md5-seeded half-sample replicates generated map-side (explode of a
+    literal sequence, no join); shuffle carries |types|x50 partial sums;
+    replicate means decimal-accumulated, band = [5%, 95%] quantiles."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.bootstrap_ci(ev, "value", "event_type", "event_id")

@@ -1339,3 +1339,30 @@ def test_embedding_qc_flags(spark):
     assert got[5].is_null and got[5].dim == 0 and not got[5].ok
     assert got[6].has_nonfinite and not got[6].ok
     assert sum(1 for r in got.values() if r.ok) == 1
+
+
+def test_bootstrap_ci_semantics(spark):
+    """Constant groups collapse to a zero-width band at the true mean; a
+    varying group gets a proper band around its mean; the draw is a pure
+    function (partitioning-independent)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    rows = [(i, "const", 7.0) for i in range(100)] + [
+        (1000 + i, "vary", float(i % 20)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, event_type STRING, value DOUBLE")
+    out = {r.group: r for r in ft.bootstrap_ci(df, "value", "event_type", "event_id").collect()}
+    c = out["const"]
+    assert c.mean == 7.0 and c.ci_lo == 7.0 and c.ci_hi == 7.0
+    assert c.n_replicates == 50
+    v = out["vary"]
+    assert v.ci_lo <= v.mean <= v.ci_hi
+    assert v.ci_hi - v.ci_lo > 0
+    # partitioning-independent (deterministic draw + decimal sums)
+    out2 = {
+        r.group: r
+        for r in ft.bootstrap_ci(df.repartition(13), "value", "event_type", "event_id").collect()
+    }
+    assert {g: (r.mean, r.ci_lo, r.ci_hi) for g, r in out.items()} == {
+        g: (r.mean, r.ci_lo, r.ci_hi) for g, r in out2.items()
+    }

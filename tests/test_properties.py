@@ -660,3 +660,96 @@ def test_bm25_matches_python_model(spark, texts, qterms):
     assert [(a, b, d) for a, b, _, d in got] == [(a, b, d) for a, b, _, d in want]
     for (_, _, s1, _), (_, _, s2, _) in zip(got, want):
         assert abs(s1 - s2) < 1e-9
+
+
+strata_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),      # id (may collide -> dedup below)
+        st.sampled_from(["a", "b", "c", None]),          # stratum (incl. NULL stratum)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=strata_strategy, salt=st.sampled_from(["s0", "s1"]))
+@SETTINGS
+def test_stratified_split_properties(spark, rows, salt):
+    """For ANY input: per-stratum counts hit round(f*n) exactly, every doc
+    is assigned exactly once, and the assignment is a pure function of
+    (salt, id) within its stratum."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.curation import stratified_split
+
+    rows = list({r[0]: r for r in rows}.values())  # unique ids
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = stratified_split(df, "doc_id", "lang", train=0.6, val=0.2, salt=salt).collect()
+    assert len(out) == len(rows)
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for r in out:
+        per[r.stratum][r.split] += 1
+    for stratum, c in per.items():
+        n = sum(c.values())
+        want_train = int(0.6 * n + 0.5)
+        want_val = int((0.6 + 0.2) * n + 0.5) - want_train
+        assert c["train"] == want_train, (stratum, dict(c))
+        assert c["val"] == want_val, (stratum, dict(c))
+        assert c["test"] == n - want_train - want_val
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SETTINGS
+def test_quantile_normalize_properties(spark, vals):
+    """quantile in [0,1]; monotone with the value inside each group; equal
+    values share a quantile; the group minimum is 0.0."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.curation import quantile_normalize
+
+    vals = list({v[0]: v for v in vals}.values())
+    df = spark.createDataFrame(vals, "doc_id LONG, lang STRING, v LONG")
+    out = quantile_normalize(df, "v", "lang", "doc_id").collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in out:
+        assert 0.0 <= r.quantile <= 1.0
+        per[r.group].append((r.value, r.quantile))
+    for g, pairs in per.items():
+        pairs.sort()
+        assert pairs[0][1] == 0.0
+        for (v1, q1), (v2, q2) in zip(pairs, pairs[1:]):
+            assert q1 <= q2
+            if v1 == v2:
+                assert q1 == q2
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \x01\x1e\x1f", min_size=0, max_size=24),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_bpe_encoders_agree_on_arbitrary_text(spark, texts, n_merges):
+    """The string-rewrite fold encoder and the rank-priority pandas encoder
+    must agree token-for-token on ANY input — including delimiter chars and
+    whitespace runs — for merges learned from that same corpus."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    merges = bpe.bpe_train(df, "text", n_merges=n_merges)
+    a = {r.doc_id: r.tokens for r in bpe.bpe_encode(df, "text", "doc_id", merges).collect()}
+    b = {r.doc_id: r.tokens for r in bpe.bpe_encode_pandas(df, "text", "doc_id", merges).collect()}
+    assert a == b
