@@ -98,6 +98,8 @@ NEW_R5 = [
     "dedup_dup_rate_by_source",
     "embedding_qc",
     "events_bootstrap_ci",
+    "text_strip_html",
+    "pack_efficiency_report",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

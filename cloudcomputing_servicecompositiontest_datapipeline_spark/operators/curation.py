@@ -562,3 +562,46 @@ def quantile_normalize(
         F.col(value_col).alias("value"),
         pr.alias("quantile"),
     )
+
+
+def packing_report(
+    packed: DataFrame,
+    *,
+    context_len: int,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X68 packing-efficiency report over :func:`pack_sequences_sharded`
+    output: per shard — docs, tokens, packs, utilization (tokens /
+    packs·context_len: everything below 1.0 is the final partial pack), and
+    how many documents straddle a pack boundary (the concatenate-and-cut
+    packing cost: a straddled doc is split across contexts, which some
+    curricula refuse — this is the number you check before choosing
+    document-boundary packing instead).
+
+    One |shards|-row aggregate over the already-packed frame; ratios from
+    exact integer sums."""
+    mult = float(10**round_scale)
+    per = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("offset_in_pack") + F.col("n_tokens") > context_len, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_straddling"),
+    )
+    n_packs = (F.floor((F.col("total_tokens") - 1) / context_len) + 1).cast("long")
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_packs.alias("n_packs"),
+        (
+            F.floor(
+                F.col("total_tokens").cast("double") / (n_packs * context_len) * mult
+                + 0.5
+            )
+            / mult
+        ).alias("utilization"),
+        "n_straddling",
+    )

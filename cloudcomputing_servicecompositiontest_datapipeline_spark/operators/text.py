@@ -1209,3 +1209,49 @@ def token_stats_by_group(
             ).alias("chars_per_token"),
         )
     )
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """X67 HTML/boilerplate stripping — the ingest step between a raw crawl
+    and every text operator here (C4/CCNet both start from extracted text):
+    drop <script>/<style> blocks wholesale (their content is code, not
+    prose), strip remaining tags, decode the common HTML entities, and
+    collapse the whitespace the markup leaves behind.  A regexp extractor
+    is deliberately the scope: full DOM parsing belongs to a specialized
+    library at the crawler, not the analytics engine — this operator makes
+    tag-bearing text safe for quality scoring and dedup, and its output is
+    deterministic and oracle-checkable.
+
+    100 TB shape: a chain of JVM-side regexp_replace — row-local, zero
+    shuffle, whole-stage codegen.  Output: (id, clean_text, n_raw_chars,
+    n_clean_chars, had_markup)."""
+    raw = F.col(text_col)
+    # case-insensitive script/style blocks (two patterns, not one with a
+    # backreference: the DuckDB oracle runs RE2, which has none), then
+    # comments, then any remaining tag
+    s = F.regexp_replace(raw, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)</?[a-zA-Z!][^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        s.alias("clean_text"),
+        F.length(raw).alias("n_raw_chars"),
+        F.length(s).alias("n_clean_chars"),
+        (~s.eqNullSafe(raw)).alias("had_markup"),
+    )

@@ -2417,3 +2417,78 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
     return ft.bootstrap_ci(ev, "value", "event_type", "event_id")
+
+
+@query(
+    "text_strip_html",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, length(text) AS n_raw_chars,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                  '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+          '\s+', ' ', 'g')) AS clean_text,
+        text AS raw FROM documents)
+    SELECT doc_id, clean_text, cast(n_raw_chars AS bigint) AS n_raw_chars,
+           cast(length(clean_text) AS bigint) AS n_clean_chars,
+           clean_text IS DISTINCT FROM raw AS had_markup
+    FROM s
+    """,
+)
+def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 HTML/boilerplate strip: script/style blocks, comments, tags,
+    common entities, whitespace collapse — the crawl-to-text ingest step
+    before any quality/dedup operator.  Chained JVM regexp_replace
+    (row-local, codegen); patterns are RE2-compatible so the DuckDB twin
+    runs them verbatim."""
+    docs = _docs(spark, sf_dir)
+    return tx.strip_html(docs, "text", "doc_id")
+
+
+@query(
+    "pack_efficiency_report",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, cast(n_chars AS bigint) AS n_tokens,
+             md5('p0:' || cast(doc_id AS varchar)) AS draw,
+             cast(cast(('0x' || substr(md5('p0:' || cast(doc_id AS varchar)), 1, 6)) AS bigint) % 8 AS int) AS shard
+      FROM documents WHERE cast(n_chars AS bigint) > 0),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             cast(sum(n_tokens) OVER (PARTITION BY shard ORDER BY draw, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS bigint) AS nbefore
+      FROM b),
+    agg AS (
+      SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+             sum(CASE WHEN (nbefore % 2048) + n_tokens > 2048 THEN 1 ELSE 0 END) AS n_straddling
+      FROM c GROUP BY 1)
+    SELECT shard, cast(n_docs AS bigint) AS n_docs,
+           cast(total_tokens AS bigint) AS total_tokens,
+           cast(floor((total_tokens - 1) / 2048) + 1 AS bigint) AS n_packs,
+           floor(cast(total_tokens AS double)
+                 / ((floor((total_tokens - 1) / 2048) + 1) * 2048) * 1000000 + 0.5)
+             / 1000000 AS utilization,
+           cast(n_straddling AS bigint) AS n_straddling
+    FROM agg
+    """,
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 packing-efficiency report: per-shard utilization and
+    boundary-straddle counts over the X52 packed stream — the number you
+    read before choosing concatenate-and-cut vs document-boundary packing.
+    One |shards|-row aggregate on top of the packing plan."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    packed = cu.pack_sequences_sharded(
+        docs, "n_chars", "doc_id", context_len=2048, n_shards=8
+    )
+    return cu.packing_report(packed, context_len=2048)

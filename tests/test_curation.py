@@ -771,3 +771,18 @@ def test_bigram_model_merge_law(spark):
     one_shot = {r.doc_id: r.perplexity for r in tx.perplexity_scores_join(both, "text", "doc_id", fu, fb).collect()}
     merged = {r.doc_id: r.perplexity for r in tx.perplexity_scores_join(both, "text", "doc_id", mu, mb).collect()}
     assert one_shot == merged
+
+
+def test_packing_report_hand_case(spark):
+    """One shard, context 10: docs 6+6+5 -> 17 tokens, 2 packs, util .85;
+    the 2nd doc straddles the first boundary (offset 6 + 6 > 10)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    packed = spark.createDataFrame(
+        [(1, 0, 6, 0, 0), (2, 0, 6, 0, 6), (3, 0, 5, 1, 2)],
+        "doc_id LONG, shard INT, n_tokens LONG, pack_id INT, offset_in_pack INT",
+    )
+    (r,) = cu.packing_report(packed, context_len=10).collect()
+    assert (r.shard, r.n_docs, r.total_tokens, r.n_packs) == (0, 3, 17, 2)
+    assert abs(r.utilization - 0.85) < 1e-9
+    assert r.n_straddling == 1  # doc2 (6+6>10); doc3 fits (2+5<=10)

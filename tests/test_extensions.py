@@ -1366,3 +1366,47 @@ def test_bootstrap_ci_semantics(spark):
     assert {g: (r.mean, r.ci_lo, r.ci_hi) for g, r in out.items()} == {
         g: (r.mean, r.ci_lo, r.ci_hi) for g, r in out2.items()
     }
+
+
+def test_strip_html_semantics_and_duckdb_regex_parity(spark):
+    """Tags/script/style/comments/entities vanish, prose survives; and the
+    exact patterns behave identically under Java regex (Spark) and RE2
+    (DuckDB) on markup-bearing text — the fixture corpus is tag-free, so
+    this is where the cross-engine regex contract is actually exercised."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (1, "<html><body><p>Hello <b>world</b></p></body></html>"),
+        (2, "before<script type='x'>var a = '<p>not text</p>';</script>after"),
+        (3, "a<style>p { color: red }</style>b <!-- note --> c"),
+        (4, "Tom &amp; Jerry &lt;3 &quot;cheese&quot; &#39;ok&#39;&nbsp;!"),
+        (5, "no markup at all"),
+        (6, "unclosed <script>never ends"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in tx.strip_html(df, "text", "doc_id").collect()}
+    assert got[1].clean_text == "Hello world" and got[1].had_markup
+    assert got[2].clean_text == "before after"  # block replaced by a space
+    assert got[3].clean_text == "a b c"
+    assert got[4].clean_text == "Tom & Jerry <3 \"cheese\" 'ok' !"
+    assert got[5].clean_text == "no markup at all" and not got[5].had_markup
+    # unclosed script: block pattern can't close, tag strip still fires
+    assert got[6].clean_text == "unclosed never ends"
+    # cross-engine: run the oracle's regex chain in DuckDB on the same rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expr = r"""trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+            '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+        '\s+', ' ', 'g'))"""
+    duck = dict(con.execute(f"SELECT doc_id, {expr} FROM t").fetchall())
+    assert duck == {i: r.clean_text for i, r in got.items()}
