@@ -100,6 +100,7 @@ NEW_R5 = [
     "events_bootstrap_ci",
     "text_strip_html",
     "pack_efficiency_report",
+    "streaming_burst_monitor",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -452,10 +452,13 @@ def importance_weights(
         F.lit(n_buckets),
     )
     fb = feats.select(F.col(id_col), "_t", bucket.alias("_b"))
+    # localCheckpoint: the totals .first() below would otherwise re-run the
+    # corpus-wide explode+aggregate a second time when the broadcast side is
+    # built (dist is read twice — measured 2x the feature pass without it)
     dist = fb.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_n_raw"),
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_n_tgt"),
-    )
+    ).localCheckpoint(eager=False)
     tot = dist.agg(F.sum("_n_raw").alias("r"), F.sum("_n_tgt").alias("t")).first()
     t_raw, t_tgt = int(tot["r"] or 0), int(tot["t"] or 0)
     log_ratio = F.log(

@@ -358,34 +358,54 @@ def bootstrap_ci(
     100 TB shape: ONE pass — each row map-side explodes to its
     ``n_replicates`` membership trials (compute-only B× blow-up, no join,
     no BroadcastNestedLoopJoin) and the shuffle carries
-    |groups|·n_replicates partial sums, never rows.  Replicate means
-    decimal-accumulate (order-insensitive); the quantile band runs over
-    n_replicates bounded values per group.  A replicate that samples zero
-    rows of a group contributes no mean (consistently on both engines)."""
-    thr = int(sample_frac * (1 << 24))
+    |groups|·n_replicates partial sums, never rows.  Replicate draws PACK
+    8 per md5 (each 128-bit digest yields eight 16-bit draws, indexed by
+    ``replicate % 8`` on md5(salt : replicate//8 : id)) — 8× fewer digests
+    than one-hash-per-trial for identical statistics; 16-bit granularity
+    quantizes ``sample_frac`` to 1/65536, immaterial for a bootstrap.
+    Replicate means decimal-accumulate (order-insensitive); the quantile
+    band runs over n_replicates bounded values per group.  A replicate
+    that samples zero rows of a group contributes no mean (consistently on
+    both engines)."""
+    from ..sources.star import ensure_parallelism
+
+    thr = int(sample_frac * (1 << 16))
     mult = float(10**round_scale)
     df = df.filter(F.col(value_col).isNotNull())
-    base = df.select(
+    n_hashes = (n_replicates - 1) // 8 + 1
+    hashed = ensure_parallelism(df).select(
         F.col(group_col).alias("group"),
         F.col(value_col).cast("double").alias("_v"),
         F.col(id_col).cast("string").alias("_id"),
     ).select(
         "group",
         "_v",
-        "_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("_j"),
+        F.col("_id"),
+    ).select(
+        "group",
+        "_v",
+        "_j",
+        F.md5(
+            F.concat_ws(":", F.lit(salt), F.col("_j").cast("string"), F.col("_id"))
+        ).alias("_h"),
     )
-    draw = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), F.col("_b").cast("string"), F.col("_id"))),
-            1,
-            6,
-        ),
-        16,
-        10,
-    ).cast("long")
+    base = hashed.select(
+        "group",
+        "_v",
+        "_j",
+        "_h",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("_i"),
+    ).select(
+        "group",
+        "_v",
+        (F.col("_j") * 8 + F.col("_i")).alias("_b"),
+        F.conv(F.substring(F.col("_h"), F.col("_i") * 4 + 1, 4), 16, 10)
+        .cast("long")
+        .alias("_draw"),
+    ).filter(F.col("_b") < n_replicates)
     rep_means = (
-        base.filter(draw < F.lit(thr))
+        base.filter(F.col("_draw") < F.lit(thr))
         .groupBy("group", "_b")
         .agg(
             (

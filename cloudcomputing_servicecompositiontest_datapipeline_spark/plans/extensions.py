@@ -2382,11 +2382,14 @@ def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(event_id AS varchar) AS id
       FROM events WHERE value IS NOT NULL),
     base AS (
-      SELECT g, v, id, b FROM src, (SELECT unnest(generate_series(0, 49)) AS b)),
-    drawn AS (
-      SELECT g, v, b FROM base
-      WHERE cast(('0x' || substr(md5('boot0:' || cast(b AS varchar) || ':' || id), 1, 6))
-                 AS bigint) < 8388608),
+      SELECT g, v, (j * 8 + i) AS b,
+             cast(('0x' || substr(md5('boot0:' || cast(j AS varchar) || ':' || id),
+                                  i * 4 + 1, 4)) AS bigint) AS draw
+      FROM src,
+           (SELECT unnest(generate_series(0, 6)) AS j),
+           (SELECT unnest(generate_series(0, 7)) AS i)
+      WHERE j * 8 + i < 50),
+    drawn AS (SELECT g, v, b FROM base WHERE draw < 32768),
     rep AS (
       SELECT g, b,
              floor(cast(sum(cast(v AS DECIMAL(28,12))) AS double) / count(*)

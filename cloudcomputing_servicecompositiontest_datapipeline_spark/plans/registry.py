@@ -48,7 +48,7 @@ DRIVER_WINDOW: list[str] = [
     # r1-r4 union never checked (added after r4's 50 slots filled), then
     # the BPE family (encoder re-expressed as codegen'd string rewrites +
     # delimiter-strip normalization this round), then the 6 queries added
-    # in r5 (X58-X68), then a 31-slot refresh rotation of r1/r2-vintage
+    # in r5 (X58-X69), then a 30-slot refresh rotation of r1/r2-vintage
     # oracle rows (bench headliners, TPC-H spread, core report/tlq).
     "text_winnow_fingerprints",
     # --- never driver-checked until now
@@ -61,7 +61,7 @@ DRIVER_WINDOW: list[str] = [
     "text_bpe_merges",
     "text_bpe_encode",
     "text_bpe_encode_parity",
-    # --- r5 additions X58-X68
+    # --- r5 additions X58-X69
     "curation_importance_weights",
     "split_stratified",
     "curation_quality_quantile_norm",
@@ -73,6 +73,7 @@ DRIVER_WINDOW: list[str] = [
     "events_bootstrap_ci",
     "text_strip_html",
     "pack_efficiency_report",
+    "streaming_burst_monitor",
     # --- refresh rotation: oldest (r1/r2) driver rows re-verified
     "tlq_transform",
     "tlq_dedup_first_wins",
@@ -98,7 +99,6 @@ DRIVER_WINDOW: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q9_product_profit",
-    "q18_large_orders",
     "topk_orders",
     "dedup_exact_text",
     "dedup_ngram_jaccard",
@@ -111,7 +111,7 @@ DRIVER_WINDOW: list[str] = [
 # FAILs, then (b) queries added/changed in r6, then (c) continue the
 # refresh rotation through the remaining r1/r2-vintage rows
 # (report_derive_row..., setop_intersect, rollup_region_nation, join_full_outer,
-# q13_order_distribution, q21_waiting_suppliers,
+# q13_order_distribution, q21_waiting_suppliers, q18_large_orders,
 # q2/q6-q8/q10-q12/q14-q17/q19-q20/q22, scalar
 # families, percentile/pivot, inspector, asof/funnel/retention variants).
 

@@ -261,3 +261,51 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("kept_rank").alias("max_rank"),
         )
     )
+
+
+@query("streaming_burst_monitor")
+def streaming_burst_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 online burst monitor on a REAL file stream: events staged as
+    JSON, hourly counts per type (the X63 windowing) streamed through the
+    Welford-state z-scorer (streaming/stateful.py:burst_monitor — state is
+    three numbers per type, bounded forever), drained with
+    Trigger.AvailableNow, summarized per type.  Rows-only: online z-scores
+    depend on arrival order by construction (each window is judged against
+    only its PAST); the state-machine semantics are pinned in pytest
+    including a cross-drain state-carryover case."""
+    from ..streaming.stateful import burst_monitor
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="sg_burst_stream_")
+    json_dir = os.path.join(workdir, "ev")
+    counts = (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    counts.coalesce(2).write.mode("overwrite").json(json_dir)
+    stream = spark.readStream.schema(
+        "event_type STRING, bucket_ts TIMESTAMP, n_events BIGINT"
+    ).json(json_dir)
+    out = burst_monitor(stream)
+    name = "sg_burst_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("is_burst"), 1).otherwise(0)).cast("long").alias("n_bursts"),
+            F.max("n_windows_seen").cast("long").alias("max_seen"),
+        )
+    )

@@ -206,3 +206,78 @@ def source_quota_admit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BURST_STATE_SCHEMA = "n LONG, mean DOUBLE, m2 DOUBLE"
+BURST_OUTPUT_SCHEMA = (
+    "event_type STRING, bucket_ts TIMESTAMP, n_events LONG, z_score DOUBLE, "
+    "is_burst BOOLEAN, n_windows_seen LONG"
+)
+
+
+def burst_monitor(
+    counts: DataFrame,
+    *,
+    type_col: str = "event_type",
+    bucket_col: str = "bucket_ts",
+    count_col: str = "n_events",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """X69 ONLINE burst monitor — the streaming face of
+    ``features.burst_detection``: per event type, maintain running
+    mean/variance of the windowed counts via Welford's algorithm (state =
+    THREE numbers per type, bounded forever) and flag each arriving window
+    whose count z-scores past the threshold against the statistics of all
+    PREVIOUS windows.  The batch twin scores against the full-corpus stats;
+    online scoring can only use the past — that asymmetry is inherent to
+    streaming and documented here rather than papered over.
+
+    Input is the windowed count stream (``groupBy(type, window).count()``
+    upstream); this operator adds the anomaly state machine.  First window
+    of a type never flags (no history).  100 TB/unbounded-stream shape:
+    state per key is O(1) — no window buffer, no count history."""
+
+    def score(
+        key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(bucket_col)
+            out = {k: [] for k in ("bucket_ts", "n_events", "z_score", "is_burst", "n_seen")}
+            for _, row in pdf.iterrows():
+                x = float(row[count_col])
+                if n >= 2:
+                    var = m2 / n
+                    std = var**0.5
+                    z = (x - mean) / std if std > 0 else None
+                else:
+                    z = None
+                out["bucket_ts"].append(row[bucket_col])
+                out["n_events"].append(int(x))
+                out["z_score"].append(z)
+                out["is_burst"].append(bool(z is not None and z >= z_threshold))
+                # Welford update AFTER scoring: the window never judges itself
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+                out["n_seen"].append(n)
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(out["n_events"]),
+                    "bucket_ts": out["bucket_ts"],
+                    "n_events": out["n_events"],
+                    "z_score": out["z_score"],
+                    "is_burst": out["is_burst"],
+                    "n_windows_seen": out["n_seen"],
+                }
+            )
+        state.update((n, mean, m2))
+
+    return counts.groupBy(type_col).applyInPandasWithState(
+        score,
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

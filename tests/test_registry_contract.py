@@ -50,8 +50,12 @@ ROWS_ONLY_ALLOWED = {
     "text_bpe_merges",
     "text_bpe_encode",
     # r5 window: the compression-ratio signal's deflate byte counts are
-    # zlib-build-dependent (monotonicity pytest-pinned instead).
+    # zlib-build-dependent (monotonicity pytest-pinned instead), and the
+    # online burst monitor's z-scores depend on arrival order by
+    # construction (each window judged against only its past; state
+    # machine pinned in pytest across drains).
     "text_compression_ratio",
+    "streaming_burst_monitor",
 }
 
 

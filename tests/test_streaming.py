@@ -580,3 +580,61 @@ def test_streaming_source_quota_admits_across_batches(spark, tmp_path):
         ("s0", 2, 3),            # fills the last seat; docs 3,4 dropped
         ("s1", 101, 2),
     ]
+
+
+def test_streaming_burst_monitor_welford_across_batches(spark, tmp_path):
+    """X69 online burst monitor: each window scores against only its PAST
+    (first two windows never flag — no variance yet), a spike after a
+    steady run flags, and the Welford state carries across drains so the
+    second drain's z uses the first drain's history."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.stateful import (
+        burst_monitor,
+    )
+
+    d = tmp_path / "burst"
+    d.mkdir()
+    schema = "event_type STRING, bucket_ts TIMESTAMP, n_events BIGINT"
+
+    def write(fn, rows):
+        with open(d / fn, "w") as f:
+            for h, n in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_type": "t",
+                            "bucket_ts": f"2024-01-01T{h:02d}:00:00",
+                            "n_events": n,
+                        }
+                    )
+                    + "\n"
+                )
+
+    ckpt = str(tmp_path / "ckpt_burst")
+
+    def drain():
+        stream = spark.readStream.schema(_parse_datatype_string(schema)).json(str(d))
+        out = burst_monitor(stream, z_threshold=2.0)
+        rows = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink).outputMode("append")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return rows
+
+    # steady run: 10,11,10,11 — slight jitter so std > 0
+    write("a.json", [(0, 10), (1, 11), (2, 10), (3, 11)])
+    first = {r.bucket_ts.hour: r for r in drain()}
+    assert not first[0].is_burst and first[0].z_score is None  # no history
+    assert not first[1].is_burst and first[1].z_score is None  # n<2 still
+    assert first[2].z_score is not None and not first[2].is_burst
+    assert [first[h].n_windows_seen for h in range(4)] == [1, 2, 3, 4]
+    # drain 2: a spike — judged against the carried-over steady history
+    write("b.json", [(4, 60)])
+    second = {r.bucket_ts.hour: r for r in drain()}
+    assert second[4].is_burst and second[4].z_score > 2.0
+    assert second[4].n_windows_seen == 5  # state carried across drains
