@@ -101,6 +101,8 @@ NEW_R5 = [
     "text_strip_html",
     "pack_efficiency_report",
     "streaming_burst_monitor",
+    "curation_quantile_map",
+    "curation_temporal_split",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

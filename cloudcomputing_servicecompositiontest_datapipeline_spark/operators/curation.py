@@ -608,3 +608,91 @@ def packing_report(
         ).alias("utilization"),
         "n_straddling",
     )
+
+
+def quantile_map(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    grid: int = 1000,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X70 quantile mapping (CDF matching): re-express each NEW score as
+    the REFERENCE-distribution value at the same percentile — the score
+    calibration that makes two scorers (or two corpus snapshots)
+    comparable when their raw scales drifted (quantile normalization;
+    standard in batch-effect correction and model-score recalibration).
+
+    mapped(x) = Q_ref(F_new(x)): percent_rank of x among the new scores
+    (ties share a rank), then linear interpolation into the reference's
+    exact quantile curve sampled at ``grid``+1 points.
+
+    100 TB shape: ONE global-sort window over the new scores (the honest
+    cost of an exact CDF — for a sharded variant rank within hash shards
+    like the packing operator), and the reference reduces to a
+    ``grid``+1-point curve in one aggregate, crossed in as a single-row
+    broadcast; the mapping itself is row-local array math."""
+    fracs = [i / grid for i in range(grid + 1)]
+    curve = ref_df.select(
+        F.percentile(F.col(value_col).cast("double"), F.lit(fracs)).alias("_q")
+    )
+    w = Window.orderBy(F.col("value").asc())
+    pr = F.percent_rank().over(w)
+    idx = pr * grid
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo
+    q_lo = F.element_at(F.col("_q"), lo + 1)
+    q_hi = F.element_at(F.col("_q"), F.least(lo + F.lit(2), F.lit(grid + 1)))
+    mapped = q_lo + frac * (q_hi - q_lo)
+    mult = float(10**round_scale)
+    return (
+        new_df.select(F.col(id_col), F.col(value_col).alias("value"))
+        .withColumn("_pr", F.floor(pr * mult + 0.5) / mult)
+        .crossJoin(F.broadcast(curve))
+        .select(
+            id_col,
+            "value",
+            F.col("_pr").alias("quantile"),
+            (F.floor(mapped * mult + 0.5) / mult).alias("mapped_value"),
+        )
+    )
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    *,
+    train_frac: float = 0.8,
+    embargo_seconds: float = 3600.0,
+) -> DataFrame:
+    """X71 temporal train/test split with an embargo gap: train = the
+    earliest ``train_frac`` of rows by timestamp, test = everything after
+    the cutoff PLUS an embargo period, in-between rows = 'embargo'
+    (dropped by the caller) — the leakage-safe split for time-dependent
+    data (a random split lets the model see the future; rows just after
+    the cutoff leak label horizon into test, which the embargo removes —
+    the purged/embargoed CV rule, public standard in financial ML).
+
+    Cutoff = the exact ``train_frac`` quantile of the epoch timestamp (one
+    tiny aggregate, broadcast back); membership is a row-local epoch
+    comparison.  No window, no shuffle beyond the quantile aggregate."""
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    cut = df.select(F.percentile(ep, F.lit(float(train_frac))).alias("_cut"))
+    return (
+        df.select(F.col(id_col), F.col(ts_col).cast("timestamp").alias("ts"))
+        .crossJoin(F.broadcast(cut))
+        .select(
+            id_col,
+            "ts",
+            F.when(F.col("ts").cast("double") <= F.col("_cut"), "train")
+            .when(
+                F.col("ts").cast("double") > F.col("_cut") + F.lit(float(embargo_seconds)),
+                "test",
+            )
+            .otherwise("embargo")
+            .alias("split"),
+        )
+    )

@@ -2495,3 +2495,63 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "n_chars", "doc_id", context_len=2048, n_shards=8
     )
     return cu.packing_report(packed, context_len=2048)
+
+
+@query(
+    "curation_quantile_map",
+    oracle="""
+    WITH newt AS (
+      SELECT event_id, cast(value AS double) AS value FROM events WHERE event_id % 2 = 1),
+    ref AS (SELECT cast(value AS double) AS v FROM events WHERE event_id % 2 = 0),
+    curve AS (
+      SELECT quantile_cont(v, list_transform(range(0, 1001), i -> i / 1000.0)) AS q
+      FROM ref),
+    pr AS (
+      SELECT event_id, value, percent_rank() OVER (ORDER BY value) AS p FROM newt)
+    SELECT event_id, value,
+           floor(p * 1000000 + 0.5) / 1000000 AS quantile,
+           floor((q[cast(floor(p * 1000) AS int) + 1]
+                  + (p * 1000 - floor(p * 1000))
+                    * (q[least(cast(floor(p * 1000) AS int) + 2, 1001)]
+                       - q[cast(floor(p * 1000) AS int) + 1]))
+                 * 1000000 + 0.5) / 1000000 AS mapped_value
+    FROM pr, curve
+    """,
+)
+def curation_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 quantile mapping (CDF matching): calibrate the odd-id events'
+    value distribution onto the even-id reference — mapped(x) =
+    Q_ref(F_new(x)) via a 1001-point exact reference curve (one aggregate,
+    single-row broadcast) and row-local interpolation."""
+    from ..operators import curation as cu
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    return cu.quantile_map(new, ref, "value", "event_id", grid=1000)
+
+
+@query(
+    "curation_temporal_split",
+    oracle="""
+    WITH cut AS (SELECT quantile_cont(epoch(ts), 0.8) AS c FROM events)
+    SELECT event_id, ts,
+           CASE WHEN epoch(ts) <= c THEN 'train'
+                WHEN epoch(ts) > c + 86400.0 THEN 'test'
+                ELSE 'embargo' END AS split
+    FROM events, cut
+    """,
+)
+def curation_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 temporal split with a 1-day embargo: train <= the 0.8 timestamp
+    quantile, test after cutoff+embargo, the gap rows flagged 'embargo' —
+    the purged time-series split.  One quantile aggregate broadcast back;
+    membership is row-local."""
+    from ..operators import curation as cu
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return cu.temporal_split_embargo(
+        ev, "ts", "event_id", train_frac=0.8, embargo_seconds=86400.0
+    )

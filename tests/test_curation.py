@@ -786,3 +786,41 @@ def test_packing_report_hand_case(spark):
     assert (r.shard, r.n_docs, r.total_tokens, r.n_packs) == (0, 3, 17, 2)
     assert abs(r.utilization - 0.85) < 1e-9
     assert r.n_straddling == 1  # doc2 (6+6>10); doc3 fits (2+5<=10)
+
+
+def test_quantile_map_calibrates_shifted_distribution(spark):
+    """A new distribution that is the reference shifted by +100 must map
+    back onto the reference's value range: the mapped median equals the
+    reference median, and mapping is monotone in the input."""
+    ref = spark.createDataFrame([(i, float(i)) for i in range(101)], "id LONG, v DOUBLE")
+    new = spark.createDataFrame(
+        [(1000 + i, float(i) + 100.0) for i in range(101)], "id LONG, v DOUBLE"
+    )
+    out = sorted(
+        cu.quantile_map(new, ref, "v", "id", grid=100).collect(),
+        key=lambda r: r.value,
+    )
+    # shifted input maps back to the reference scale 0..100
+    assert abs(out[0].mapped_value - 0.0) < 1e-6
+    assert abs(out[-1].mapped_value - 100.0) < 1e-6
+    mid = [r for r in out if r.value == 150.0][0]
+    assert abs(mid.mapped_value - 50.0) < 1e-6
+    for a, b in zip(out, out[1:]):
+        assert a.mapped_value <= b.mapped_value + 1e-9  # monotone
+
+
+def test_temporal_split_embargo_partitions(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP")
+    out = {r.event_id: r.split for r in cu.temporal_split_embargo(
+        df, "ts", "event_id", train_frac=0.8, embargo_seconds=5 * 3600.0
+    ).collect()}
+    # cutoff at the 0.8 quantile of 0..99 hours ~= hour 79.2
+    assert out[79] == "train" and out[0] == "train"
+    assert all(out[i] == "embargo" for i in range(80, 85))  # the purge gap
+    assert all(out[i] == "test" for i in range(86, 100))
+    # every row is assigned; nothing silently dropped
+    assert len(out) == 100

@@ -367,3 +367,64 @@ def test_hof_explodes_do_not_regrow_inferred_filters(spark):
             and "transform(" in ln
         ]
         assert not bad, f"{name}: inferred filter re-embeds the HOF array:\n" + "\n".join(bad[:2])
+
+
+def test_importance_weights_broadcasts_distributions(spark):
+    """X58: the 1024-bucket distribution table must come back as a
+    BroadcastHashJoin onto the exploded features (a shuffle join there
+    would re-shuffle the corpus-sized feature stream), with no
+    BroadcastNestedLoopJoin anywhere."""
+    plan = _plan(spark, "curation_importance_weights")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys
+    assert "BroadcastNestedLoopJoin" not in phys and "CartesianProduct" not in phys
+
+
+def test_burst_zscore_generates_axis_no_bnlj(spark):
+    """X63: densification must be a generated per-type sequence, never a
+    BroadcastNestedLoopJoin of an axis table (the r5 plan-audit flag that
+    prompted the rewrite)."""
+    plan = _plan(spark, "events_burst_zscore")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in phys and "CartesianProduct" not in phys
+    assert "Generate explode" in phys or "Generate" in phys
+
+
+def test_bootstrap_ci_explodes_mapside_no_join_for_replicates(spark):
+    """X66: replicate membership is generated map-side (explode), and the
+    only joins are the tiny band/point merges — no replicate join, no
+    BNLJ."""
+    plan = _plan(spark, "events_bootstrap_ci")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Generate" in phys
+    assert "BroadcastNestedLoopJoin" not in phys and "CartesianProduct" not in phys
+
+
+def test_strip_html_is_single_codegen_scan(spark):
+    """X67: the whole strip chain is one row-local projection — no joins,
+    no aggregate, the only Exchange is ensure_parallelism's repartition."""
+    plan = _plan(spark, "text_strip_html")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in phys and "Aggregate" not in phys
+    assert phys.count("Exchange") <= 2  # repartition (+AQE shuffle read)
+
+
+def test_stratified_split_single_stratum_shuffle(spark):
+    """X59: exactness costs ONE shuffle on the stratum + in-partition sort;
+    a second data shuffle would mean the window was re-partitioned."""
+    plan = _plan(spark, "split_stratified")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Window" in phys
+    # one Exchange for the stratum hashpartitioning (+ ensure_parallelism)
+    assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_dup_rate_join_not_broadcast(spark):
+    """X64: the cluster table is corpus-sized — the annotate-back join must
+    NOT be planned as a broadcast of the aggregate side at scale (here the
+    tiny fixture may still broadcast under AQE, so assert the shape rule on
+    the pre-AQE plan: no BNLJ/cartesian, join keyed on content_hash)."""
+    plan = _plan(spark, "dedup_dup_rate_by_source")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in phys and "CartesianProduct" not in phys
+    assert "content_hash" in phys
