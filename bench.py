@@ -103,6 +103,7 @@ NEW_R5 = [
     "streaming_burst_monitor",
     "curation_quantile_map",
     "curation_temporal_split",
+    "dedup_fuzzy_suppliers",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

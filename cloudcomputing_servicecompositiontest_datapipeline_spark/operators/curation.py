@@ -631,32 +631,31 @@ def quantile_map(
 
     100 TB shape: ONE global-sort window over the new scores (the honest
     cost of an exact CDF — for a sharded variant rank within hash shards
-    like the packing operator), and the reference reduces to a
-    ``grid``+1-point curve in one aggregate, crossed in as a single-row
-    broadcast; the mapping itself is row-local array math."""
+    like the packing operator); the reference reduces to a ``grid``+1-point
+    curve in one aggregate whose values are BAKED into the plan as one
+    literal array (the bounded-collect pattern — grid+1 doubles to the
+    driver, shipped in a single ``F.lit(list)`` call, so there is no join
+    at all, not even the single-row BroadcastNestedLoopJoin the audit
+    flags); the mapping itself is row-local array math."""
     fracs = [i / grid for i in range(grid + 1)]
-    curve = ref_df.select(
+    curve_vals = ref_df.select(
         F.percentile(F.col(value_col).cast("double"), F.lit(fracs)).alias("_q")
-    )
+    ).first()["_q"]
+    q = F.lit([float(x) for x in curve_vals])
     w = Window.orderBy(F.col("value").asc())
     pr = F.percent_rank().over(w)
     idx = pr * grid
     lo = F.floor(idx).cast("int")
     frac = idx - lo
-    q_lo = F.element_at(F.col("_q"), lo + 1)
-    q_hi = F.element_at(F.col("_q"), F.least(lo + F.lit(2), F.lit(grid + 1)))
+    q_lo = F.element_at(q, lo + 1)
+    q_hi = F.element_at(q, F.least(lo + F.lit(2), F.lit(grid + 1)))
     mapped = q_lo + frac * (q_hi - q_lo)
     mult = float(10**round_scale)
-    return (
-        new_df.select(F.col(id_col), F.col(value_col).alias("value"))
-        .withColumn("_pr", F.floor(pr * mult + 0.5) / mult)
-        .crossJoin(F.broadcast(curve))
-        .select(
-            id_col,
-            "value",
-            F.col("_pr").alias("quantile"),
-            (F.floor(mapped * mult + 0.5) / mult).alias("mapped_value"),
-        )
+    return new_df.select(F.col(id_col), F.col(value_col).alias("value")).select(
+        id_col,
+        "value",
+        (F.floor(pr * mult + 0.5) / mult).alias("quantile"),
+        (F.floor(mapped * mult + 0.5) / mult).alias("mapped_value"),
     )
 
 
@@ -676,23 +675,23 @@ def temporal_split_embargo(
     the cutoff leak label horizon into test, which the embargo removes —
     the purged/embargoed CV rule, public standard in financial ML).
 
-    Cutoff = the exact ``train_frac`` quantile of the epoch timestamp (one
-    tiny aggregate, broadcast back); membership is a row-local epoch
-    comparison.  No window, no shuffle beyond the quantile aggregate."""
+    Cutoff = the exact ``train_frac`` quantile of the epoch timestamp — ONE
+    double to the driver, baked as a plan literal (the bounded-collect
+    pattern; no join, not even a single-row BNLJ); membership is a
+    row-local epoch comparison.  No window, no shuffle beyond the quantile
+    aggregate."""
     ep = F.col(ts_col).cast("timestamp").cast("double")
-    cut = df.select(F.percentile(ep, F.lit(float(train_frac))).alias("_cut"))
-    return (
-        df.select(F.col(id_col), F.col(ts_col).cast("timestamp").alias("ts"))
-        .crossJoin(F.broadcast(cut))
-        .select(
-            id_col,
-            "ts",
-            F.when(F.col("ts").cast("double") <= F.col("_cut"), "train")
-            .when(
-                F.col("ts").cast("double") > F.col("_cut") + F.lit(float(embargo_seconds)),
-                "test",
-            )
-            .otherwise("embargo")
-            .alias("split"),
+    row = df.select(F.percentile(ep, F.lit(float(train_frac))).alias("_cut")).first()
+    cut = 0.0 if row["_cut"] is None else float(row["_cut"])
+    return df.select(
+        F.col(id_col), F.col(ts_col).cast("timestamp").alias("ts")
+    ).select(
+        id_col,
+        "ts",
+        F.when(F.col("ts").cast("double") <= F.lit(cut), "train")
+        .when(
+            F.col("ts").cast("double") > F.lit(cut + float(embargo_seconds)), "test"
         )
+        .otherwise("embargo")
+        .alias("split"),
     )

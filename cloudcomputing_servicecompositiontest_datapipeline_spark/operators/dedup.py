@@ -12,7 +12,7 @@ O(docs²); only candidate pairs within a bucket are verified exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.star import ensure_parallelism
@@ -657,5 +657,53 @@ def dup_rate_by_group(
             (F.floor(F.col("n_dropped").cast("double") / F.col("n_docs") * mult + 0.5) / mult).alias(
                 "dup_rate"
             ),
+        )
+    )
+
+
+def fuzzy_pairs_by_block(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_col: str,
+    *,
+    max_distance: int = 2,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """X72 fuzzy entity matching: candidate duplicate ENTITIES (names that
+    differ by typos/reformatting, not texts) — the record-linkage step of
+    master-data dedup.  Classic blocked edit-distance join: self-join only
+    WITHIN a blocking key (nation, zip, name-length bucket...), keep pairs
+    with Levenshtein distance <= ``max_distance``.
+
+    100 TB shape: the block key is what makes this scale — per-block
+    quadratic, like every similarity join here (LSH bands, winnow buckets,
+    k-means blocks).  Oversized blocks (a degenerate key collapsing a
+    fraction of the corpus) are DROPPED under the same ``max_block_size``
+    skew-cap discipline as the LSH band join, and their members are
+    exactly the rows a coarser pass (exact dedup) already covers.
+    Levenshtein is a built-in on both engines (unit-cost edit distance),
+    so the operator is oracle-checkable."""
+    sized = df.select(
+        F.col(id_col), F.col(name_col).alias("_nm"), F.col(block_col).alias("_blk")
+    ).withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("_blk"))
+    ).filter(F.col("_bn") <= max_block_size)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("_nm").alias("_na"), "_blk"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("_nm").alias("_nb"), "_blk"
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein(F.col("_na"), F.col("_nb")))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_blk").alias("block"),
+            F.col("distance").cast("int").alias("distance"),
         )
     )

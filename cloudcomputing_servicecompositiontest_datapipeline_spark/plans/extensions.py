@@ -2555,3 +2555,31 @@ def curation_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.temporal_split_embargo(
         ev, "ts", "event_id", train_frac=0.8, embargo_seconds=86400.0
     )
+
+
+@query(
+    "dedup_fuzzy_suppliers",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey, s_name, s_nationkey,
+             count(*) OVER (PARTITION BY s_nationkey) AS bn
+      FROM supplier),
+    kept AS (SELECT * FROM s WHERE bn <= 1000)
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           a.s_nationkey AS block,
+           cast(levenshtein(a.s_name, b.s_name) AS int) AS distance
+    FROM kept a JOIN kept b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def dedup_fuzzy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 fuzzy entity matching: supplier-name candidate duplicates via a
+    nation-blocked Levenshtein<=2 self-join (record linkage / master-data
+    dedup).  Per-block quadratic with the LSH-style skew cap; levenshtein
+    is a built-in on both engines."""
+    apply_runtime_conf(spark)
+    sup = star.table(spark, sf_dir, "supplier")
+    return dd.fuzzy_pairs_by_block(
+        sup, "s_name", "s_suppkey", "s_nationkey", max_distance=2
+    )

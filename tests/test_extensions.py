@@ -1410,3 +1410,31 @@ def test_strip_html_semantics_and_duckdb_regex_parity(spark):
         '\s+', ' ', 'g'))"""
     duck = dict(con.execute(f"SELECT doc_id, {expr} FROM t").fetchall())
     assert duck == {i: r.clean_text for i, r in got.items()}
+
+
+def test_fuzzy_pairs_by_block_semantics(spark):
+    """Typo-distance pairs found within a block only; oversized blocks are
+    dropped under the skew cap; distance respects the threshold."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import dedup as dd
+
+    rows = [
+        (1, "Acme Corp", "us"),
+        (2, "Acme C0rp", "us"),    # distance 1
+        (3, "Acme Corporation", "us"),  # distance 6 -> excluded
+        (4, "Acme Corp", "de"),    # same name, different block -> no pair
+        (5, "Beta LLC", "de"),
+        (6, "Beta LC", "de"),      # distance 1
+    ]
+    df = spark.createDataFrame(rows, "id LONG, name STRING, country STRING")
+    got = {(r.id_a, r.id_b): r for r in dd.fuzzy_pairs_by_block(
+        df, "name", "id", "country", max_distance=2
+    ).collect()}
+    assert set(got) == {(1, 2), (5, 6)}
+    assert got[(1, 2)].distance == 1 and got[(1, 2)].block == "us"
+    # skew cap: a degenerate block larger than the cap produces no pairs
+    big = spark.createDataFrame(
+        [(i, f"Name{i}", "blk") for i in range(30)], "id LONG, name STRING, country STRING"
+    )
+    assert dd.fuzzy_pairs_by_block(
+        big, "name", "id", "country", max_distance=9, max_block_size=10
+    ).count() == 0
