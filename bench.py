@@ -104,6 +104,7 @@ NEW_R5 = [
     "curation_quantile_map",
     "curation_temporal_split",
     "dedup_fuzzy_suppliers",
+    "report_regression_mape",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

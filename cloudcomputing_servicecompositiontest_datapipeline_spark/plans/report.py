@@ -644,3 +644,100 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantile_est", "p95_est"
     )
     return both.select("event_type", "p50_est", "p95_est").orderBy("event_type")
+
+
+@query(
+    "report_regression_mape",
+    oracle="""
+    WITH tr AS (
+      SELECT l_returnflag,
+             cast(l_quantity AS decimal(19,4)) AS x,
+             cast(l_extendedprice AS decimal(19,4)) AS y
+      FROM lineitem WHERE l_linenumber % 2 = 0),
+    s AS (
+      SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM tr GROUP BY 1),
+    m AS (
+      SELECT l_returnflag,
+             (cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
+               / (cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double)) AS slope,
+             (cast(sxx AS double) * cast(sy AS double) - cast(sx AS double) * cast(sxy AS double))
+               / (cast(n AS double) * cast(sxx AS double) - cast(sx AS double) * cast(sx AS double)) AS intercept
+      FROM s),
+    te AS (
+      SELECT l.l_returnflag,
+             abs((m.slope * cast(l.l_quantity AS double) + m.intercept)
+                 - cast(l.l_extendedprice AS double))
+               / cast(l.l_extendedprice AS double) AS ape
+      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      WHERE l.l_linenumber % 2 = 1 AND l.l_extendedprice > 0)
+    SELECT l_returnflag, cast(count(*) AS bigint) AS n_test,
+           floor(cast(sum(cast(ape AS decimal(28,12))) AS double) / count(*)
+                 * 1000000 + 0.5) / 1000000 AS mape
+    FROM te GROUP BY 1
+    """,
+)
+def report_regression_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 prediction-quality eval, the reference's headline research claim
+    re-expressed (research.md:19: CPU-TA + regression predicts runtime at
+    ~3.49% MAPE): fit per-group OLS on a held-out TRAIN half (even line
+    numbers), score MAPE on the TEST half — the fit/eval split the
+    reference's performance-modeling pipeline runs.
+
+    Scale shape: one exact-decimal moment aggregate over train (|groups|
+    rows, broadcast back), a row-local prediction on test, one MAPE
+    aggregate — two shuffles total, both partial-agg; APE terms are
+    engine-identical doubles decimal-accumulated (psi pattern)."""
+    apply_runtime_conf(spark)
+    li = star.table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    tr = li.filter(F.col("l_linenumber") % 2 == 0)
+    s = tr.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    den = n * sxx - sx * sx
+    m = s.select(
+        "l_returnflag",
+        ((n * sxy - sx * sy) / den).alias("_slope"),
+        ((sxx * sy - sx * sxy) / den).alias("_intercept"),
+    )
+    te = (
+        li.filter((F.col("l_linenumber") % 2 == 1) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(m), "l_returnflag")
+        .select(
+            "l_returnflag",
+            (
+                F.abs(
+                    (
+                        F.col("_slope") * F.col("l_quantity").cast("double")
+                        + F.col("_intercept")
+                    )
+                    - F.col("l_extendedprice").cast("double")
+                )
+                / F.col("l_extendedprice").cast("double")
+            ).alias("_ape"),
+        )
+    )
+    return te.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (
+            F.floor(
+                F.sum(F.col("_ape").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("mape"),
+    )
