@@ -105,6 +105,7 @@ NEW_R5 = [
     "curation_temporal_split",
     "dedup_fuzzy_suppliers",
     "report_regression_mape",
+    "sample_weighted_per_group",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

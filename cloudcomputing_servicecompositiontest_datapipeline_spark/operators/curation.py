@@ -695,3 +695,53 @@ def temporal_split_embargo(
         .otherwise("embargo")
         .alias("split"),
     )
+
+
+def weighted_per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    salt: str = "ws0",
+    round_scale: int = 9,
+) -> DataFrame:
+    """X74 exact k-per-group WEIGHTED sample without replacement —
+    Efraimidis & Spirakis (2006, public): rank each row by key
+    ``u^(1/w)`` (equivalently ``ln(u)/w``, compared descending) for a
+    uniform draw ``u`` and weight ``w``, keep the top ``k`` per group;
+    inclusion probability is proportional to weight, exactly the
+    one-pass distributed weighted reservoir.
+
+    Deterministic: ``u`` derives from md5(salt‖id) (pure function — new
+    salt re-deals) and the sort key is floor-rounded to a 1e-``round_scale``
+    grid BEFORE ranking with an id tiebreak — a 1-ulp libm divergence in
+    ``ln`` can only flip a rank at a grid boundary (the decayed_activity
+    discipline), so the sample is reproducible across engines and
+    partitionings.  Rows with NULL or non-positive weight are excluded
+    (they have no inclusion probability).  Same WindowGroupLimit shape as
+    the uniform sampler: map tasks pre-prune to local top-k per group."""
+    mult = float(10**round_scale)
+    w_val = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float((1 << 24) + 1)
+    key = F.floor(F.log(u) / w_val * mult + 0.5) / mult
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w_val.isNotNull() & (w_val > 0))
+        .withColumn("_key", key)
+        .withColumn("weight_rank", F.row_number().over(win))
+        .filter(F.col("weight_rank") <= k)
+        .drop("_key")
+    )

@@ -2583,3 +2583,37 @@ def dedup_fuzzy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.fuzzy_pairs_by_block(
         sup, "s_name", "s_suppkey", "s_nationkey", max_distance=2
     )
+
+
+@query(
+    "sample_weighted_per_group",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             floor(ln((cast(('0x' || substr(md5('ws0:' || cast(doc_id AS varchar)), 1, 6))
+                            AS bigint) + 1.0) / 16777217.0)
+                   / cast(n_chars AS double) * 1000000000 + 0.5) / 1000000000 AS key
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS weight_rank
+      FROM keyed)
+    SELECT doc_id, lang, cast(n_chars AS bigint) AS n_chars, cast(weight_rank AS int) AS weight_rank
+    FROM ranked WHERE weight_rank <= 5
+    """,
+)
+def sample_weighted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 weighted k-per-group sample (Efraimidis-Spirakis): 5 docs per
+    language with inclusion probability proportional to length — the
+    distributed one-pass weighted reservoir, grid-rounded keys for
+    libm-proof cross-engine ranking; WindowGroupLimit map-side pruning."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    out = cu.weighted_per_group_sample(docs, "lang", "doc_id", "n_chars", k=5)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("weight_rank").cast("int").alias("weight_rank"),
+    )

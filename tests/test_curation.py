@@ -824,3 +824,32 @@ def test_temporal_split_embargo_partitions(spark):
     assert all(out[i] == "test" for i in range(86, 100))
     # every row is assigned; nothing silently dropped
     assert len(out) == 100
+
+
+def test_weighted_per_group_sample_semantics(spark):
+    """Exactly k per group, heavy items (almost) always selected, NULL and
+    non-positive weights excluded, partition-count independent, and the
+    rank<=k shape keeps WindowGroupLimit map-side pruning."""
+    rows = (
+        [(1, "g", 100000), (2, "g", 100000)]                 # two heavyweights
+        + [(10 + i, "g", 1) for i in range(50)]               # light tail
+        + [(100, "g", None), (101, "g", 0), (102, "g", -5)]  # excluded
+        + [(200, "h", 7)]                                     # small group
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_chars LONG")
+    out = cu.weighted_per_group_sample(df, "lang", "doc_id", "n_chars", k=5)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.lang, []).append(r)
+    assert len(per["g"]) == 5 and len(per["h"]) == 1
+    g_ids = {r.doc_id for r in per["g"]}
+    assert {1, 2} <= g_ids                      # weights dominate
+    assert not {100, 101, 102} & g_ids          # invalid weights out
+    assert sorted(r.weight_rank for r in per["g"]) == [1, 2, 3, 4, 5]
+    again = cu.weighted_per_group_sample(
+        df.repartition(7), "lang", "doc_id", "n_chars", k=5
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
