@@ -106,6 +106,8 @@ NEW_R5 = [
     "dedup_fuzzy_suppliers",
     "report_regression_mape",
     "sample_weighted_per_group",
+    "text_vocabulary_overlap",
+    "events_transition_matrix",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -437,4 +437,54 @@ def bootstrap_ci(
     )
     return point.join(band, "group", "left").select(
         "group", "mean", "ci_lo", "ci_hi", F.coalesce("n_replicates", F.lit(0)).alias("n_replicates")
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    round_scale: int = 6,
+) -> DataFrame:
+    """X76 event transition matrix (first-order Markov estimate): per-user
+    chronological event streams reduced to (from_type -> to_type)
+    transition counts and row-normalized probabilities — the behavioral
+    fingerprint behind funnel design, next-action models, and bot
+    detection (bots have degenerate transition rows).
+
+    100 TB shape: ONE window shuffle keyed by the user (lead over the
+    per-user ordered stream — state per task is one user's events), then a
+    |types|² aggregate; probabilities from exact integer counts against
+    broadcast row totals.  Ordering ties break on the event id (total
+    order, engine-deterministic)."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("_row_n")
+    )
+    mult = float(10**round_scale)
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.floor(F.col("n_transitions").cast("double") / F.col("_row_n") * mult + 0.5)
+            / mult
+        ).alias("probability"),
     )

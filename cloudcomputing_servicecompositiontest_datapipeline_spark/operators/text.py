@@ -1255,3 +1255,69 @@ def strip_html(
         F.length(s).alias("n_clean_chars"),
         (~s.eqNullSafe(raw)).alias("had_markup"),
     )
+
+
+def vocabulary_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X75 cross-source vocabulary overlap: pairwise Jaccard of the
+    distinct-word vocabularies of every group pair — the redundancy matrix
+    a mixture designer reads next to the per-source datasheet ("are these
+    two crawls the same corpus wearing different names?").
+
+    100 TB shape: ONE (group, word) distinct aggregate (map-side partial
+    distinct), then a self-join keyed on the WORD — the inverted-index
+    form: the join carries each word's (tiny) group list, never documents,
+    and the pair aggregate reduces to |groups|² rows.  Jaccard from exact
+    integer counts."""
+    from .dedup import normalized_text
+
+    words = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("_w"),
+        )
+        .filter(F.length("_w") > 0)
+        .distinct()
+    )
+    sizes = words.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    a = words.select(F.col("_g").alias("group_a"), "_w")
+    b = words.select(F.col("_g").alias("group_b"), "_w")
+    inter = (
+        a.join(b, "_w")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    mult = float(10**round_scale)
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_g").alias("group_a"), F.col("_n").alias("_na"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_g").alias("group_b"), F.col("_n").alias("_nb"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            F.col("_na").cast("long").alias("n_vocab_a"),
+            F.col("_nb").cast("long").alias("n_vocab_b"),
+            (
+                F.floor(
+                    F.col("n_shared").cast("double")
+                    / (F.col("_na") + F.col("_nb") - F.col("n_shared"))
+                    * mult
+                    + 0.5
+                )
+                / mult
+            ).alias("jaccard"),
+        )
+    )

@@ -2617,3 +2617,62 @@ def sample_weighted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("weight_rank").cast("int").alias("weight_rank"),
     )
+
+
+@query(
+    "text_vocabulary_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT source AS g, w FROM (
+        SELECT source, unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+      WHERE length(w) > 0),
+    sizes AS (SELECT g, count(*) AS n FROM w GROUP BY 1),
+    inter AS (
+      SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_shared
+      FROM w a JOIN w b ON a.w = b.w AND a.g < b.g
+      GROUP BY 1, 2)
+    SELECT group_a, group_b, cast(n_shared AS bigint) AS n_shared,
+           cast(sa.n AS bigint) AS n_vocab_a, cast(sb.n AS bigint) AS n_vocab_b,
+           floor(cast(n_shared AS double) / (sa.n + sb.n - n_shared) * 1000000 + 0.5)
+             / 1000000 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = inter.group_a
+    JOIN sizes sb ON sb.g = inter.group_b
+    """,
+)
+def text_vocabulary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 cross-source vocabulary redundancy matrix: pairwise Jaccard of
+    per-source distinct-word vocabularies via the inverted-index self-join
+    (keyed on the WORD — carries group lists, never documents)."""
+    docs = _docs(spark, sf_dir)
+    return tx.vocabulary_overlap(docs, "text", "source")
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (
+      SELECT from_type, sum(n_transitions) AS row_n FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, cast(n_transitions AS bigint) AS n_transitions,
+           floor(cast(n_transitions AS double) / row_n * 1000000 + 0.5) / 1000000
+             AS probability
+    FROM pairs p JOIN totals USING (from_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 first-order Markov transition matrix over per-user event
+    streams: one user-keyed window shuffle (lead), a |types|^2 aggregate,
+    probabilities from exact integer counts."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.transition_matrix(ev)

@@ -1438,3 +1438,45 @@ def test_fuzzy_pairs_by_block_semantics(spark):
     assert dd.fuzzy_pairs_by_block(
         big, "name", "id", "country", max_distance=9, max_block_size=10
     ).count() == 0
+
+
+def test_vocabulary_overlap_hand_case(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    rows = [
+        (1, "a b c", "s1"),
+        (2, "b c d", "s2"),     # s1 ∩ s2 = {b,c}; union = {a,b,c,d}
+        (3, "x y", "s3"),       # disjoint from both -> no pair rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = {(r.group_a, r.group_b): r for r in tx.vocabulary_overlap(df, "text", "source").collect()}
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert (r.n_shared, r.n_vocab_a, r.n_vocab_b) == (2, 3, 3)
+    assert abs(r.jaccard - 0.5) < 1e-6
+
+
+def test_transition_matrix_rows_normalize(spark):
+    import datetime as dt
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: a -> b -> a -> b ; user 2: a -> c
+    seq = [(1, "a"), (1, "b"), (1, "a"), (1, "b"), (2, "a"), (2, "c")]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), u, t) for i, (u, t) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+    got = {(r.from_type, r.to_type): r for r in ft.transition_matrix(df).collect()}
+    # from 'a': 2x a->b (user1), 1x a->c (user2)
+    assert got[("a", "b")].n_transitions == 2 and got[("a", "c")].n_transitions == 1
+    assert abs(got[("a", "b")].probability - 2 / 3) < 1e-6
+    # no cross-user transition: user1's last b never points at user2's a
+    assert ("b", "a") in got and got[("b", "a")].n_transitions == 1  # within user1 only
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _t), r in got.items():
+        sums[f] += r.probability
+    for f, s in sums.items():
+        assert abs(s - 1.0) < 1e-5
