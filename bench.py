@@ -108,6 +108,8 @@ NEW_R5 = [
     "sample_weighted_per_group",
     "text_vocabulary_overlap",
     "events_transition_matrix",
+    "events_survival_curve",
+    "events_ab_test",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -488,3 +488,153 @@ def transition_matrix(
             / mult
         ).alias("probability"),
     )
+
+
+def survival_curve(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_hours: float = 24.0,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X77 Kaplan-Meier retention/survival estimate (public standard) over
+    user lifetimes: lifetime = hours between a user's first and last event;
+    a user is CHURNED (an observed "death") if their last event is more
+    than ``horizon_hours`` before the corpus end, else right-CENSORED
+    (still alive when observation stopped) — the estimator that handles
+    censoring correctly where a naive "avg lifetime" is biased low.
+
+    S(t) = Π_{t_i <= t} (1 − d_i/n_i) over observed churn times t_i with
+    d_i churns and n_i at-risk (lifetime >= t_i).
+
+    100 TB shape: ONE per-user aggregate (first/last), then everything
+    operates on the |users|-reduced table: churn-time counts reduce to
+    |distinct lifetimes| rows and the cumulative product runs as a window
+    over THAT tiny table (log-domain: decimal-accumulated Σln terms, one
+    exp + round per output row — the per-term lns are engine-identical
+    doubles and the sum is order-insensitive, the psi discipline)."""
+    mult = float(10**round_scale)
+    ev = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    per_user = ev.groupBy(F.col(user_col)).agg(
+        F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last")
+    )
+    # corpus end as an EPOCH DOUBLE computed engine-side (collecting a
+    # datetime and calling .timestamp() would re-interpret it in the local
+    # machine tz — a hostile-session divergence)
+    end_row = ev.agg(F.max(F.col(ts_col)).cast("double").alias("_end")).first()
+    end_epoch = float(end_row["_end"] or 0.0)
+    life = (
+        F.col("_last").cast("double") - F.col("_first").cast("double")
+    ) / 3600.0
+    churned = (
+        F.lit(end_epoch) - F.col("_last").cast("double")
+    ) / 3600.0 > F.lit(float(horizon_hours))
+    users = per_user.select(
+        (F.floor(life * mult + 0.5) / mult).alias("lifetime_h"),
+        churned.alias("_churned"),
+    )
+    n_total_row = users.agg(F.count(F.lit(1)).alias("n")).first()
+    n_total = int(n_total_row["n"] or 0)
+    deaths = (
+        users.filter(F.col("_churned"))
+        .groupBy("lifetime_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # at-risk n_i = users with lifetime >= t_i: total minus those below —
+    # computed from the lifetime histogram of ALL users (tiny)
+    hist = users.groupBy("lifetime_h").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.col("lifetime_h").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    below = hist.select(
+        "lifetime_h", (F.sum("c").over(w) - F.col("c")).alias("_below")
+    )
+    curve = (
+        deaths.join(below, "lifetime_h")
+        .select(
+            "lifetime_h",
+            "d",
+            (F.lit(n_total) - F.col("_below")).cast("long").alias("n_at_risk"),
+        )
+        .withColumn(
+            "_ln",
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")).cast(
+                "decimal(28,12)"
+            ),
+        )
+    )
+    wcum = Window.orderBy(F.col("lifetime_h").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return curve.select(
+        "lifetime_h",
+        "d",
+        "n_at_risk",
+        (
+            F.floor(F.exp(F.sum("_ln").over(wcum).cast("double")) * mult + 0.5) / mult
+        ).alias("survival"),
+    )
+
+
+def ab_test_zscores(
+    events: DataFrame,
+    assign: F.Column,
+    *,
+    metric_col: str = "value",
+    group_col: str = "event_type",
+    round_scale: int = 6,
+) -> DataFrame:
+    """X78 two-sample z-test per group: mean difference between an A and a
+    B arm (``assign`` = boolean Column, True → B) scored as
+    z = (mean_B − mean_A) / sqrt(var_A/n_A + var_B/n_B) — the first-pass
+    significance read of any experiment dashboard (|z| >= 1.96 ≈ p<.05
+    two-sided under normality; the p-value itself needs erf, which neither
+    engine exposes as a builtin, so the statistic is the contract).
+
+    ONE partial-agg shuffle: per (group, arm) exact integer-free moment
+    sums — means/variances from sum and sum-of-squares of doubles
+    decimal-accumulated, so the statistic is engine-identical."""
+    mult = float(10**round_scale)
+    dec = "decimal(28,8)"
+    m = F.col(metric_col).cast("double")
+    s = (
+        events.filter(m.isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.sum(F.when(~assign, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(assign, 1).otherwise(0)).cast("long").alias("n_b"),
+            F.sum(F.when(~assign, m).otherwise(0.0).cast(dec)).alias("_sa"),
+            F.sum(F.when(assign, m).otherwise(0.0).cast(dec)).alias("_sb"),
+            F.sum(F.when(~assign, m * m).otherwise(0.0).cast(dec)).alias("_ssa"),
+            F.sum(F.when(assign, m * m).otherwise(0.0).cast(dec)).alias("_ssb"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("_sa").cast("double") / na
+    mb = F.col("_sb").cast("double") / nb
+    va = F.col("_ssa").cast("double") / na - ma * ma
+    vb = F.col("_ssb").cast("double") / nb - mb * mb
+    z = (mb - ma) / F.sqrt(va / na + vb / nb)
+
+    def r6(c):
+        return F.floor(c * mult + 0.5) / mult
+
+    return s.select(
+        "group",
+        "n_a",
+        "n_b",
+        r6(ma).alias("mean_a"),
+        r6(mb).alias("mean_b"),
+        F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (va + vb > 0), r6(z)).alias(
+            "z_score"
+        ),
+        F.coalesce(
+            F.when(
+                (F.col("n_a") > 1) & (F.col("n_b") > 1) & (va + vb > 0),
+                F.abs(z) >= 1.96,
+            ),
+            F.lit(False),
+        ).alias("significant"),
+    )

@@ -2676,3 +2676,95 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
     return ft.transition_matrix(ev)
+
+
+@query(
+    "events_survival_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(epoch(ts)) AS f, max(epoch(ts)) AS l
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+    e AS (SELECT max(epoch(ts)) AS endp
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    lu AS (
+      SELECT floor((l - f) / 3600.0 * 1000000 + 0.5) / 1000000 AS lifetime_h,
+             (endp - l) / 3600.0 > 24.0 AS churned
+      FROM u, e),
+    hist AS (SELECT lifetime_h, count(*) AS c FROM lu GROUP BY 1),
+    below AS (
+      SELECT lifetime_h,
+             sum(c) OVER (ORDER BY lifetime_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS b
+      FROM hist),
+    tot AS (SELECT count(*) AS n FROM lu),
+    deaths AS (SELECT lifetime_h, count(*) AS d FROM lu WHERE churned GROUP BY 1),
+    curve AS (
+      SELECT d.lifetime_h, d.d, (tot.n - below.b) AS n_at_risk,
+             cast(ln(1.0 - cast(d.d AS double) / (tot.n - below.b))
+                  AS decimal(28,12)) AS lnv
+      FROM deaths d JOIN below ON d.lifetime_h = below.lifetime_h, tot)
+    SELECT lifetime_h, cast(d AS bigint) AS d, cast(n_at_risk AS bigint) AS n_at_risk,
+           floor(exp(cast(sum(lnv) OVER (ORDER BY lifetime_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double))
+                 * 1000000 + 0.5) / 1000000 AS survival
+    FROM curve
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 Kaplan-Meier retention estimate over user lifetimes (24h churn
+    horizon, right-censored users excluded from deaths but kept at risk):
+    one per-user aggregate, then everything runs on the |users|-reduced
+    table; the cumulative product is a log-domain window over |distinct
+    lifetimes| rows."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.survival_curve(ev, horizon_hours=24.0)
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS g,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(cast(CASE WHEN user_id % 2 = 0 THEN cast(value AS double)
+                      ELSE 0.0 END AS DECIMAL(28,8))) AS sa,
+             sum(cast(CASE WHEN user_id % 2 = 1 THEN cast(value AS double)
+                      ELSE 0.0 END AS DECIMAL(28,8))) AS sb,
+             sum(cast(CASE WHEN user_id % 2 = 0
+                      THEN cast(value AS double) * cast(value AS double)
+                      ELSE 0.0 END AS DECIMAL(28,8))) AS ssa,
+             sum(cast(CASE WHEN user_id % 2 = 1
+                      THEN cast(value AS double) * cast(value AS double)
+                      ELSE 0.0 END AS DECIMAL(28,8))) AS ssb
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    m AS (
+      SELECT g, n_a, n_b,
+             cast(sa AS double) / n_a AS ma, cast(sb AS double) / n_b AS mb,
+             cast(ssa AS double) / n_a - (cast(sa AS double) / n_a) * (cast(sa AS double) / n_a) AS va,
+             cast(ssb AS double) / n_b - (cast(sb AS double) / n_b) * (cast(sb AS double) / n_b) AS vb
+      FROM s)
+    SELECT g AS "group", cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
+           floor(ma * 1000000 + 0.5) / 1000000 AS mean_a,
+           floor(mb * 1000000 + 0.5) / 1000000 AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND va + vb > 0
+                THEN floor((mb - ma) / sqrt(va / n_a + vb / n_b) * 1000000 + 0.5) / 1000000
+           END AS z_score,
+           coalesce(CASE WHEN n_a > 1 AND n_b > 1 AND va + vb > 0
+                         THEN abs((mb - ma) / sqrt(va / n_a + vb / n_b)) >= 1.96
+                    END, false) AS significant
+    FROM m
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 two-sample z-test per event type (arms = user_id parity): the
+    experiment-dashboard significance read — one partial-agg shuffle of
+    decimal-accumulated moments, engine-identical z statistics."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.ab_test_zscores(ev, F.col("user_id") % 2 == 1)

@@ -48,7 +48,7 @@ DRIVER_WINDOW: list[str] = [
     # r1-r4 union never checked (added after r4's 50 slots filled), then
     # the BPE family (encoder re-expressed as codegen'd string rewrites +
     # delimiter-strip normalization this round), then the 6 queries added
-    # in r5 (X58-X76), then a 23-slot refresh rotation of r1/r2-vintage
+    # in r5 (X58-X78), then a 21-slot refresh rotation of r1/r2-vintage
     # oracle rows (bench headliners, TPC-H spread, core report/tlq).
     "text_winnow_fingerprints",
     # --- never driver-checked until now
@@ -61,7 +61,7 @@ DRIVER_WINDOW: list[str] = [
     "text_bpe_merges",
     "text_bpe_encode",
     "text_bpe_encode_parity",
-    # --- r5 additions X58-X76
+    # --- r5 additions X58-X78
     "curation_importance_weights",
     "split_stratified",
     "curation_quality_quantile_norm",
@@ -81,16 +81,16 @@ DRIVER_WINDOW: list[str] = [
     "sample_weighted_per_group",
     "text_vocabulary_overlap",
     "events_transition_matrix",
+    "events_survival_curve",
+    "events_ab_test",
     # --- refresh rotation: oldest (r1/r2) driver rows re-verified
     "report_show_as_list",
     "report_multi_group",
     "report_full",
     "report_union_sentinel",
-    "report_tenancy_histogram",
     "overlap_selfjoin",
     "tenancy_annotate",
     "pipeline_cumulative",
-    "join_config_stamp",
     "join_asof_last_click",
     "window_lag_lead",
     "window_rank_topk",
@@ -114,6 +114,7 @@ DRIVER_WINDOW: list[str] = [
 # q13_order_distribution, q21_waiting_suppliers, q18_large_orders,
 # tlq_decode_priority, tlq_invalid_date, tlq_dedup_first_wins, tlq_typed_cast,
 # tlq_transform, report_group_avg, report_summary_cost,
+# report_tenancy_histogram, join_config_stamp,
 # q2/q6-q8/q10-q12/q14-q17/q19-q20/q22, scalar
 # families, percentile/pivot, inspector, asof/funnel/retention variants).
 

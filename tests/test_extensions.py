@@ -1480,3 +1480,46 @@ def test_transition_matrix_rows_normalize(spark):
         sums[f] += r.probability
     for f, s in sums.items():
         assert abs(s - 1.0) < 1e-5
+
+
+def test_survival_curve_textbook_case(spark):
+    """Hand-checked K-M: lifetimes 1h,2h,2h churned + one 3h censored user
+    -> S(1)=0.75, S(2)=0.25; censored user never counts as a death but
+    stays at risk."""
+    import datetime as dt
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    base = dt.datetime(2024, 1, 1)
+    end = base + dt.timedelta(days=10)
+    rows = []
+    # users 1..3 churn at lifetimes 1h, 2h, 2h (last event long before end)
+    for uid, life_h in ((1, 1), (2, 2), (3, 2)):
+        rows.append((len(rows), base, uid))
+        rows.append((len(rows), base + dt.timedelta(hours=life_h), uid))
+    # user 4: lifetime 3h but still active at corpus end (censored)
+    rows.append((len(rows), end - dt.timedelta(hours=3), 4))
+    rows.append((len(rows), end, 4))
+    df = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP, user_id LONG")
+    got = {r.lifetime_h: r for r in ft.survival_curve(df, horizon_hours=24.0).collect()}
+    assert set(got) == {1.0, 2.0}
+    assert got[1.0].d == 1 and got[1.0].n_at_risk == 4
+    assert abs(got[1.0].survival - 0.75) < 1e-6
+    assert got[2.0].d == 2 and got[2.0].n_at_risk == 3
+    assert abs(got[2.0].survival - 0.25) < 1e-6
+
+
+def test_ab_test_zscores_detects_shift(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+    from pyspark.sql import functions as F
+
+    rows = []
+    # 'shift': arm B mean is clearly higher; 'null': identical arms
+    for i in range(200):
+        rows.append((i, i, "shift", 10.0 + (5.0 if i % 2 == 1 else 0.0) + (i % 7) * 0.1))
+        rows.append((1000 + i, i, "null", 10.0 + (i % 7) * 0.1))
+    df = spark.createDataFrame(rows, "event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+    got = {r.group: r for r in ft.ab_test_zscores(df, F.col("user_id") % 2 == 1).collect()}
+    assert got["shift"].significant and got["shift"].z_score > 10
+    assert not got["null"].significant and abs(got["null"].z_score) < 1.0
+    assert got["shift"].n_a == 100 and got["shift"].n_b == 100
+    assert abs(got["shift"].mean_b - got["shift"].mean_a - 5.0) < 0.2
