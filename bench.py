@@ -110,6 +110,8 @@ NEW_R5 = [
     "events_transition_matrix",
     "events_survival_curve",
     "events_ab_test",
+    "events_cusum_shifts",
+    "dedup_winnow_containment",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -248,6 +248,47 @@ def funnel_conversion(
     return counts.select(F.explode(rows).alias("r")).select("r.*")
 
 
+def _dense_counts(
+    events: DataFrame, type_col: str, ts_col: str, bucket: str
+) -> DataFrame | None:
+    """Shared densification for the rate monitors (X63 burst, X79 CUSUM):
+    (event_type, bucket_ts, n_events) on a DENSE per-type time axis —
+    missing buckets are real zeros.  One (type, bucket) count aggregate
+    (reduce side |types|·|buckets|, never events); the axis is GENERATED
+    per type from two driver-collected timestamps (explode of a
+    literal-bounded sequence — no BroadcastNestedLoopJoin) and the count
+    join broadcasts (metadata-sized after the aggregate).  Returns None on
+    an empty/all-NULL input."""
+    t = F.date_trunc(bucket, F.col(ts_col))
+    counts = (
+        events.select(F.col(type_col).alias("event_type"), t.alias("bucket_ts"))
+        .groupBy("event_type", "bucket_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    bounds = events.agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("mn"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("mx"),
+    ).first()
+    if bounds["mn"] is None:
+        return None
+    axis = F.explode(
+        F.sequence(
+            F.lit(bounds["mn"]), F.lit(bounds["mx"]), F.expr(f"interval 1 {bucket}")
+        )
+    )
+    return (
+        counts.select("event_type")
+        .distinct()
+        .select("event_type", axis.alias("bucket_ts"))
+        .join(F.broadcast(counts), ["event_type", "bucket_ts"], "left")
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
 def burst_detection(
     events: DataFrame,
     *,
@@ -274,40 +315,15 @@ def burst_detection(
     sum/sum-of-squares formula (NOT the engines' stddev builtins, whose
     accumulation algorithms differ), so the doubles are engine-identical.
     A constant-rate type (std 0) yields NULL z and never flags."""
-    t = F.date_trunc(bucket, F.col(ts_col))
-    counts = (
-        events.select(F.col(type_col).alias("event_type"), t.alias("bucket_ts"))
-        .groupBy("event_type", "bucket_ts")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    )
-    bounds = events.agg(
-        F.date_trunc(bucket, F.min(ts_col)).alias("mn"),
-        F.date_trunc(bucket, F.max(ts_col)).alias("mx"),
-    ).first()
-    if bounds["mn"] is None:
-        return counts.select(
-            "event_type",
-            "bucket_ts",
-            "n_events",
+    dense = _dense_counts(events, type_col, ts_col, bucket)
+    if dense is None:
+        return events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            F.lit(0).cast("long").alias("n_events"),
             F.lit(None).cast("double").alias("z_score"),
             F.lit(False).alias("is_burst"),
         )
-    axis = F.explode(
-        F.sequence(
-            F.lit(bounds["mn"]), F.lit(bounds["mx"]), F.expr(f"interval 1 {bucket}")
-        )
-    )
-    dense = (
-        counts.select("event_type")
-        .distinct()
-        .select("event_type", axis.alias("bucket_ts"))
-        .join(F.broadcast(counts), ["event_type", "bucket_ts"], "left")
-        .select(
-            "event_type",
-            "bucket_ts",
-            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        )
-    )
     stats = dense.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("_nb"),
         F.sum("n_events").cast("long").alias("_s"),
@@ -637,4 +653,74 @@ def ab_test_zscores(
             ),
             F.lit(False),
         ).alias("significant"),
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    k_stds: float = 0.5,
+    h_stds: float = 4.0,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X79 CUSUM changepoint scores (Page 1954, public standard): per event
+    type, the one-sided cumulative-sum statistic over the dense bucketed
+    rate — S_t = max(0, S_{t-1} + (x_t − mean − k)), flagged when S_t
+    crosses ``h_stds``·std.  CUSUM accumulates small persistent shifts a
+    per-bucket z-score (X63) never sees — the level-shift detector next to
+    the spike detector.
+
+    The sequential recursion has the classic closed form
+    S_t = cum_t − min(0, min_{j<=t} cum_j) with cum the running sum of
+    drifts — TWO stacked windows per type (running sum, then running min),
+    no iterative loop.  Window frames accumulate in bucket order on both
+    engines, so the running doubles are engine-identical.
+
+    100 TB shape: everything after the one (type, bucket) count aggregate
+    operates on |types|·|buckets| metadata-sized rows; the windows
+    partition by the type."""
+    dense = _dense_counts(events, type_col, ts_col, bucket)
+    if dense is None:
+        return events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(None).cast("double").alias("cusum"),
+            F.lit(False).alias("is_shift"),
+        )
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sum("n_events").cast("long").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_nb")
+    var = F.col("_ss").cast("double") / F.col("_nb") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    joined = dense.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        (F.col("n_events") - mean - F.lit(float(k_stds)) * std).alias("_d"),
+        (F.lit(float(h_stds)) * std).alias("_h"),
+    )
+    wrun = Window.partitionBy("event_type").orderBy(F.col("bucket_ts").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # running sum staged into a column first: the running MIN then windows
+    # over the materialized _cum (nested window expressions don't compose)
+    cum = F.sum("_d").over(wrun)
+    staged = joined.select(
+        "event_type", "bucket_ts", "n_events", "_h", cum.alias("_cum")
+    )
+    s = F.col("_cum") - F.least(F.lit(0.0), F.min("_cum").over(wrun))
+    mult = float(10**round_scale)
+    return staged.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        (F.floor(s * mult + 0.5) / mult).alias("cusum"),
+        F.coalesce((s > F.col("_h")) & (F.col("_h") > 0), F.lit(False)).alias("is_shift"),
     )

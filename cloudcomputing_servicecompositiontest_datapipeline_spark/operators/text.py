@@ -1321,3 +1321,72 @@ def vocabulary_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def winnow_containment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    min_containment: float = 0.6,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X80 ASYMMETRIC containment verify over the winnow candidate pairs:
+    containment(A⊂B) = |grams_A ∩ grams_B| / |grams_A| — the detector for
+    a document CONTAINED in another (quotes, aggregator pages, article +
+    comments re-renders), which symmetric Jaccard structurally misses: a
+    500-word doc embedded verbatim in a 50 000-word page has Jaccard ≈ 1%
+    but containment ≈ 100%.
+
+    Emits the pair when EITHER direction crosses ``min_containment``, with
+    both directions and the containment direction label.  Same scale shape
+    as :func:`winnow_verify`: gram sets are row-local; joins driven by the
+    bucketed candidate list, never the corpus."""
+    from .dedup import normalized_text
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_gid"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_tk"),
+    )
+    n_grams = F.greatest(F.size("_tk") - (k - 1), F.lit(0))
+    grams = F.when(
+        n_grams >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_tk"), i, k), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gsets = toks.select("_gid", grams.alias("_grams"))
+    j = candidates.join(
+        gsets.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")), "id_a"
+    ).join(
+        gsets.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb")), "id_b"
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    mult = float(10**round_scale)
+
+    def frac(num, den):
+        return F.when(
+            den > 0, F.floor(num.cast("double") / den.cast("double") * mult + 0.5) / mult
+        ).otherwise(F.lit(0.0))
+
+    ca = frac(inter, F.size("_ga"))
+    cb = frac(inter, F.size("_gb"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common_grams"),
+            ca.alias("containment_a_in_b"),
+            cb.alias("containment_b_in_a"),
+            F.when(ca >= cb, "a_in_b").otherwise("b_in_a").alias("direction"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= min_containment)
+            | (F.col("containment_b_in_a") >= min_containment)
+        )
+    )

@@ -2768,3 +2768,106 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
     return ft.ab_test_zscores(ev, F.col("user_id") % 2 == 1)
+
+
+@query(
+    "events_cusum_shifts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+      FROM events),
+    axis AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts FROM b),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+      SELECT ty.event_type, axis.bucket_ts, coalesce(c.n_events, 0) AS n_events
+      FROM ty CROSS JOIN axis
+      LEFT JOIN c ON c.event_type = ty.event_type AND c.bucket_ts = axis.bucket_ts),
+    st AS (
+      SELECT event_type, count(*) AS nb, sum(n_events) AS s,
+             sum(n_events * n_events) AS ss
+      FROM dense GROUP BY 1),
+    drift AS (
+      SELECT d.event_type, d.bucket_ts, d.n_events,
+             d.n_events - cast(s AS double) / nb
+               - 0.5 * sqrt(greatest(cast(ss AS double) / nb
+                            - (cast(s AS double) / nb) * (cast(s AS double) / nb), 0.0)) AS dv,
+             4.0 * sqrt(greatest(cast(ss AS double) / nb
+                        - (cast(s AS double) / nb) * (cast(s AS double) / nb), 0.0)) AS h
+      FROM dense d JOIN st USING (event_type)),
+    cum AS (
+      SELECT event_type, bucket_ts, n_events, h,
+             sum(dv) OVER (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+      FROM drift),
+    scored AS (
+      SELECT event_type, bucket_ts, n_events, h,
+             cumv - least(0.0, min(cumv) OVER (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sv
+      FROM cum)
+    SELECT event_type, bucket_ts, cast(n_events AS bigint) AS n_events,
+           floor(sv * 1000000 + 0.5) / 1000000 AS cusum,
+           coalesce(sv > h AND h > 0, false) AS is_shift
+    FROM scored
+    """,
+)
+def events_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 CUSUM level-shift scores (Page 1954): one-sided cumulative-sum
+    statistic per type over the dense hourly rate, via the closed form
+    S_t = cum_t - min(0, running-min cum) — two stacked windows, no
+    recursion; flags when S crosses 4 std.  The persistent-shift detector
+    beside the X63 spike detector."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.cusum_changepoints(ev)
+
+
+@query(
+    "dedup_winnow_containment",
+    oracle=_WINNOW_CTE
+    + """
+    , e AS (SELECT doc_id AS id, unnest(fingerprints) AS fp FROM w),
+    small AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 200),
+    ee AS (SELECT e.id, e.fp FROM e JOIN small USING (fp)),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ee a JOIN ee b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 1),
+    gs AS (
+      SELECT doc_id, CASE WHEN len(tk) >= 5 THEN
+        list_distinct(list_transform(range(1, len(tk) - 4 + 1), i ->
+          md5(array_to_string(list_slice(tk, i, i + 4), ' '))))
+      ELSE [] END AS grams FROM t),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS n_common_grams,
+             len(ga.grams) AS na, len(gb.grams) AS nb
+      FROM cand c JOIN gs ga ON ga.doc_id = c.id_a JOIN gs gb ON gb.doc_id = c.id_b),
+    scored AS (
+      SELECT id_a, id_b, cast(n_common_grams AS int) AS n_common_grams,
+             CASE WHEN na > 0 THEN floor(cast(n_common_grams AS double) / na * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS containment_a_in_b,
+             CASE WHEN nb > 0 THEN floor(cast(n_common_grams AS double) / nb * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS containment_b_in_a
+      FROM v)
+    SELECT id_a, id_b, n_common_grams, containment_a_in_b, containment_b_in_a,
+           CASE WHEN containment_a_in_b >= containment_b_in_a THEN 'a_in_b'
+                ELSE 'b_in_a' END AS direction
+    FROM scored
+    WHERE containment_a_in_b >= 0.6 OR containment_b_in_a >= 0.6
+    """,
+)
+def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 containment detection: asymmetric gram containment over winnow
+    candidate pairs (min_shared=1 — a small doc inside a big one shares
+    few fingerprints, the Jaccard-blind case) — finds quotes, aggregator
+    pages, sub-document re-renders that symmetric near-dup misses."""
+    docs = _docs(spark, sf_dir)
+    fps = tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    cand = tx.winnow_candidates(fps, "doc_id", min_shared=1, max_bucket_size=200)
+    return tx.winnow_containment(
+        docs, "text", "doc_id", cand.select("id_a", "id_b"), k=5, min_containment=0.6
+    )

@@ -48,7 +48,7 @@ DRIVER_WINDOW: list[str] = [
     # r1-r4 union never checked (added after r4's 50 slots filled), then
     # the BPE family (encoder re-expressed as codegen'd string rewrites +
     # delimiter-strip normalization this round), then the 6 queries added
-    # in r5 (X58-X78), then a 21-slot refresh rotation of r1/r2-vintage
+    # in r5 (X58-X80), then a 19-slot refresh rotation of r1/r2-vintage
     # oracle rows (bench headliners, TPC-H spread, core report/tlq).
     "text_winnow_fingerprints",
     # --- never driver-checked until now
@@ -61,7 +61,7 @@ DRIVER_WINDOW: list[str] = [
     "text_bpe_merges",
     "text_bpe_encode",
     "text_bpe_encode_parity",
-    # --- r5 additions X58-X78
+    # --- r5 additions X58-X80
     "curation_importance_weights",
     "split_stratified",
     "curation_quality_quantile_norm",
@@ -83,6 +83,8 @@ DRIVER_WINDOW: list[str] = [
     "events_transition_matrix",
     "events_survival_curve",
     "events_ab_test",
+    "events_cusum_shifts",
+    "dedup_winnow_containment",
     # --- refresh rotation: oldest (r1/r2) driver rows re-verified
     "report_show_as_list",
     "report_multi_group",
@@ -92,9 +94,7 @@ DRIVER_WINDOW: list[str] = [
     "tenancy_annotate",
     "pipeline_cumulative",
     "join_asof_last_click",
-    "window_lag_lead",
     "window_rank_topk",
-    "window_range_frame",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -114,7 +114,7 @@ DRIVER_WINDOW: list[str] = [
 # q13_order_distribution, q21_waiting_suppliers, q18_large_orders,
 # tlq_decode_priority, tlq_invalid_date, tlq_dedup_first_wins, tlq_typed_cast,
 # tlq_transform, report_group_avg, report_summary_cost,
-# report_tenancy_histogram, join_config_stamp,
+# report_tenancy_histogram, join_config_stamp, window_lag_lead, window_range_frame,
 # q2/q6-q8/q10-q12/q14-q17/q19-q20/q22, scalar
 # families, percentile/pivot, inspector, asof/funnel/retention variants).
 

@@ -1523,3 +1523,65 @@ def test_ab_test_zscores_detects_shift(spark):
     assert not got["null"].significant and abs(got["null"].z_score) < 1.0
     assert got["shift"].n_a == 100 and got["shift"].n_b == 100
     assert abs(got["shift"].mean_b - got["shift"].mean_a - 5.0) < 0.2
+
+
+def test_cusum_detects_level_shift_not_single_spike(spark):
+    """The complement of the z-burst detector: a sustained +3/hour level
+    shift accumulates past the 4-std CUSUM threshold even though no single
+    hour is extreme, while an isolated equal-mass spike does not sustain a
+    shift flag for long."""
+    import datetime as dt
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'shifted': 30 hours at rate 5, then 30 hours at rate 8 (small step,
+    # within-noise per hour, unmistakable cumulatively)
+    for h in range(60):
+        n = 5 if h < 30 else 8
+        for _ in range(n):
+            rows.append((len(rows), base + dt.timedelta(hours=h), "shifted"))
+    # 'steady': constant rate 5 with one isolated spike hour
+    for h in range(60):
+        n = 20 if h == 30 else 5
+        for _ in range(n):
+            rows.append((len(rows), base + dt.timedelta(hours=h), "steady"))
+    df = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP, event_type STRING")
+    got = {(r.event_type, r.bucket_ts.hour + 24 * (r.bucket_ts.day - 1)): r
+           for r in ft.cusum_changepoints(df).collect()}
+    shifted_flags = [h for (t, h), r in got.items() if t == "shifted" and r.is_shift]
+    steady_flags = [h for (t, h), r in got.items() if t == "steady" and r.is_shift]
+    assert shifted_flags and min(shifted_flags) >= 30  # fires after the shift, not before
+    assert max(shifted_flags) == 59                    # and STAYS flagged to the end
+    # the spike's excess mass decays: transient flags at most, none at the end
+    assert 59 not in steady_flags and 58 not in steady_flags
+    assert len(steady_flags) < len(shifted_flags)
+    # cusum grows monotonically through the shifted regime's tail
+    tail = [got[("shifted", h)].cusum for h in range(55, 60)]
+    assert all(a < b for a, b in zip(tail, tail[1:]))
+
+
+def test_winnow_containment_finds_embedded_doc(spark):
+    """A short doc embedded verbatim in a much longer page: Jaccard is
+    tiny (the symmetric verifier's blind spot) but containment ≈ 1.0 in
+    the a_in_b direction — exactly what X80 exists to catch."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    page = (
+        " ".join(f"p{i}" for i in range(200))
+        + " " + quote + " "
+        + " ".join(f"s{i}" for i in range(200))
+    )
+    rows = [(1, quote), (2, page), (3, "unrelated other text entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = tx.winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
+    cand = tx.winnow_candidates(fps, "doc_id", min_shared=1, max_bucket_size=200)
+    got = tx.winnow_containment(
+        df, "text", "doc_id", cand.select("id_a", "id_b"), k=5, min_containment=0.6
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b, r.direction) == (1, 2, "a_in_b")
+    assert r.containment_a_in_b >= 0.95       # the quote is fully inside
+    assert r.containment_b_in_a < 0.1         # Jaccard-equivalent view: tiny
