@@ -527,3 +527,138 @@ class Engine:
         )
         vec = vec.withColumn("query_id", F.element_at(mapping, F.col("query_id")))
         return s.hybrid_rrf(lex.select("query_id", "doc_id", "rank"), vec, topk=topk)
+
+    # ---------------------------------------------------------------- r5 ops
+
+    def strip_markup(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """X67: HTML/boilerplate strip (script/style/comments/tags/entities)."""
+        from .operators import text as tx
+
+        return tx.strip_html(docs, text_col, id_col)
+
+    def importance_weights(self, docs: DataFrame, is_target, text_col: str = "text", id_col: str = "doc_id", *, n_buckets: int = 1024) -> DataFrame:
+        """X58: DSIR-style target-likeness log-ratio weights for importance
+        resampling; ``is_target`` is a boolean Column marking exemplars."""
+        from .operators import curation as cu
+
+        return cu.importance_weights(docs, text_col, id_col, is_target, n_buckets=n_buckets)
+
+    def split_stratified(self, df: DataFrame, strata_col: str, id_col: str = "doc_id", *, train: float = 0.8, val: float = 0.1, salt: str = "strat0") -> DataFrame:
+        """X59: exact per-stratum train/val/test split (md5-draw ranking)."""
+        from .operators import curation as cu
+
+        return cu.stratified_split(df, id_col, strata_col, train=train, val=val, salt=salt)
+
+    def split_temporal(self, df: DataFrame, ts_col: str, id_col: str, *, train_frac: float = 0.8, embargo_seconds: float = 3600.0) -> DataFrame:
+        """X71: purged time-series split with an embargo gap."""
+        from .operators import curation as cu
+
+        return cu.temporal_split_embargo(df, ts_col, id_col, train_frac=train_frac, embargo_seconds=embargo_seconds)
+
+    def normalize_scores(self, df: DataFrame, value_col: str, group_col: str, id_col: str = "doc_id") -> DataFrame:
+        """X60: within-group percent_rank score calibration."""
+        from .operators import curation as cu
+
+        return cu.quantile_normalize(df, value_col, group_col, id_col)
+
+    def calibrate_scores(self, new_df: DataFrame, ref_df: DataFrame, value_col: str, id_col: str, *, grid: int = 1000) -> DataFrame:
+        """X70: quantile mapping (CDF matching) of new scores onto a
+        reference distribution."""
+        from .operators import curation as cu
+
+        return cu.quantile_map(new_df, ref_df, value_col, id_col, grid=grid)
+
+    def token_stats(self, docs: DataFrame, group_col: str = "source", text_col: str = "text") -> DataFrame:
+        """X61: per-group corpus token datasheet (tokens/vocab/TTR/...)."""
+        from .operators import text as tx
+
+        return tx.token_stats_by_group(docs, text_col, group_col)
+
+    def vocabulary_overlap(self, docs: DataFrame, group_col: str = "source", text_col: str = "text") -> DataFrame:
+        """X75: pairwise vocabulary-Jaccard redundancy matrix across groups."""
+        from .operators import text as tx
+
+        return tx.vocabulary_overlap(docs, text_col, group_col)
+
+    def duplication_profile(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """X62: exact-dup cluster-size histogram with corpus share."""
+        from .operators import dedup as dd
+
+        return dd.cluster_size_histogram(docs, text_col, id_col)
+
+    def dup_rates_by(self, docs: DataFrame, group_col: str, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        """X64: per-group duplicate rates (drops charged to the dropped copy)."""
+        from .operators import dedup as dd
+
+        return dd.dup_rate_by_group(docs, text_col, id_col, group_col)
+
+    def match_entities(self, df: DataFrame, name_col: str, id_col: str, block_col: str, *, max_distance: int = 2) -> DataFrame:
+        """X72: blocked Levenshtein fuzzy entity matching (record linkage)."""
+        from .operators import dedup as dd
+
+        return dd.fuzzy_pairs_by_block(df, name_col, id_col, block_col, max_distance=max_distance)
+
+    def find_containment(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, min_containment: float = 0.6) -> DataFrame:
+        """X80: asymmetric containment pairs (doc embedded in a longer doc)
+        via winnow fingerprint candidates."""
+        from .operators import text as tx
+
+        fps = tx.winnow_fingerprints(docs, text_col, id_col)
+        cand = tx.winnow_candidates(fps, id_col, min_shared=1, max_bucket_size=200)
+        return tx.winnow_containment(
+            docs, text_col, id_col, cand.select("id_a", "id_b"), min_containment=min_containment
+        )
+
+    def check_embeddings(self, emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding", expected_dim: int | None = None) -> DataFrame:
+        """X65: embedding QC gate (NULL/dim/non-finite/norm flags)."""
+        from .operators import similarity as s
+
+        return s.embedding_qc(emb, vec_col, id_col, expected_dim=expected_dim)
+
+    def sample_weighted(self, df: DataFrame, group_col: str, id_col: str, weight_col: str, *, k: int, salt: str = "ws0") -> DataFrame:
+        """X74: Efraimidis-Spirakis weighted k-per-group sample."""
+        from .operators import curation as cu
+
+        return cu.weighted_per_group_sample(df, group_col, id_col, weight_col, k=k, salt=salt)
+
+    def packing_report(self, packed: DataFrame, *, context_len: int) -> DataFrame:
+        """X68: per-shard utilization + boundary-straddle counts."""
+        from .operators import curation as cu
+
+        return cu.packing_report(packed, context_len=context_len)
+
+    def detect_bursts(self, events: DataFrame, **kw) -> DataFrame:
+        """X63: dense-axis per-type hourly z-score burst flags."""
+        from .operators import features as ft
+
+        return ft.burst_detection(events, **kw)
+
+    def detect_level_shifts(self, events: DataFrame, **kw) -> DataFrame:
+        """X79: CUSUM persistent-shift scores (the complement of bursts)."""
+        from .operators import features as ft
+
+        return ft.cusum_changepoints(events, **kw)
+
+    def bootstrap_ci(self, df: DataFrame, value_col: str, group_col: str, id_col: str, **kw) -> DataFrame:
+        """X66: deterministic bootstrap CI of the per-group mean."""
+        from .operators import features as ft
+
+        return ft.bootstrap_ci(df, value_col, group_col, id_col, **kw)
+
+    def ab_test(self, events: DataFrame, assign, **kw) -> DataFrame:
+        """X78: two-sample z-test per group (``assign`` = boolean arm Column)."""
+        from .operators import features as ft
+
+        return ft.ab_test_zscores(events, assign, **kw)
+
+    def survival(self, events: DataFrame, **kw) -> DataFrame:
+        """X77: Kaplan-Meier retention curve over user lifetimes."""
+        from .operators import features as ft
+
+        return ft.survival_curve(events, **kw)
+
+    def transitions(self, events: DataFrame, **kw) -> DataFrame:
+        """X76: first-order Markov transition matrix over user streams."""
+        from .operators import features as ft
+
+        return ft.transition_matrix(events, **kw)

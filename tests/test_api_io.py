@@ -551,3 +551,39 @@ def test_write_jsonl_shards_empty_corpus(spark, tmp_path):
     # re-read with an explicit schema (nothing to infer from empty JSONL)
     back = spark.read.schema("doc_id LONG, text STRING").json(out)
     assert back.count() == 0
+
+
+def test_engine_facade_r5_methods_smoke(spark, sf_dir):
+    """Every r5 facade method runs end-to-end on the smoke fixtures and
+    returns a non-degenerate frame — the 'a reference user can drive the
+    whole r5 family from Engine' contract."""
+    from pyspark.sql import functions as F
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    eng = Engine(spark)
+    docs = star.table(spark, sf_dir, "documents")
+    emb = star.table(spark, sf_dir, "embeddings")
+    ev = star.table(spark, sf_dir, "events")
+
+    assert eng.strip_markup(docs).columns[:2] == ["doc_id", "clean_text"]
+    assert eng.importance_weights(docs, F.col("lang") == "en").count() == docs.count()
+    sp = eng.split_stratified(docs, "lang")
+    assert set(r.split for r in sp.select("split").distinct().collect()) <= {"train", "val", "test"}
+    assert eng.split_temporal(ev, "ts", "event_id").count() == ev.count()
+    assert eng.normalize_scores(docs, "n_chars", "lang").count() == docs.count()
+    assert eng.token_stats(docs).count() > 0
+    assert set(eng.vocabulary_overlap(docs).columns) >= {"group_a", "group_b", "jaccard"}
+    assert eng.duplication_profile(docs).count() >= 1
+    assert eng.dup_rates_by(docs, "source").count() > 0
+    assert eng.check_embeddings(emb, expected_dim=64).filter("ok").count() > 0
+    assert eng.sample_weighted(docs, "lang", "doc_id", "n_chars", k=3).count() > 0
+    assert {"z_score", "significant"} <= set(eng.ab_test(ev, F.col("user_id") % 2 == 1).columns)
+    assert {"cusum", "is_shift"} <= set(eng.detect_level_shifts(ev).columns)
+    assert {"z_score", "is_burst"} <= set(eng.detect_bursts(ev).columns)
+    assert eng.survival(ev).count() >= 0
+    assert eng.transitions(ev).count() > 0
+    assert eng.bootstrap_ci(ev, "value", "event_type", "event_id").count() > 0
+    cal = eng.calibrate_scores(
+        ev.filter("event_id % 2 = 1"), ev.filter("event_id % 2 = 0"), "value", "event_id"
+    )
+    assert {"quantile", "mapped_value"} <= set(cal.columns)
