@@ -641,6 +641,10 @@ def quantile_map(
     curve_vals = ref_df.select(
         F.percentile(F.col(value_col).cast("double"), F.lit(fracs)).alias("_q")
     ).first()["_q"]
+    if curve_vals is None:
+        # no reference distribution to map onto — a silent NULL curve would
+        # produce all-NULL mapped values downstream; fail loudly instead
+        raise ValueError("quantile_map: reference frame has no non-null values")
     q = F.lit([float(x) for x in curve_vals])
     w = Window.orderBy(F.col("value").asc())
     pr = F.percent_rank().over(w)

@@ -1585,3 +1585,50 @@ def test_winnow_containment_finds_embedded_doc(spark):
     assert (r.id_a, r.id_b, r.direction) == (1, 2, "a_in_b")
     assert r.containment_a_in_b >= 0.95       # the quote is fully inside
     assert r.containment_b_in_a < 0.1         # Jaccard-equivalent view: tiny
+
+
+def test_r5_operator_edge_inputs(spark):
+    """Edge hardening sweep over the r5 family: empty / degenerate inputs
+    fail loudly or degrade cleanly, never silently corrupt."""
+    import datetime as dt
+    import pytest
+    from pyspark.sql import functions as F
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import (
+        curation as cu,
+        dedup as dd,
+        features as ft,
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "de")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    # importance weights with ZERO target exemplars: defined (smoothing),
+    # finite, all docs present
+    iw = cu.importance_weights(docs, "text", "doc_id", F.lit(False), n_buckets=16).collect()
+    assert len(iw) == 2 and all(r.weight is not None for r in iw)
+    # quantile_map against an empty/all-null reference fails loudly
+    empty = spark.createDataFrame([], "id LONG, v DOUBLE")
+    with pytest.raises(ValueError, match="no non-null"):
+        cu.quantile_map(docs.select(F.col("doc_id").alias("id"), F.lit(1.0).alias("v")), empty, "v", "id")
+    # temporal split of an empty frame: empty output, stable schema
+    ev_empty = spark.createDataFrame([], "event_id LONG, ts TIMESTAMP")
+    out = cu.temporal_split_embargo(ev_empty, "ts", "event_id")
+    assert out.count() == 0 and out.columns == ["event_id", "ts", "split"]
+    # fuzzy matching: NULL names never pair (distance NULL fails the filter)
+    ents = spark.createDataFrame(
+        [(1, None, "b"), (2, "x", "b"), (3, "y", "b")], "id LONG, name STRING, blk STRING"
+    )
+    pairs = dd.fuzzy_pairs_by_block(ents, "name", "id", "blk", max_distance=5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
+    # survival: every user censored -> empty curve (no deaths), no crash
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(0, base, 1), (1, base + dt.timedelta(hours=1), 1)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG",
+    )
+    assert ft.survival_curve(ev, horizon_hours=24.0).count() == 0
+    # vocabulary overlap with one group -> no pairs
+    one = spark.createDataFrame([(1, "a b", "s1")], "doc_id LONG, text STRING, source STRING")
+    assert tx.vocabulary_overlap(one, "text", "source").count() == 0
