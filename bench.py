@@ -112,6 +112,8 @@ NEW_R5 = [
     "events_ab_test",
     "events_cusum_shifts",
     "dedup_winnow_containment",
+    "curation_concentration",
+    "events_rolling_rate",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

@@ -749,3 +749,43 @@ def weighted_per_group_sample(
         .filter(F.col("weight_rank") <= k)
         .drop("_key")
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    within_col: str,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X81 source-concentration report: per ``group_col`` (e.g. language),
+    the Herfindahl–Hirschman index Σ share_i² over ``within_col`` (e.g.
+    source) plus the top share and source count — the standard
+    concentration read ("is this language's data effectively one crawl?"):
+    HHI = 1/n for a uniform mix, → 1.0 for a monopoly.
+
+    One (group, within) count aggregate (reduce side |groups|·|sources|),
+    then a |groups|-row rollup; shares and HHI from exact integer counts,
+    decimal-accumulated squares so the sum is order-insensitive."""
+    mult = float(10**round_scale)
+    counts = df.groupBy(
+        F.col(group_col).alias("group"), F.col(within_col).alias("_w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    totals = counts.groupBy("group").agg(F.sum("_n").cast("long").alias("_tot"))
+    share = F.col("_n").cast("double") / F.col("_tot")
+    return (
+        counts.join(F.broadcast(totals), "group")
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max("_tot").cast("long").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum((share * share).cast("decimal(28,12)")).cast("double") * mult
+                    + 0.5
+                )
+                / mult
+            ).alias("hhi"),
+            (F.floor(F.max(share) * mult + 0.5) / mult).alias("top_share"),
+        )
+    )

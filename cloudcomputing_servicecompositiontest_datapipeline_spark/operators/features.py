@@ -724,3 +724,45 @@ def cusum_changepoints(
         (F.floor(s * mult + 0.5) / mult).alias("cusum"),
         F.coalesce((s > F.col("_h")) & (F.col("_h") > 0), F.lit(False)).alias("is_shift"),
     )
+
+
+def rolling_rate(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    window_buckets: int = 7,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X82 rolling-rate smoother: per-type trailing moving average of the
+    dense bucketed event rate plus the ratio of each bucket to its own
+    trailing mean — the dashboard line that sits under the X63/X79 anomaly
+    flags (the smoother shows the level; the detectors flag departures).
+
+    Shares the dense (type, bucket) axis with the other rate monitors (one
+    count aggregate, generated axis); the trailing window is a rows-frame
+    per type over metadata-sized rows, its mean from exact integer sums."""
+    dense = _dense_counts(events, type_col, ts_col, bucket)
+    if dense is None:
+        return events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(None).cast("double").alias("trailing_avg"),
+            F.lit(None).cast("double").alias("ratio_to_avg"),
+        )
+    w = Window.partitionBy("event_type").orderBy(F.col("bucket_ts").asc()).rowsBetween(
+        -(window_buckets - 1), Window.currentRow
+    )
+    mult = float(10**round_scale)
+    avg = F.sum("n_events").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return dense.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        (F.floor(avg * mult + 0.5) / mult).alias("trailing_avg"),
+        F.when(
+            avg > 0, F.floor(F.col("n_events") / avg * mult + 0.5) / mult
+        ).alias("ratio_to_avg"),
+    )

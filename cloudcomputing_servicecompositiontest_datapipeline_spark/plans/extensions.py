@@ -2871,3 +2871,71 @@ def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_containment(
         docs, "text", "doc_id", cand.select("id_a", "id_b"), k=5, min_containment=0.6
     )
+
+
+@query(
+    "curation_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT lang AS g, source AS w, count(*) AS n FROM documents GROUP BY 1, 2),
+    t AS (SELECT g, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.g AS "group", cast(count(*) AS bigint) AS n_sources,
+           cast(max(tot) AS bigint) AS n_docs,
+           floor(cast(sum(cast((cast(n AS double) / tot) * (cast(n AS double) / tot)
+                               AS decimal(28,12))) AS double) * 1000000 + 0.5)
+             / 1000000 AS hhi,
+           floor(max(cast(n AS double) / tot) * 1000000 + 0.5) / 1000000 AS top_share
+    FROM c JOIN t USING (g) GROUP BY 1
+    """,
+)
+def curation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 source-concentration report: per-language Herfindahl index over
+    sources (+ top share, source count) — 'is this language's data one
+    crawl wearing many names?'.  Two tiny aggregates; decimal-accumulated
+    share squares."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    return cu.concentration_report(docs, "lang", "source")
+
+
+@query(
+    "events_rolling_rate",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+      FROM events),
+    axis AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts FROM b),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+      SELECT ty.event_type, axis.bucket_ts, coalesce(c.n_events, 0) AS n_events
+      FROM ty CROSS JOIN axis
+      LEFT JOIN c ON c.event_type = ty.event_type AND c.bucket_ts = axis.bucket_ts),
+    r AS (
+      SELECT event_type, bucket_ts, n_events,
+             cast(sum(n_events) OVER w AS double) / count(*) OVER w AS avg
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, bucket_ts, cast(n_events AS bigint) AS n_events,
+           floor(avg * 1000000 + 0.5) / 1000000 AS trailing_avg,
+           CASE WHEN avg > 0
+                THEN floor(n_events / avg * 1000000 + 0.5) / 1000000
+           END AS ratio_to_avg
+    FROM r
+    """,
+)
+def events_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 rolling-rate smoother: 7-bucket trailing mean of the dense
+    per-type hourly rate plus each bucket's ratio to its own trailing mean
+    — the dashboard line under the X63/X79 anomaly flags.  Shares the
+    dense-axis aggregate; trailing means from exact integer sums."""
+    from ..operators import features as ft
+
+    apply_runtime_conf(spark)
+    ev = star.table(spark, sf_dir, "events")
+    return ft.rolling_rate(ev)

@@ -1632,3 +1632,37 @@ def test_r5_operator_edge_inputs(spark):
     # vocabulary overlap with one group -> no pairs
     one = spark.createDataFrame([(1, "a b", "s1")], "doc_id LONG, text STRING, source STRING")
     assert tx.vocabulary_overlap(one, "text", "source").count() == 0
+
+
+def test_concentration_report_hand_case(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    rows = (
+        [(i, "en", "s1") for i in range(8)] + [(100, "en", "s2"), (101, "en", "s3")]
+        + [(200 + i, "de", f"s{i}") for i in range(4)]  # uniform 4-way
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, source STRING")
+    got = {r.group: r for r in cu.concentration_report(df, "lang", "source").collect()}
+    en = got["en"]
+    assert (en.n_sources, en.n_docs) == (3, 10)
+    assert abs(en.hhi - (0.8**2 + 0.1**2 + 0.1**2)) < 1e-6
+    assert abs(en.top_share - 0.8) < 1e-6
+    de = got["de"]
+    assert abs(de.hhi - 0.25) < 1e-6  # uniform 4-way -> 1/n
+
+
+def test_rolling_rate_trailing_window(spark):
+    import datetime as dt
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(10):
+        for _ in range(h + 1):  # rate 1,2,...,10
+            rows.append((len(rows), base + dt.timedelta(hours=h), "t"))
+    df = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP, event_type STRING")
+    got = {r.bucket_ts.hour: r for r in ft.rolling_rate(df, window_buckets=3).collect()}
+    assert got[0].trailing_avg == 1.0              # partial frame of 1
+    assert abs(got[1].trailing_avg - 1.5) < 1e-6   # (1+2)/2
+    assert abs(got[4].trailing_avg - 4.0) < 1e-6   # (3+4+5)/3
+    assert abs(got[9].ratio_to_avg - 10 / 9) < 1e-4
