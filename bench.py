@@ -114,6 +114,7 @@ NEW_R5 = [
     "dedup_winnow_containment",
     "curation_concentration",
     "events_rolling_rate",
+    "text_novelty_scores",
 ]
 
 #: Added after r1 — timed outside the headline total for bench continuity.

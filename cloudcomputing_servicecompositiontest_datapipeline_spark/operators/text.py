@@ -1390,3 +1390,64 @@ def winnow_containment(
             | (F.col("containment_b_in_a") >= min_containment)
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    round_scale: int = 6,
+) -> DataFrame:
+    """X83 n-gram novelty vs a reference corpus: fraction of a document's
+    DISTINCT word n-grams absent from the reference — the inverse of
+    contamination (X11), used to pick genuinely NEW data out of a fresh
+    crawl (novelty ≈ 0 means the crawl re-collected what the corpus
+    already holds; the dedup-aware acquisition signal).
+
+    Unlike decontamination's tiny benchmark side, the reference here is
+    CORPUS-SIZED — so the gram join shuffles BOTH sides on the 32-byte md5
+    gram hash (the reference reduces to its distinct gram set first),
+    never broadcasts.  One gram-hash shuffle + one doc-key aggregate;
+    ratios from exact integer counts.  Docs with fewer than ``n`` tokens
+    have no grams: n_grams 0, novelty NULL (not 1.0 — 'no evidence' is
+    not 'all new')."""
+    d_grams = token_ngrams(df, text_col, id_col, n).select(
+        F.col(id_col), F.md5(F.col("gram")).alias("gh")
+    ).distinct()
+    r_grams = (
+        token_ngrams(ref, text_col, id_col, n)
+        .select(F.md5(F.col("gram")).alias("gh"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    mult = float(10**round_scale)
+    per = (
+        d_grams.join(r_grams, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_seen") == 1, 1).otherwise(0)).cast("long").alias("n_seen"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.floor(
+                    (F.col("n_grams") - F.col("n_seen")).cast("double")
+                    / F.col("n_grams")
+                    * mult
+                    + 0.5
+                )
+                / mult,
+            ).alias("novelty"),
+        )
+    )

@@ -2939,3 +2939,38 @@ def events_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
     return ft.rolling_rate(ev)
+
+
+@query(
+    "text_novelty_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(t[s+1:s+5], ' ')) AS gh
+      FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS s
+            FROM toks WHERE len(t) >= 5)),
+    ref_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 2 = 0),
+    new_g AS (SELECT doc_id, gh FROM grams WHERE doc_id % 2 = 1),
+    per AS (
+      SELECT n.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+      FROM new_g n LEFT JOIN ref_g r ON n.gh = r.gh GROUP BY 1)
+    SELECT d.doc_id, cast(coalesce(n_grams, 0) AS bigint) AS n_grams,
+           cast(coalesce(n_seen, 0) AS bigint) AS n_seen,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN floor(cast(n_grams - n_seen AS double) / n_grams * 1000000 + 0.5)
+                     / 1000000
+           END AS novelty
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 n-gram novelty of the odd-id docs vs the even-id reference
+    corpus: the inverse-of-contamination acquisition signal.  The
+    reference is corpus-sized, so the gram join shuffles on the md5 gram
+    hash (never broadcasts); one gram shuffle + one doc aggregate."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return tx.novelty_scores(new, ref, "text", "doc_id", n=5)

@@ -48,7 +48,7 @@ DRIVER_WINDOW: list[str] = [
     # r1-r4 union never checked (added after r4's 50 slots filled), then
     # the BPE family (encoder re-expressed as codegen'd string rewrites +
     # delimiter-strip normalization this round), then the 6 queries added
-    # in r5 (X58-X82), then a 17-slot refresh rotation of r1/r2-vintage
+    # in r5 (X58-X83), then a 16-slot refresh rotation of r1/r2-vintage
     # oracle rows (bench headliners, TPC-H spread, core report/tlq).
     "text_winnow_fingerprints",
     # --- never driver-checked until now
@@ -61,7 +61,7 @@ DRIVER_WINDOW: list[str] = [
     "text_bpe_merges",
     "text_bpe_encode",
     "text_bpe_encode_parity",
-    # --- r5 additions X58-X82
+    # --- r5 additions X58-X83
     "curation_importance_weights",
     "split_stratified",
     "curation_quality_quantile_norm",
@@ -87,9 +87,9 @@ DRIVER_WINDOW: list[str] = [
     "dedup_winnow_containment",
     "curation_concentration",
     "events_rolling_rate",
+    "text_novelty_scores",
     # --- refresh rotation: oldest (r1/r2) driver rows re-verified
     "report_multi_group",
-    "report_full",
     "overlap_selfjoin",
     "tenancy_annotate",
     "pipeline_cumulative",
@@ -115,7 +115,7 @@ DRIVER_WINDOW: list[str] = [
 # tlq_decode_priority, tlq_invalid_date, tlq_dedup_first_wins, tlq_typed_cast,
 # tlq_transform, report_group_avg, report_summary_cost,
 # report_tenancy_histogram, join_config_stamp, window_lag_lead, window_range_frame,
-# report_show_as_list, report_union_sentinel,
+# report_show_as_list, report_union_sentinel, report_full,
 # q2/q6-q8/q10-q12/q14-q17/q19-q20/q22, scalar
 # families, percentile/pivot, inspector, asof/funnel/retention variants).
 

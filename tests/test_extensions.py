@@ -1666,3 +1666,24 @@ def test_rolling_rate_trailing_window(spark):
     assert abs(got[1].trailing_avg - 1.5) < 1e-6   # (1+2)/2
     assert abs(got[4].trailing_avg - 4.0) < 1e-6   # (3+4+5)/3
     assert abs(got[9].ratio_to_avg - 10 / 9) < 1e-4
+
+
+def test_novelty_scores_semantics(spark):
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim re-crawl
+            (2, "completely fresh words never seen before today"),  # all-new
+            (3, "too short"),                                      # no 5-grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in tx.novelty_scores(new, ref, "text", "doc_id", n=5).collect()}
+    assert got[1].novelty == 0.0 and got[1].n_seen == got[1].n_grams > 0
+    assert got[2].novelty == 1.0 and got[2].n_seen == 0
+    assert got[3].n_grams == 0 and got[3].novelty is None  # no evidence != all new
