@@ -629,14 +629,27 @@ def quantile_map(
     (ties share a rank), then linear interpolation into the reference's
     exact quantile curve sampled at ``grid``+1 points.
 
-    100 TB shape: ONE global-sort window over the new scores (the honest
-    cost of an exact CDF — for a sharded variant rank within hash shards
-    like the packing operator); the reference reduces to a ``grid``+1-point
-    curve in one aggregate whose values are BAKED into the plan as one
-    literal array (the bounded-collect pattern — grid+1 doubles to the
-    driver, shipped in a single ``F.lit(list)`` call, so there is no join
-    at all, not even the single-row BroadcastNestedLoopJoin the audit
-    flags); the mapping itself is row-local array math."""
+    100 TB shape: the same two-phase histogram CDF as :func:`value_deciles`
+    — percent_rank of a value v is exactly ``(# rows with value < v) /
+    (n - 1)`` with ties sharing the minimum rank, so it is a pure function
+    of the PER-VALUE COUNT TABLE: ONE partial-agg shuffle reduces the
+    corpus to distinct values, a running sum over that reduced table
+    yields ``rows_before`` per value, and the rank broadcast-joins back
+    (no corpus-sized sort, no single-task global window — the X70
+    anti-pattern this replaced).  The running-sum window IS global but
+    runs over the aggregate-reduced value table (scores are near-always
+    quantized — |distinct| << |rows|; for pathological all-distinct
+    continuous scores drop the broadcast hint and let the join shuffle).
+    The reference reduces to a ``grid``+1-point curve in one aggregate
+    whose values are BAKED into the plan as one literal array (the
+    bounded-collect pattern — grid+1 doubles to the driver, shipped in a
+    single ``F.lit(list)`` call); the interpolation is row-local array
+    math.
+
+    Rows with a NULL new-side score are EXCLUDED (a missing score has no
+    rank position, and Spark windows order NULLS FIRST while most SQL
+    engines order NULLS LAST — admitting them would shift every non-null
+    percent_rank engine-dependently)."""
     fracs = [i / grid for i in range(grid + 1)]
     curve_vals = ref_df.select(
         F.percentile(F.col(value_col).cast("double"), F.lit(fracs)).alias("_q")
@@ -646,8 +659,26 @@ def quantile_map(
         # produce all-NULL mapped values downstream; fail loudly instead
         raise ValueError("quantile_map: reference frame has no non-null values")
     q = F.lit([float(x) for x in curve_vals])
-    w = Window.orderBy(F.col("value").asc())
-    pr = F.percent_rank().over(w)
+    base = new_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col), F.col(value_col).alias("value")
+    )
+    per_value = base.groupBy("value").agg(F.count(F.lit(1)).alias("_c"))
+    wv = Window.orderBy(F.col("value").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_value.select(
+        F.col("value").alias("_v"),
+        (F.sum("_c").over(wv) - F.col("_c")).alias("_before"),
+    )
+    total = per_value.agg(F.sum("_c").alias("_total"))
+    # percent_rank = (min_rank - 1) / (n - 1) = rows_before / (n - 1); a
+    # 1-row corpus has rank 0.0 by both engines' definition
+    pr_val = F.when(
+        F.col("_total") > 1,
+        F.col("_before").cast("double") / (F.col("_total") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    ranks = cum.crossJoin(F.broadcast(total)).select("_v", pr_val.alias("_pr"))
+    pr = F.col("_pr")
     idx = pr * grid
     lo = F.floor(idx).cast("int")
     frac = idx - lo
@@ -655,7 +686,7 @@ def quantile_map(
     q_hi = F.element_at(q, F.least(lo + F.lit(2), F.lit(grid + 1)))
     mapped = q_lo + frac * (q_hi - q_lo)
     mult = float(10**round_scale)
-    return new_df.select(F.col(id_col), F.col(value_col).alias("value")).select(
+    return base.join(F.broadcast(ranks), F.col("value") == F.col("_v")).select(
         id_col,
         "value",
         (F.floor(pr * mult + 0.5) / mult).alias("quantile"),

@@ -2501,7 +2501,8 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_quantile_map",
     oracle="""
     WITH newt AS (
-      SELECT event_id, cast(value AS double) AS value FROM events WHERE event_id % 2 = 1),
+      SELECT event_id, cast(value AS double) AS value FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL),
     ref AS (SELECT cast(value AS double) AS v FROM events WHERE event_id % 2 = 0),
     curve AS (
       SELECT quantile_cont(v, list_transform(range(0, 1001), i -> i / 1000.0)) AS q

@@ -77,7 +77,15 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native rank family (declared extensions, SURVEY.md §2.6)."""
+    """Native rank family (declared extensions, SURVEY.md §2.6).
+
+    The ``ntile(4)`` quartile deliberately uses an UNPARTITIONED window: a
+    total-order quantile is inherently a single-task sort, kept here as the
+    bounded demo of the semantics (allowlisted in tools/plan_audit.py).  At
+    corpus scale use the histogram-CDF forms instead — X47
+    ``value_deciles`` (per-value counts + running sum, no global sort) for
+    global quantile bins, or X14 per-group ``row_number``/``WindowGroupLimit``
+    for partitioned ranks."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
     return ev.select(

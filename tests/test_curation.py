@@ -809,6 +809,41 @@ def test_quantile_map_calibrates_shifted_distribution(spark):
         assert a.mapped_value <= b.mapped_value + 1e-9  # monotone
 
 
+def test_quantile_map_has_no_global_window_over_corpus(spark):
+    """The X70 scale fix: percent_rank must come from the per-value
+    histogram + running sum (window over the aggregate-REDUCED value
+    table), never an unpartitioned window over the raw corpus — pinned
+    with the same detector tools/plan_audit.py runs per-round."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import _global_windows_over_unreduced
+
+    ref = spark.createDataFrame([(i, float(i)) for i in range(50)], "id LONG, v DOUBLE")
+    new = spark.createDataFrame(
+        [(100 + i, float(i) + 7.0) for i in range(50)], "id LONG, v DOUBLE"
+    )
+    out = cu.quantile_map(new, ref, "v", "id", grid=100)
+    assert _global_windows_over_unreduced(out) == []
+
+
+def test_quantile_map_ties_share_rank_and_nulls_excluded(spark):
+    """Ties share the minimum-rank percent_rank (engine-identical with the
+    histogram CDF) and NULL new-side scores are excluded, not NULLS-FIRST
+    rank-shifted."""
+    ref = spark.createDataFrame([(i, float(i)) for i in range(11)], "id LONG, v DOUBLE")
+    new = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 10.0), (5, None)],
+        "id LONG, v DOUBLE",
+    )
+    rows = {r.id: r for r in cu.quantile_map(new, ref, "v", "id", grid=10).collect()}
+    assert 5 not in rows  # NULL score excluded
+    assert rows[1].quantile == rows[2].quantile == rows[3].quantile == 0.0
+    assert abs(rows[4].quantile - 1.0) < 1e-9
+    assert abs(rows[4].mapped_value - 10.0) < 1e-6
+
+
 def test_temporal_split_embargo_partitions(spark):
     import datetime as dt
 

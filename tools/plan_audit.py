@@ -8,7 +8,12 @@ exchange/broadcast counts and flags the scale anti-patterns:
   (quadratic at scale) unless the broadcast side is provably tiny;
 - ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan (the slow
   path; Arrow-vectorized ``ArrowEvalPython``/``MapInPandas``/
-  ``FlatMapGroupsInPandas`` are the sanctioned Python surfaces).
+  ``FlatMapGroupsInPandas`` are the sanctioned Python surfaces);
+- ``GlobalWindow`` — a ``Window`` with an EMPTY partition spec whose input
+  subtree contains no reduction (Aggregate/Distinct/Deduplicate/limit):
+  the whole corpus funnels through ONE task (the X70 anti-pattern).  A
+  global window over an aggregate-REDUCED table (the histogram-CDF
+  pattern: per-value counts then a running sum) is fine and not flagged.
 
 Known-intentional shapes are allowlisted with the reason printed, so a
 clean run is "every flag is either absent or explained".
@@ -21,8 +26,14 @@ from __future__ import annotations
 import os
 import sys
 
-#: query -> (flag, why it is intentional)
+#: query -> (flag, why) or [(flag, why), ...] when several are intentional
 ALLOWLIST = {
+    # deliberate global-ntile demo: a total-order quartile is inherently a
+    # single-task window (documented in the docstring; X47 value_deciles /
+    # X14 per-group top-k are the scale forms)
+    "window_rank_kinds": ("GlobalWindow", "global ntile(4) demo; X47/X14 are the scale forms"),
+    # X70 histogram-CDF: the BNLJ broadcast side is the ONE corpus-total row
+    "curation_quantile_map": ("BroadcastNestedLoopJoin", "single corpus-total row over per-value counts"),
     # reference-literal no-filter overlap: bounded demo of WHY the keyed /
     # binned forms exist; overlap_global_binned is the scale path
     "overlap_global_demo": ("BroadcastNestedLoopJoin", "bounded 500-row demo of the no-key form"),
@@ -75,6 +86,40 @@ ALLOWLIST = {
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
 
+#: logical nodes that REDUCE their input to per-group / bounded cardinality —
+#: a global window running over one of these is metadata-sized, not corpus-sized
+_REDUCING_NODES = {"Aggregate", "Distinct", "Deduplicate", "GlobalLimit", "LocalLimit"}
+
+
+def _global_windows_over_unreduced(df) -> list[str]:
+    """Walk the optimized logical plan; return a description line for every
+    Window whose partition spec is EMPTY and whose child subtree contains no
+    reducing node — the corpus-through-one-task shape (X70 class)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+
+    def has_reduction(node) -> bool:
+        if node.nodeName() in _REDUCING_NODES:
+            return True
+        cs = node.children()
+        return any(has_reduction(cs.apply(i)) for i in range(cs.length()))
+
+    def walk(node) -> None:
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            if not has_reduction(node.children().apply(0)):
+                bad.append(node.simpleString(80))
+        cs = node.children()
+        for i in range(cs.length()):
+            walk(cs.apply(i))
+
+    walk(plan)
+    return bad
+
+
+def _allowed(name: str):
+    entry = ALLOWLIST.get(name, [])
+    return [entry] if isinstance(entry, tuple) else list(entry)
+
 
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -92,17 +137,21 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            global_wins = _global_windows_over_unreduced(df)
         except Exception as e:  # streaming-only plans etc.
             print(f"SKIP  {name}: {str(e).splitlines()[0][:90]}")
             continue
         hits = [f for f in FLAGS if f in plan]
-        allowed = ALLOWLIST.get(name)
-        if allowed and allowed[0] in hits:
-            hits.remove(allowed[0])
-            note = f" [allowed: {allowed[0]} — {allowed[1]}]"
-        else:
-            note = ""
+        if global_wins:
+            hits.append("GlobalWindow")
+        notes = []
+        for flag, why in _allowed(name):
+            if flag in hits:
+                hits.remove(flag)
+                notes.append(f"allowed: {flag} — {why}")
+        note = f" [{'; '.join(notes)}]" if notes else ""
         status = "FLAG" if hits else "ok"
         if hits:
             bad += 1
