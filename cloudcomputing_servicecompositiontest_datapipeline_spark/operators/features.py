@@ -317,7 +317,10 @@ def burst_detection(
     A constant-rate type (std 0) yields NULL z and never flags."""
     dense = _dense_counts(events, type_col, ts_col, bucket)
     if dense is None:
-        return events.select(
+        # no usable time axis (empty / all-NULL timestamps): schema-only
+        # empty frame — emitting one zero row per event would blow a
+        # degenerate input back up to corpus size
+        return events.limit(0).select(
             F.col(type_col).alias("event_type"),
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
             F.lit(0).cast("long").alias("n_events"),
@@ -610,7 +613,11 @@ def ab_test_zscores(
 
     ONE partial-agg shuffle: per (group, arm) exact integer-free moment
     sums — means/variances from sum and sum-of-squares of doubles
-    decimal-accumulated, so the statistic is engine-identical."""
+    decimal-accumulated, so the statistic is engine-identical.  Variances
+    are SAMPLE variances (the n/(n-1) Bessel correction on the moment
+    form), matching the classical Welch denominator — population variance
+    would inflate |z| for small arms and make the 1.96 flag
+    anti-conservative."""
     mult = float(10**round_scale)
     dec = "decimal(28,8)"
     m = F.col(metric_col).cast("double")
@@ -630,8 +637,8 @@ def ab_test_zscores(
     nb = F.col("n_b").cast("double")
     ma = F.col("_sa").cast("double") / na
     mb = F.col("_sb").cast("double") / nb
-    va = F.col("_ssa").cast("double") / na - ma * ma
-    vb = F.col("_ssb").cast("double") / nb - mb * mb
+    va = (F.col("_ssa").cast("double") / na - ma * ma) * na / (na - 1)
+    vb = (F.col("_ssb").cast("double") / nb - mb * mb) * nb / (nb - 1)
     z = (mb - ma) / F.sqrt(va / na + vb / nb)
 
     def r6(c):
@@ -684,7 +691,8 @@ def cusum_changepoints(
     partition by the type."""
     dense = _dense_counts(events, type_col, ts_col, bucket)
     if dense is None:
-        return events.select(
+        # schema-only empty frame, same rationale as burst_detection
+        return events.limit(0).select(
             F.col(type_col).alias("event_type"),
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
             F.lit(0).cast("long").alias("n_events"),
@@ -745,7 +753,8 @@ def rolling_rate(
     per type over metadata-sized rows, its mean from exact integer sums."""
     dense = _dense_counts(events, type_col, ts_col, bucket)
     if dense is None:
-        return events.select(
+        # schema-only empty frame, same rationale as burst_detection
+        return events.limit(0).select(
             F.col(type_col).alias("event_type"),
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
             F.lit(0).cast("long").alias("n_events"),

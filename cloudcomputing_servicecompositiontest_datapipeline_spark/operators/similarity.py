@@ -1006,8 +1006,13 @@ def embedding_qc(
     Output: (id, dim, n_nonfinite, norm, ok plus the reason flags)."""
     v = F.col(vec_col)
     dim = F.when(v.isNull(), F.lit(0)).otherwise(F.size(v)).cast("int")
+    # a NULL component counts as non-finite: isnan(NULL) is NULL, so without
+    # the explicit isNull() arm the filter would silently drop it and a
+    # null-poisoned vector would sail through with a NULL verdict downstream
     nonfinite = F.when(v.isNull(), F.lit(0)).otherwise(
-        F.size(F.filter(v, lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e308))))
+        F.size(
+            F.filter(v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > F.lit(1e308)))
+        )
     ).cast("int")
     norm_sq = F.when(
         v.isNull() | (nonfinite > 0), F.lit(None).cast("double")

@@ -2328,10 +2328,10 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            cast(CASE WHEN embedding IS NULL THEN 0 ELSE len(embedding) END AS int) AS dim,
            cast(CASE WHEN embedding IS NULL THEN 0
-                ELSE len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308))
+                ELSE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e308))
                 END AS int) AS n_nonfinite,
            CASE WHEN embedding IS NULL
-                     OR len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308)) > 0
+                     OR len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e308)) > 0
                 THEN NULL
                 ELSE floor(sqrt(list_reduce(
                        list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
@@ -2340,10 +2340,10 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            embedding IS NULL AS is_null,
            embedding IS NOT NULL AND len(embedding) != 64 AS bad_dim,
            embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308)) > 0
+             AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e308)) > 0
              AS has_nonfinite,
            coalesce(embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308)) = 0
+             AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e308)) = 0
              AND (floor(sqrt(list_reduce(
                     list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
                     (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 < 0.000001
@@ -2352,7 +2352,7 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 > 1000000.0),
              false) AS bad_norm,
            coalesce(embedding IS NOT NULL AND len(embedding) = 64
-             AND len(list_filter(embedding, x -> isnan(x) OR abs(x) > 1e308)) = 0
+             AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e308)) = 0
              AND NOT (floor(sqrt(list_reduce(
                         list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
                         (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 < 0.000001
@@ -2745,8 +2745,8 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT g, n_a, n_b,
              cast(sa AS double) / n_a AS ma, cast(sb AS double) / n_b AS mb,
-             cast(ssa AS double) / n_a - (cast(sa AS double) / n_a) * (cast(sa AS double) / n_a) AS va,
-             cast(ssb AS double) / n_b - (cast(sb AS double) / n_b) * (cast(sb AS double) / n_b) AS vb
+             (cast(ssa AS double) / n_a - (cast(sa AS double) / n_a) * (cast(sa AS double) / n_a)) * n_a / (n_a - 1) AS va,
+             (cast(ssb AS double) / n_b - (cast(sb AS double) / n_b) * (cast(sb AS double) / n_b)) * n_b / (n_b - 1) AS vb
       FROM s)
     SELECT g AS "group", cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
            floor(ma * 1000000 + 0.5) / 1000000 AS mean_a,

@@ -1329,6 +1329,7 @@ def test_embedding_qc_flags(spark):
         (4, [1.0, 2.0, 3.0]),       # wrong dim
         (5, None),                  # null vector
         (6, [1.0, float("inf")]),   # inf counts as non-finite
+        (7, [1.0, None]),           # NULL component counts as non-finite
     ]
     df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
     got = {r.vec_id: r for r in s.embedding_qc(df, "embedding", "vec_id", expected_dim=2).collect()}
@@ -1338,6 +1339,10 @@ def test_embedding_qc_flags(spark):
     assert got[4].bad_dim and not got[4].ok
     assert got[5].is_null and got[5].dim == 0 and not got[5].ok
     assert got[6].has_nonfinite and not got[6].ok
+    # the gate must emit a real False verdict, never NULL, for a
+    # null-poisoned vector (isnan(NULL) is NULL without the isNull arm)
+    assert got[7].has_nonfinite and got[7].n_nonfinite == 1
+    assert got[7].ok is False and got[7].bad_norm is False
     assert sum(1 for r in got.values() if r.ok) == 1
 
 
@@ -1525,6 +1530,27 @@ def test_ab_test_zscores_detects_shift(spark):
     assert abs(got["shift"].mean_b - got["shift"].mean_a - 5.0) < 0.2
 
 
+def test_ab_test_zscores_uses_sample_variance(spark):
+    """Welch z with Bessel-corrected (sample) variances: A={1,2,3},
+    B={4,6} -> var_a=1, var_b=2, z=(5-2)/sqrt(1/3+2/2)=2.598076;
+    population variances would give 3/sqrt(2/9+1) ~ 2.714 (inflated).
+    A single-row arm has undefined sample variance -> NULL z, not-significant."""
+    import math
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 0, "g", 1.0), (2, 0, "g", 2.0), (3, 0, "g", 3.0),
+        (4, 1, "g", 4.0), (5, 1, "g", 6.0),
+        (6, 0, "tiny", 1.0), (7, 0, "tiny", 2.0), (8, 1, "tiny", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+    got = {r.group: r for r in ft.ab_test_zscores(df, F.col("user_id") == 1).collect()}
+    expect = 3.0 / math.sqrt(1.0 / 3 + 2.0 / 2)
+    assert abs(got["g"].z_score - round(expect, 6)) < 1e-6
+    assert got["tiny"].z_score is None and got["tiny"].significant is False
+
+
 def test_cusum_detects_level_shift_not_single_spike(spark):
     """The complement of the z-burst detector: a sustained +3/hour level
     shift accumulates past the 4-std CUSUM threshold even though no single
@@ -1666,6 +1692,26 @@ def test_rolling_rate_trailing_window(spark):
     assert abs(got[1].trailing_avg - 1.5) < 1e-6   # (1+2)/2
     assert abs(got[4].trailing_avg - 4.0) < 1e-6   # (3+4+5)/3
     assert abs(got[9].ratio_to_avg - 10 / 9) < 1e-4
+
+
+def test_rate_monitors_all_null_ts_yield_empty_frames(spark):
+    """Degenerate input (every timestamp NULL -> no time axis): the three
+    rate monitors must return schema-only EMPTY frames, not one zero row
+    per event (1M null-ts events must not yield 1M rows)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    df = spark.createDataFrame(
+        [(i, None, "t") for i in range(20)],
+        "event_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    for fn, cols in [
+        (ft.burst_detection, {"event_type", "bucket_ts", "n_events", "z_score", "is_burst"}),
+        (ft.cusum_changepoints, {"event_type", "bucket_ts", "n_events", "cusum", "is_shift"}),
+        (ft.rolling_rate, {"event_type", "bucket_ts", "n_events", "trailing_avg", "ratio_to_avg"}),
+    ]:
+        out = fn(df)
+        assert set(out.columns) == cols
+        assert out.count() == 0
 
 
 def test_novelty_scores_semantics(spark):
