@@ -164,11 +164,15 @@ def main() -> None:
     except OSError:
         pass
 
-    # min of three timed executions: the steady-state number, robust to a GC
-    # pause, compilation straggler, or a hypervisor-steal burst landing in
-    # one run (observed: single-run noise up to 5x on virtualized hosts)
+    # One UNTIMED pass at the timed SF first (the sf0.001 warm-up compiles
+    # the codegen but C2/JIT steady state needs executions at the real data
+    # shape — observed: the same query keeps dropping for ~4-8 runs), then
+    # min of three timed executions: robust to a GC pause, compilation
+    # straggler, or a hypervisor-steal burst landing in one run (observed:
+    # single-run noise up to 5x on virtualized hosts).
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
             t0 = time.time()

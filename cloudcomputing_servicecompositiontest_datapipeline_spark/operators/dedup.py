@@ -465,62 +465,103 @@ def cluster_canonical(
     minimum, identical to plain propagation (the jump only ever replaces a
     label with a smaller same-component label).
     ``localCheckpoint`` truncates lineage each round so plans don't grow
-    exponentially; the convergence check is a cheap ``limit(1).count``.
-    Docs with no near-dup pair keep themselves as canonical.
+    exponentially; the convergence check is a cheap ``limit(1).count``
+    over the previous label carried THROUGH the round's aggregate (no
+    extra old-vs-new join).  Docs with no near-dup pair keep themselves as
+    canonical.
+
+    The loop runs with AQE ``coalescePartitions.parallelismFirst=false``
+    (restored after): iterative graph frames should be partitioned by the
+    GRAPH's size, not the session's parallelism default — AQE then
+    coalesces a kilobyte-scale duplicate graph to ~1 task per round
+    (instead of ``shuffle.partitions`` near-empty tasks × rounds) while a
+    100 TB dup graph still gets the advisory-size partition count.
     """
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = (
-        fwd.unionByName(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # Iterate over TOUCHED nodes only (nodes on some edge): singletons can
-    # never change label, so keeping them in the loop just multiplies every
-    # round's join/agg by |corpus|.  With this cut the iterative frames
-    # scale with the DUPLICATE population (pairs), not the corpus — at a
-    # typical few-% dup rate that is a 10-100x smaller loop; singletons
-    # rejoin as themselves at the end.
-    touched = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
-    )
-    labels = touched.select("node", F.col("node").alias("label"))
-    for _ in range(max_iterations):
-        neighbor_labels = (
-            edges.join(
-                labels.select(F.col("node").alias("src"), "label"), "src"
-            ).select(F.col("dst").alias("node"), "label")
-        )
-        propagated = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # Pointer jump: label ← label(label).  Every label value is itself a
-        # node (labels are min-folds over node ids), so the self-join is
-        # total; left+coalesce guards the invariant anyway.
-        hop = propagated.select(
-            F.col("node").alias("label"), F.col("label").alias("_jump")
-        )
-        # One action per round: the lazy localCheckpoint materializes when the
-        # convergence probe runs, so each iteration schedules a single job
-        # (eager checkpoint + separate count was two).
-        new_labels = (
-            propagated.join(hop, "label", "left")
-            .select("node", F.coalesce("_jump", F.col("label")).alias("label"))
+    spark = df.sparkSession
+    _pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    prev_pf = spark.conf.get(_pf_key, "true")
+    try:
+        spark.conf.set(_pf_key, "false")
+        fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        edges = (
+            fwd.unionByName(
+                fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("node", F.col("label").alias("old")), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+        # Size the ITERATIVE frames to the GRAPH, not the session default:
+        # the count materializes the edge checkpoint (a job round 0 would
+        # pay anyway) and every round then reads p partitions instead of
+        # shuffle.partitions near-empty ones — per-round task-launch
+        # overhead is the dominant cost on a small dup graph (the common
+        # case: dup pairs are a few % of the corpus), while a genuinely
+        # huge graph keeps full parallelism via the
+        # 2M-edges-per-partition target.
+        n_edges = edges.count()
+        p = max(
+            1,
+            min(int(spark.sparkContext.defaultParallelism), n_edges // 2_000_000 + 1),
         )
-        labels = new_labels
-        if changed == 0:
-            break
+        edges = edges.repartition(p).localCheckpoint(eager=False)
+        # Iterate over TOUCHED nodes only (nodes on some edge): singletons
+        # can never change label, so keeping them in the loop just
+        # multiplies every round's join/agg by |corpus|.  With this cut the
+        # iterative frames scale with the DUPLICATE population (pairs), not
+        # the corpus — at a typical few-% dup rate that is a 10-100x
+        # smaller loop; singletons rejoin as themselves at the end.
+        touched = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        labels = touched.select("node", F.col("node").alias("label"))
+        for _ in range(max_iterations):
+            neighbor_labels = (
+                edges.join(
+                    labels.select(F.col("node").alias("src"), "label"), "src"
+                ).select(
+                    F.col("dst").alias("node"),
+                    "label",
+                    F.lit(None).cast(labels.schema["label"].dataType).alias("_old"),
+                )
+            )
+            # The old label rides through the min-fold as max(_old): every
+            # touched node appears exactly once in `labels`, so max over
+            # (its old label, NULLs from neighbor rows) IS the old label —
+            # the convergence probe then needs no old-vs-new join.
+            propagated = (
+                labels.select("node", "label", F.col("label").alias("_old"))
+                .unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
+            )
+            # Pointer jump: label ← label(label).  Every label value is itself a
+            # node (labels are min-folds over node ids), so the self-join is
+            # total; left+coalesce guards the invariant anyway.
+            hop = propagated.select(
+                F.col("node").alias("label"), F.col("label").alias("_jump")
+            )
+            # One action per round: the lazy localCheckpoint materializes when
+            # the convergence probe runs, so each iteration schedules a single
+            # job (eager checkpoint + separate count was two).
+            new_labels = (
+                propagated.join(hop, "label", "left")
+                .select(
+                    "node",
+                    F.coalesce("_jump", F.col("label")).alias("label"),
+                    "_old",
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
+            )
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(_pf_key, prev_pf)
     return (
         df.select(F.col(id_col).alias("node"))
         .join(labels.select("node", "label"), "node", "left")

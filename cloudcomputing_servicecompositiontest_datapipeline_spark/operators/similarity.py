@@ -426,25 +426,24 @@ def semantic_dedup(
     if exact_dots:
         dot = _dot_dec(F.col("vec_a"), F.col("vec_b")).cast("double")
     else:
-        # Scale path: Arrow-batched numpy dot (einsum over the joined pair
-        # batch) — vectorized dense math beats the interpreted per-element
-        # fold by an order of magnitude; per-row computation is independent
-        # of partitioning so results stay deterministic inside Spark.
-        # Decimal folds are only needed when a DIFFERENT engine must
-        # reproduce the exact threshold decisions (the oracle-checked
-        # attribute twin keeps exact_dots=True).
-        import numpy as np
-        import pandas as pd
-
-        def _pair_dot_fn(va, vb):
-            if len(va) == 0:
-                return pd.Series([], dtype="float64")
-            A = np.stack(va.to_numpy()).astype(np.float64)
-            B = np.stack(vb.to_numpy()).astype(np.float64)
-            return pd.Series(np.einsum("ij,ij->i", A, B))
-
-        _pair_dot = F.pandas_udf(_pair_dot_fn, returnType="double")
-        dot = _pair_dot(F.col("vec_a"), F.col("vec_b"))
+        # Scale path: plain float64 fold in the JVM (zip_with + aggregate,
+        # left-to-right — the same summation order as a numpy einsum, so the
+        # doubles are identical), keeping Python entirely OUT of the
+        # per-pair hot path: a pandas-UDF dot pays Arrow transfer + python
+        # worker dispatch per task on the JOINED pair frame (the largest
+        # frame in the operator), which dwarfs the O(dim) arithmetic it
+        # vectorizes.  Decimal folds are only needed when a DIFFERENT
+        # engine must reproduce the exact threshold decisions (the
+        # oracle-checked attribute twin keeps exact_dots=True).
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("vec_a"),
+                F.col("vec_b"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     pairs = (
         a.join(b, ["_block"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -270,12 +270,14 @@ def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free assignment (same machinery as IVF ANN) — then within-block
     cosine pairs → connected components → canonical per cluster.  Block size
     is CONTROLLED (n_centroids grows ~sqrt(n) with the corpus), which is what
-    keeps the within-block quadratic bounded at 100 TB.  Rows-only (k-means
-    is engine-specific); agreement with the attribute-blocked oracle twin is
-    pinned in tests."""
+    keeps the within-block quadratic bounded at 100 TB — applied here too:
+    45 ≈ sqrt(2000) centroids for the sf0.1 fixture (16 made blocks ~3x the
+    sqrt-rule size, fattening both the pair join and the CC graph).
+    Rows-only (k-means is engine-specific); agreement with the
+    attribute-blocked oracle twin is pinned in tests."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(emb, threshold=0.35, n_centroids=16, exact_dots=False)
+    return sim.semantic_dedup(emb, threshold=0.35, n_centroids=45, exact_dots=False)
 
 
 @query(
