@@ -662,3 +662,18 @@ class Engine:
         from .operators import features as ft
 
         return ft.transition_matrix(events, **kw)
+
+    def observe_stream(self, stream: DataFrame, **kw) -> DataFrame:
+        """T2: attach named ``observe()`` progress metrics to a streaming
+        DataFrame (the reference's ``.progress.txt`` watcher,
+        experiment_caller.py:103-111)."""
+        from .streaming.core import attach_progress
+
+        return attach_progress(stream, **kw)
+
+    def stream_progress(self, query, **kw) -> list[dict]:
+        """T2: per-micro-batch progress summaries (batch id, input rows,
+        observed metrics) from a StreamingQuery's ``recentProgress``."""
+        from .streaming.core import progress_records
+
+        return progress_records(query, **kw)

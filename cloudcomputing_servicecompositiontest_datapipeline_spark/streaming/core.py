@@ -175,6 +175,50 @@ def stream_exact_dedup(
     )
 
 
+def attach_progress(
+    stream: DataFrame,
+    *,
+    name: str = "progress",
+    metrics: list[F.Column] | None = None,
+) -> DataFrame:
+    """T2: attach named ``observe()`` metrics to a streaming DataFrame — the
+    library surface of the reference's per-run ``.progress.txt`` watcher
+    (``experiment_caller.py:103-111``: the caller polls a progress file the
+    worker appends to).  Spark's native form is observed metrics: the
+    expressions are evaluated over every micro-batch ON the executors
+    (piggybacked on the batch's own pass — no extra job, no collect) and
+    surfaced in each ``StreamingQueryProgress``; read them back with
+    :func:`progress_records`.
+
+    Default metric is the record count; pass aggregate Columns (count / sum /
+    min / max ...) for more."""
+    if metrics is None:
+        metrics = [F.count(F.lit(1)).alias("n_records")]
+    return stream.observe(name, *metrics)
+
+
+def progress_records(query, *, name: str = "progress") -> list[dict]:
+    """T2 companion: compress a StreamingQuery's ``recentProgress`` into one
+    plain dict per micro-batch — batch id, wall timestamp, input rows, and
+    the named ``observe()`` metrics (flattened) when present.  Works on a
+    finished available-now query or a live one (driver-side metadata only —
+    ``recentProgress`` is already held on the driver, so this never touches
+    executors)."""
+    out: list[dict] = []
+    for p in query.recentProgress or []:
+        rec = {
+            "batch_id": p.get("batchId"),
+            "timestamp": p.get("timestamp"),
+            "num_input_rows": p.get("numInputRows"),
+        }
+        observed = (p.get("observedMetrics") or {}).get(name)
+        if observed:
+            # pyspark surfaces each observed-metrics entry as a Row
+            rec.update(observed.asDict() if hasattr(observed, "asDict") else observed)
+        out.append(rec)
+    return out
+
+
 def stream_static_enrich(
     stream: DataFrame,
     static_dim: DataFrame,

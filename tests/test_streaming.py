@@ -150,10 +150,21 @@ def test_stream_stream_overlap_join(spark, tmp_path):
 
 def test_observe_progress_metrics(spark, run_dir, tmp_path):
     """T2: progress tracking (experiment_caller.py:103-111 .progress.txt) →
-    observe() metrics surfaced in streaming progress."""
+    the library's attach_progress/progress_records pair, also exposed as
+    Engine.observe_stream / Engine.stream_progress."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.api import Engine
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.core import (
+        attach_progress,
+        progress_records,
+    )
+
     stream = spark.readStream.schema(_parse_datatype_string(SCHEMA)).json(run_dir)
-    observed = stream.observe(
-        "progress", F.count(F.lit(1)).alias("n_records"), F.sum("value").alias("sum_value")
+    observed = attach_progress(
+        stream,
+        metrics=[
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("value").alias("sum_value"),
+        ],
     )
     q = (
         observed.writeStream.format("noop")
@@ -162,12 +173,26 @@ def test_observe_progress_metrics(spark, run_dir, tmp_path):
         .start()
     )
     q.awaitTermination()
-    metrics = [
-        p["observedMetrics"]["progress"]
-        for p in (q.recentProgress or [])
-        if p.get("observedMetrics", {}).get("progress")
-    ]
-    assert metrics and metrics[0]["n_records"] == 6
+    recs = progress_records(q)
+    with_data = [r for r in recs if r.get("n_records")]
+    assert with_data and with_data[0]["n_records"] == 6
+    assert with_data[0]["num_input_rows"] == 6
+    assert "batch_id" in with_data[0]
+
+    # the same pair through the Engine facade, default metric (count)
+    eng = Engine(spark)
+    q2 = (
+        eng.observe_stream(
+            spark.readStream.schema(_parse_datatype_string(SCHEMA)).json(run_dir)
+        )
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    recs2 = [r for r in eng.stream_progress(q2) if r.get("n_records")]
+    assert recs2 and recs2[0]["n_records"] == 6
 
 
 def test_stateful_container_lifetimes_across_batches(spark, tmp_path):
