@@ -1714,6 +1714,75 @@ def test_rate_monitors_all_null_ts_yield_empty_frames(spark):
         assert out.count() == 0
 
 
+def test_novelty_scores_empty_reference_is_all_novel(spark):
+    """Edge: an EMPTY reference corpus means every gram is unseen — novelty
+    must be a real 1.0, not NULL (left join against an empty gram set)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "hi")],
+        "doc_id LONG, text STRING",
+    )
+    ref = spark.createDataFrame([], "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in tx.novelty_scores(new, ref, "text", "doc_id", n=5).collect()}
+    assert got[1].novelty == 1.0 and got[1].n_seen == 0 and got[1].n_grams == 5
+    assert got[2].n_grams == 0 and got[2].novelty is None  # still 'no evidence'
+
+
+def test_bootstrap_ci_single_row_group(spark):
+    """Edge: a 1-row group's replicate means are all the single value (when a
+    replicate samples the row at all) — the band collapses to [v, v] rather
+    than erroring or emitting NULLs."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    df = spark.createDataFrame(
+        [(1, "solo", 5.0)] + [(10 + i, "big", float(i % 7)) for i in range(50)],
+        "event_id LONG, event_type STRING, value DOUBLE",
+    )
+    got = {r.group: r for r in ft.bootstrap_ci(df, "value", "event_type", "event_id").collect()}
+    assert got["solo"].mean == 5.0
+    assert got["solo"].ci_lo == 5.0 and got["solo"].ci_hi == 5.0
+    assert got["big"].ci_lo < got["big"].ci_hi
+
+
+def test_winnow_containment_empty_gram_side(spark):
+    """Edge: a candidate pair whose short side has fewer than k tokens has an
+    EMPTY gram set — containment is a real 0.0 (den=0 guard), the pair is
+    filtered, and nothing errors or goes NULL."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "one two three four five six seven eight nine ten")],
+        "doc_id LONG, text STRING",
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a LONG, id_b LONG")
+    out = tx.winnow_containment(docs, "text", "doc_id", cands, k=5, min_containment=0.0)
+    rows = out.collect()
+    assert len(rows) == 1  # min_containment 0.0 keeps the pair for inspection
+    assert rows[0].containment_a_in_b == 0.0 and rows[0].n_common_grams == 0
+    strict = tx.winnow_containment(docs, "text", "doc_id", cands, k=5, min_containment=0.6)
+    assert strict.count() == 0  # and a real threshold drops it
+
+
+def test_transition_matrix_single_event_users(spark):
+    """Edge: a user with ONE event contributes no transition rows (lead is
+    NULL); users with 2+ events still produce theirs."""
+    import datetime as dt
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    ev = spark.createDataFrame(
+        [
+            (1, 100, "a", dt.datetime(2024, 1, 1)),
+            (2, 200, "b", dt.datetime(2024, 1, 1)),
+            (3, 200, "c", dt.datetime(2024, 1, 2)),
+        ],
+        "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP",
+    )
+    rows = ft.transition_matrix(ev).collect()
+    assert len(rows) == 1
+    assert (rows[0].from_type, rows[0].to_type, rows[0].probability) == ("b", "c", 1.0)
+
+
 def test_novelty_scores_semantics(spark):
     from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
 
