@@ -42,82 +42,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r5 window.  Leads with the single r4 FAIL (text_winnow_fingerprints:
-    # now array_join-ed per the r1 pattern — the driver's sort-then-hash
-    # canonicalizer cannot factorize raw arrays), then the 3 queries the
-    # r1-r4 union never checked (added after r4's 50 slots filled), then
-    # the BPE family (encoder re-expressed as codegen'd string rewrites +
-    # delimiter-strip normalization this round), then the 6 queries added
-    # in r5 (X58-X83), then a 16-slot refresh rotation of r1/r2-vintage
-    # oracle rows (bench headliners, TPC-H spread, core report/tlq).
-    "text_winnow_fingerprints",
-    # --- never driver-checked until now
-    "text_langid_eval",
-    "text_normalize_unicode",
-    "text_compression_ratio",
-    # --- X36 BPE: operators changed in r5 (string-rewrite encoder, shared
-    # training memo, delimiter-strip corpus normalization)
-    "text_bpe_pair_counts",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "text_bpe_encode_parity",
-    # --- r5 additions X58-X83
-    "curation_importance_weights",
-    "split_stratified",
-    "curation_quality_quantile_norm",
-    "text_token_stats_by_source",
-    "dedup_cluster_size_histogram",
-    "events_burst_zscore",
-    "dedup_dup_rate_by_source",
-    "embedding_qc",
-    "events_bootstrap_ci",
-    "text_strip_html",
-    "pack_efficiency_report",
-    "streaming_burst_monitor",
+    # r6 window (oldest-green-first per the r5 verdict).  Leads with the 12
+    # queries whose code or oracle changed THIS round — the histogram-CDF
+    # quantile_map rewrite, the null-component embedding_qc fix, the
+    # Bessel-corrected ab_test, the connected-components rewrite (everything
+    # downstream of cluster_canonical), and the empty-frame rate-monitor
+    # fallbacks — then the 36 queries whose latest driver row is r1-vintage,
+    # then the 2 oldest r2 rows.  Every r1-latest row re-verifies; nothing
+    # oracle-backed is left with a stale green older than 3 rounds except
+    # the r2 remainder queued for r7 (comment below).
+    # --- changed in r6
     "curation_quantile_map",
-    "curation_temporal_split",
-    "dedup_fuzzy_suppliers",
-    "report_regression_mape",
-    "sample_weighted_per_group",
-    "text_vocabulary_overlap",
-    "events_transition_matrix",
-    "events_survival_curve",
+    "embedding_qc",
     "events_ab_test",
+    "dedup_semantic_centroids",
+    "dedup_cluster_canonical",
+    "dedup_cluster_canonical_lsh",
+    "dedup_semantic_clusters",
+    "split_leakage_safe",
+    "dedup_winnow_clusters",
+    "events_burst_zscore",
     "events_cusum_shifts",
-    "dedup_winnow_containment",
-    "curation_concentration",
     "events_rolling_rate",
-    "text_novelty_scores",
-    # --- refresh rotation: oldest (r1/r2) driver rows re-verified
-    "report_multi_group",
-    "overlap_selfjoin",
-    "tenancy_annotate",
-    "pipeline_cumulative",
-    "join_asof_last_click",
-    "window_rank_topk",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q9_product_profit",
-    "topk_orders",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "similarity_bruteforce_topk",
-    "text_quality_score",
-    "events_session_window",
+    # --- latest driver row is r1: full refresh
+    "tlq_transform",
+    "tlq_dedup_first_wins",
+    "tlq_decode_priority",
+    "tlq_invalid_date",
+    "tlq_typed_cast",
+    "tlq_processing_time_stats",
+    "report_group_avg",
+    "report_group_sum",
+    "report_global_zall",
+    "report_invalidator_warmup",
+    "report_union_sentinel",
+    "report_derive_row",
+    "report_variance_uses",
+    "report_summary_cost",
+    "report_tenancy_histogram",
+    "report_dedup_containers",
+    "report_validity_gate",
+    "report_combine_sheets",
+    "skew_salted_agg",
+    # (r1's "overlap_global" row refers to the since-split query; its oldest
+    # living descendant is the r3-vintage binned form)
+    "overlap_global_binned",
+    "join_config_stamp",
+    "funnel_click_to_purchase",
+    "retention_week_over_week",
+    "window_lag_lead",
+    "window_rank_kinds",
+    "window_range_frame",
+    "join_left_outer",
+    "join_semi_anti",
+    "join_full_outer",
+    "setop_intersect",
+    "setop_except",
+    "rollup_region_nation",
+    "cube_status_priority",
+    "having_filter",
+    "distinct_multi",
+    "q4_order_priority_check",
+    # --- oldest r2 rows
+    "report_show_as_list",
+    "report_cold_start_count",
 ]
-# r6 queue: with this window the r1-r5 union covers every registered query
-# at least once and re-verifies the oldest third.  r6 leads with (a) any r5
-# FAILs, then (b) queries added/changed in r6, then (c) continue the
-# refresh rotation through the remaining r1/r2-vintage rows
-# (report_derive_row..., setop_intersect, rollup_region_nation, join_full_outer,
-# q13_order_distribution, q21_waiting_suppliers, q18_large_orders,
-# tlq_decode_priority, tlq_invalid_date, tlq_dedup_first_wins, tlq_typed_cast,
-# tlq_transform, report_group_avg, report_summary_cost,
-# report_tenancy_histogram, join_config_stamp, window_lag_lead, window_range_frame,
-# report_show_as_list, report_union_sentinel, report_full,
-# q2/q6-q8/q10-q12/q14-q17/q19-q20/q22, scalar
-# families, percentile/pivot, inspector, asof/funnel/retention variants).
+# r7 queue: lead with any r6 FAILs, then queries added/changed in r7, then
+# the remaining r2-vintage rows (report_approx_stats, inspector_nested_poll_agg,
+# dedup_minhash_lsh, dedup_simhash, dedup_embedding_cosine,
+# docs_join_embeddings, similarity_ivf_topk, similarity_lsh_topk,
+# text_language_id, text_token_count, text_fingerprint, multimodal_decode,
+# text_quality_cutoff, sample_stratified_systematic, text_chunk_documents,
+# corpus_curation_pipeline, dedup_passages, dedup_against_corpus,
+# q2/q6-q8/q10-q22, subquery_cheapest_part, percentile_stats,
+# pivot_event_types, unpivot_event_counts), then start on the r3 vintage.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
