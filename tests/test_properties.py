@@ -753,3 +753,59 @@ def test_bpe_encoders_agree_on_arbitrary_text(spark, texts, n_merges):
     a = {r.doc_id: r.tokens for r in bpe.bpe_encode(df, "text", "doc_id", merges).collect()}
     b = {r.doc_id: r.tokens for r in bpe.bpe_encode_pandas(df, "text", "doc_id", merges).collect()}
     assert a == b
+
+
+@given(
+    new_vals=st.lists(
+        st.integers(min_value=-5, max_value=8), min_size=1, max_size=24
+    ),
+    ref_vals=st.lists(
+        st.integers(min_value=-3, max_value=12), min_size=1, max_size=16
+    ),
+    grid=st.sampled_from([4, 10]),
+)
+@SETTINGS
+def test_quantile_map_matches_percent_rank_model(spark, new_vals, ref_vals, grid):
+    """The histogram-CDF rewrite of quantile_map (per-value counts + running
+    sum, no corpus-sized window) must be BIT-identical to the definitional
+    percent_rank model: pr(x) = (# rows < x)/(n-1) with ties sharing the
+    minimum rank, then linear interpolation into the reference quantile
+    curve.  The model below re-runs Spark's own ``percentile`` for the curve
+    and then replicates the plan's double arithmetic operation-for-operation,
+    so equality is exact, not approximate — including the round-half-up to 6
+    decimals and the 1-row corpus (pr = 0.0) edge."""
+    import math
+
+    from pyspark.sql import functions as SF
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    new = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(new_vals)], "id LONG, v DOUBLE"
+    )
+    ref = spark.createDataFrame([(float(v),) for v in ref_vals], "v DOUBLE")
+    got = {
+        r.id: (r.quantile, r.mapped_value)
+        for r in cu.quantile_map(new, ref, "v", "id", grid=grid).collect()
+    }
+
+    curve = ref.select(
+        SF.percentile(SF.col("v").cast("double"), SF.lit([i / grid for i in range(grid + 1)]))
+    ).first()[0]
+    curve = [float(x) for x in curve]
+    n = len(new_vals)
+    mult = float(10**6)
+    expect = {}
+    for i, x in enumerate(new_vals):
+        pr = (sum(1 for y in new_vals if y < x) / float(n - 1)) if n > 1 else 0.0
+        idx = pr * grid
+        lo = int(math.floor(idx))
+        frac = idx - lo
+        q_lo = curve[lo]
+        q_hi = curve[min(lo + 1, grid)]
+        mapped = q_lo + frac * (q_hi - q_lo)
+        expect[i] = (
+            math.floor(pr * mult + 0.5) / mult,
+            math.floor(mapped * mult + 0.5) / mult,
+        )
+    assert got == expect
