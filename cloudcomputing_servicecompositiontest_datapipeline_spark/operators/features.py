@@ -577,10 +577,16 @@ def survival_curve(
             (F.lit(n_total) - F.col("_below")).cast("long").alias("n_at_risk"),
         )
         .withColumn(
+            # d == n_at_risk (the whole risk set churns at t_i) would be
+            # ln(0): Spark yields NULL and the window sum would silently
+            # SKIP it, inflating survival.  Such a row is necessarily the
+            # LAST churn time (nobody outlives it), so guard the ln and
+            # emit survival 0.0 directly on that row.
             "_ln",
-            F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")).cast(
-                "decimal(28,12)"
-            ),
+            F.when(
+                F.col("d") < F.col("n_at_risk"),
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")),
+            ).cast("decimal(28,12)"),
         )
     )
     wcum = Window.orderBy(F.col("lifetime_h").asc()).rowsBetween(
@@ -590,9 +596,11 @@ def survival_curve(
         "lifetime_h",
         "d",
         "n_at_risk",
-        (
+        F.when(F.col("d") >= F.col("n_at_risk"), F.lit(0.0))
+        .otherwise(
             F.floor(F.exp(F.sum("_ln").over(wcum).cast("double")) * mult + 0.5) / mult
-        ).alias("survival"),
+        )
+        .alias("survival"),
     )
 
 

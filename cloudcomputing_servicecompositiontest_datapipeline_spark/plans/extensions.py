@@ -2703,13 +2703,15 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     deaths AS (SELECT lifetime_h, count(*) AS d FROM lu WHERE churned GROUP BY 1),
     curve AS (
       SELECT d.lifetime_h, d.d, (tot.n - below.b) AS n_at_risk,
-             cast(ln(1.0 - cast(d.d AS double) / (tot.n - below.b))
-                  AS decimal(28,12)) AS lnv
+             CASE WHEN d.d < (tot.n - below.b)
+                  THEN cast(ln(1.0 - cast(d.d AS double) / (tot.n - below.b))
+                            AS decimal(28,12)) END AS lnv
       FROM deaths d JOIN below ON d.lifetime_h = below.lifetime_h, tot)
     SELECT lifetime_h, cast(d AS bigint) AS d, cast(n_at_risk AS bigint) AS n_at_risk,
+           CASE WHEN d >= n_at_risk THEN 0.0 ELSE
            floor(exp(cast(sum(lnv) OVER (ORDER BY lifetime_h
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double))
-                 * 1000000 + 0.5) / 1000000 AS survival
+                 * 1000000 + 0.5) / 1000000 END AS survival
     FROM curve
     """,
 )

@@ -809,3 +809,120 @@ def test_quantile_map_matches_percent_rank_model(spark, new_vals, ref_vals, grid
             math.floor(mapped * mult + 0.5) / mult,
         )
     assert got == expect
+
+
+@given(
+    doc_texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    ref_texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@SETTINGS
+def test_novelty_scores_match_python_model(spark, doc_texts, ref_texts, n):
+    """X83 novelty vs a plain-Python n-gram model on arbitrary corpora —
+    including docs shorter than n tokens (novelty NULL, not 1.0) and a
+    reference whose docs are all too short (every gram novel)."""
+    import math
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(list(enumerate(doc_texts)), ["doc_id", "text"])
+    ref = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(ref_texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_seen, r.novelty)
+        for r in tx.novelty_scores(df, ref, "text", "doc_id", n=n).collect()
+    }
+
+    def grams(t):
+        toks = [w for w in t.strip().lower().split() if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ref_g = set().union(*(grams(t) for t in ref_texts), set())
+    expect = {}
+    for i, t in enumerate(doc_texts):
+        g = grams(t)
+        seen = len(g & ref_g)
+        nov = (
+            math.floor((len(g) - seen) / len(g) * 1e6 + 0.5) / 1e6 if g else None
+        )
+        expect[i] = (len(g), seen, nov)
+    assert got == expect
+
+
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            st.lists(
+                st.integers(min_value=0, max_value=400_000),  # event epochs (s)
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    horizon=st.sampled_from([1.0, 24.0]),
+)
+@SETTINGS
+def test_survival_curve_matches_kaplan_meier_model(spark, users, horizon):
+    """X77 survival_curve vs a plain-Python Kaplan-Meier product-limit
+    model: lifetimes from per-user first/last, churn vs right-censoring at
+    the horizon, at-risk counts from the full-lifetime histogram, survival
+    as the running product over observed churn times."""
+    import math
+
+    from hypothesis import assume
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    rows = [
+        (u, int(e), i)
+        for i, (u, epochs) in enumerate(users)
+        for e in epochs
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ep LONG, g LONG").select(
+        "user_id", F.timestamp_seconds(F.col("ep")).alias("ts")
+    )
+    got = {
+        r.lifetime_h: (r.d, r.n_at_risk, r.survival)
+        for r in ft.survival_curve(df, horizon_hours=horizon).collect()
+    }
+
+    # Python model on the raw epochs
+    per_user = {}
+    for u, e, _ in rows:
+        lo, hi = per_user.get(u, (e, e))
+        per_user[u] = (min(lo, e), max(hi, e))
+    end = max(e for _, e, _ in rows)
+    rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    lifetimes = []
+    for u, (lo, hi) in per_user.items():
+        lifetimes.append((rnd((hi - lo) / 3600.0), (end - hi) / 3600.0 > horizon))
+    n_total = len(lifetimes)
+    expect = {}
+    log_acc = 0.0
+    for t in sorted({t for t, ch in lifetimes if ch}):
+        d = sum(1 for lt, ch in lifetimes if ch and lt == t)
+        n_risk = n_total - sum(1 for lt, _ in lifetimes if lt < t)
+        if d >= n_risk:
+            # whole risk set churns here: survival exactly 0 (necessarily
+            # the last curve row — nobody outlives it)
+            expect[t] = (d, n_risk, 0.0)
+            continue
+        log_acc += math.log(1.0 - d / n_risk)
+        s_raw = math.exp(log_acc) * 1e6 + 0.5
+        # skip adversarial round-boundary cases: the engine quantizes each
+        # ln term to decimal(28,12) before summing, the model uses floats
+        assume(abs(s_raw - round(s_raw)) > 1e-6 or s_raw == round(s_raw))
+        expect[t] = (d, n_risk, math.floor(s_raw) / 1e6)
+    assert got == expect
