@@ -926,3 +926,97 @@ def test_survival_curve_matches_kaplan_meier_model(spark, users, horizon):
         assume(abs(s_raw - round(s_raw)) > 1e-6 or s_raw == round(s_raw))
         expect[t] = (d, n_risk, math.floor(s_raw) / 1e6)
     assert got == expect
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=50),  # ts epoch (collisions likely)
+            st.sampled_from(["a", "b", "c"]),  # event_type
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_transition_matrix_matches_python_model(spark, evs):
+    """X76 transition matrix vs a plain-Python first-order Markov model:
+    per-user streams ordered by (ts, event_id) with ties, row-normalized
+    probabilities from exact counts."""
+    import math
+    from collections import Counter, defaultdict
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    rows = [(u, t, k, i) for i, (u, t, k) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ep LONG, event_type STRING, event_id LONG"
+    ).select("user_id", F.timestamp_seconds("ep").alias("ts"), "event_type", "event_id")
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.probability)
+        for r in ft.transition_matrix(df).collect()
+    }
+
+    streams = defaultdict(list)
+    for u, t, k, i in rows:
+        streams[u].append((t, i, k))
+    trans = Counter()
+    for s in streams.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            trans[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    expect = {
+        (a, b): (n, math.floor(n / row_tot[a] * 1e6 + 0.5) / 1e6)
+        for (a, b), n in trans.items()
+    }
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),  # group
+            st.integers(min_value=0, max_value=4),  # source
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_concentration_report_matches_python_model(spark, rows):
+    """X81 HHI concentration report vs the definitional Σ share² model."""
+    import math
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    df = spark.createDataFrame(
+        [(g, s, i) for i, (g, s) in enumerate(rows)], "lang STRING, src LONG, id LONG"
+    )
+    got = {
+        r.group: (r.n_sources, r.n_docs, r.hhi, r.top_share)
+        for r in cu.concentration_report(df, "lang", "src").collect()
+    }
+    counts = Counter(rows)
+    expect = {}
+    for g in {g for g, _ in rows}:
+        per = {s: n for (gg, s), n in counts.items() if gg == g}
+        tot = sum(per.values())
+        hhi_raw = sum((n / tot) ** 2 for n in per.values()) * 1e6 + 0.5
+        top_raw = max(per.values()) / tot * 1e6 + 0.5
+        # engine quantizes each share^2 to decimal(28,12) before summing;
+        # skip only the astronomically-thin round-boundary band
+        assume(abs(hhi_raw - round(hhi_raw)) > 1e-6 or hhi_raw == round(hhi_raw))
+        expect[g] = (
+            len(per),
+            tot,
+            math.floor(hhi_raw) / 1e6,
+            math.floor(top_raw) / 1e6,
+        )
+    assert got == expect
