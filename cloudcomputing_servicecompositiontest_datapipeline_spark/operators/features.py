@@ -645,8 +645,13 @@ def ab_test_zscores(
     nb = F.col("n_b").cast("double")
     ma = F.col("_sa").cast("double") / na
     mb = F.col("_sb").cast("double") / nb
-    va = (F.col("_ssa").cast("double") / na - ma * ma) * na / (na - 1)
-    vb = (F.col("_ssb").cast("double") / nb - mb * mb) * nb / (nb - 1)
+    # The n>1 guards must wrap the variance LEAVES, not just the outer
+    # when(): codegen subexpression elimination hoists va/vb (they appear
+    # in both the condition and the branch) and evaluates them EAGERLY,
+    # so an unguarded 1/(n-1) still raises ANSI DIVIDE_BY_ZERO for an
+    # empty or single-row arm even though the And short-circuits.
+    va = F.when(na > 1, (F.col("_ssa").cast("double") / na - ma * ma) * na / (na - 1))
+    vb = F.when(nb > 1, (F.col("_ssb").cast("double") / nb - mb * mb) * nb / (nb - 1))
     z = (mb - ma) / F.sqrt(va / na + vb / nb)
 
     def r6(c):
@@ -656,8 +661,11 @@ def ab_test_zscores(
         "group",
         "n_a",
         "n_b",
-        r6(ma).alias("mean_a"),
-        r6(mb).alias("mean_b"),
+        # empty-arm guard: a group with only one arm has no mean for the
+        # other (NULL, not an ANSI DIVIDE_BY_ZERO crash — sa/0.0 errors
+        # under Spark 4's default ANSI mode)
+        F.when(F.col("n_a") > 0, r6(ma)).alias("mean_a"),
+        F.when(F.col("n_b") > 0, r6(mb)).alias("mean_b"),
         F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (va + vb > 0), r6(z)).alias(
             "z_score"
         ),

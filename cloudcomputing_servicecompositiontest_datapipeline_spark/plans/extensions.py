@@ -166,7 +166,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT query_id, cand_id, cosine,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
-      FROM pairs
+      FROM pairs WHERE cosine IS NOT NULL
     )
     SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= 3
     """,
