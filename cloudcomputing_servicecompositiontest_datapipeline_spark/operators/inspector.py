@@ -65,7 +65,12 @@ def flatten_cpu_polls(
     keeps flat attributes only unless ``processCPUPolls`` opts in)."""
     metrics = CPU_POLL_METRICS if metrics is None else metrics
     polls = F.array_sort(F.col(polls_col))  # time is field 0 → time order
-    first, last = F.element_at(polls, 1), F.element_at(polls, -1)
+    # empty-poll guard: element_at on an empty array is a runtime error
+    # under ANSI mode (the Spark 4 default), not NULL — a run record with
+    # zero polls must flatten to NULL metrics, not kill the job
+    has = F.size(F.col(polls_col)) > 0
+    first = F.when(has, F.element_at(polls, 1))
+    last = F.when(has, F.element_at(polls, -1))
     cols = [F.col(c) for c in df.columns if c != polls_col]
     for m in metrics:
         f = first.getField("cpuTotal").getField(m)
@@ -74,7 +79,7 @@ def flatten_cpu_polls(
         cols.append((l - f).alias(f"{m}Delta"))
     cols.append(F.size(F.col(polls_col)).alias("totalPolls"))
     cols.append(
-        (F.element_at(polls, -1).getField("time") - F.element_at(polls, 1).getField("time")).alias(
+        (last.getField("time") - first.getField("time")).alias(
             "pollSpanMs"
         )
     )
@@ -84,7 +89,7 @@ def flatten_cpu_polls(
 def flatten_cpu_info(df: DataFrame, info_col: str = "cpuInfo") -> DataFrame:
     """``inspectCPUInfo`` tail (Inspector.py:129-139): cpuType/cpuModel from
     core 0, cpuCores = core count; the nested list is then dropped."""
-    core0 = F.element_at(F.col(info_col), 1)
+    core0 = F.when(F.size(F.col(info_col)) > 0, F.element_at(F.col(info_col), 1))
     out = (
         df.withColumn("cpuType", F.coalesce(F.col("cpuType"), core0.getField("model_name")))
         .withColumn("cpuModel", F.coalesce(F.col("cpuModel"), core0.getField("model")))

@@ -254,7 +254,13 @@ def top_ngram_coverage(
     cols = [F.col(id_col)]
     for n in ns:
         covered = modal_coverage_chars(gram_array(toks, n))
-        ratio = F.least(covered.cast("double") / F.length(norm), F.lit(1.0))
+        # empty-text guard OUTSIDE the least(): ANSI makes x/0 a runtime
+        # error, and least() SKIPS nulls, so a null-producing inner guard
+        # would silently report 1.0 for an empty doc instead of NULL
+        ratio = F.when(
+            F.length(norm) > 0,
+            F.least(covered.cast("double") / F.length(norm), F.lit(1.0)),
+        )
         cols.append((F.floor(ratio * mult + 0.5) / mult).alias(f"top_{n}gram_char_ratio"))
     return ensure_parallelism(df).select(*cols)
 
@@ -385,10 +391,16 @@ def quality_funnel(
     toks = F.split(norm, " ")
     n_toks = F.size(toks)
     dup_ratio = (n_toks - F.size(F.array_distinct(toks))).cast("double") / n_toks
-    cov2 = F.least(
-        modal_coverage_chars(gram_array(toks, 2)).cast("double") / F.length(norm),
-        F.lit(1.0),
-    )
+    # empty-text guard: ANSI x/0 errors; an empty doc has zero 2-gram
+    # coverage (0.0, not NULL — a NULL rule verdict would silently pass
+    # the ~rule first_failed chain)
+    cov2 = F.when(
+        F.length(norm) > 0,
+        F.least(
+            modal_coverage_chars(gram_array(toks, 2)).cast("double") / F.length(norm),
+            F.lit(1.0),
+        ),
+    ).otherwise(0.0)
     hits = [ _stopword_hits(toks, ws) for ws in STOPWORDS.values() ]
     rules = {
         "min_tokens": n_toks >= min_tokens,

@@ -107,12 +107,14 @@ def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                             i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) AS g3
       FROM toks)
     SELECT doc_id,
+           CASE WHEN length(norm) > 0 THEN
            floor(least(cast(list_max(list_transform(list_distinct(g2),
                  g -> len(list_filter(g2, x -> x = g)) * length(g))) AS double)
-                 / length(norm), 1.0) * 1000000 + 0.5) / 1000000 AS top_2gram_char_ratio,
+                 / length(norm), 1.0) * 1000000 + 0.5) / 1000000 END AS top_2gram_char_ratio,
+           CASE WHEN length(norm) > 0 THEN
            floor(least(cast(list_max(list_transform(list_distinct(g3),
                  g -> len(list_filter(g3, x -> x = g)) * length(g))) AS double)
-                 / length(norm), 1.0) * 1000000 + 0.5) / 1000000 AS top_3gram_char_ratio
+                 / length(norm), 1.0) * 1000000 + 0.5) / 1000000 END AS top_3gram_char_ratio
     FROM grams
     """,
 )
@@ -282,9 +284,10 @@ _FUNNEL_CTE = f"""
       SELECT doc_id,
              len(toks) >= 10 AS r_min_tokens,
              cast(len(toks) - len(list_distinct(toks)) AS double) / len(toks) <= 0.6 AS r_max_dup_tokens,
+             CASE WHEN length(norm) > 0 THEN
              least(cast(list_max(list_transform(list_distinct(g2),
                    x -> len(list_filter(g2, y -> y = x)) * length(x))) AS double)
-                   / length(norm), 1.0) <= 0.5 AS r_max_top2gram,
+                   / length(norm), 1.0) ELSE 0.0 END <= 0.5 AS r_max_top2gram,
              greatest(
                len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','a','for'], x))),
                len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))),

@@ -282,10 +282,15 @@ def zorder_key(df: "DataFrame", cols: list[str], *, bits: int = 16) -> Column:
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None:  # all-NULL column: every row scales to bucket 0
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         scaled = F.least(
             F.lit(top).cast("long"),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("long"),
+            F.coalesce(
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+                F.lit(0),
+            ).cast("long"),
         )
         for b in range(bits):
             z = z.bitwiseOR(

@@ -587,3 +587,25 @@ def test_engine_facade_r5_methods_smoke(spark, sf_dir):
         ev.filter("event_id % 2 = 1"), ev.filter("event_id % 2 = 0"), "value", "event_id"
     )
     assert {"quantile", "mapped_value"} <= set(cal.columns)
+
+
+def test_flatten_cpu_polls_empty_arrays_yield_nulls(spark, tmp_path):
+    """A run record with ZERO polls / cores must flatten to NULL metrics —
+    element_at on an empty array is a runtime error under ANSI mode (the
+    Spark 4 default), not NULL, so the flatten guards on size."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.inspector import (
+        flatten_cpu_info,
+        flatten_cpu_polls,
+        read_nested_runs,
+    )
+
+    d = tmp_path / "nested_runs_empty"
+    d.mkdir()
+    (d / "r.json").write_text(json.dumps(
+        {"uuid": "e0", "runtime": 1.0, "cpuInfo": [], "cpuPolls": []}
+    ))
+    flat = flatten_cpu_info(flatten_cpu_polls(read_nested_runs(spark, str(d))))
+    r = flat.first()
+    assert r.uuid == "e0" and r.totalPolls == 0 and r.cpuCores == 0
+    assert r.cpuUser is None and r.cpuUserDelta is None and r.pollSpanMs is None
+    assert r.cpuType is None and r.cpuModel is None

@@ -1850,3 +1850,21 @@ def test_ansi_degenerate_inputs_yield_nulls_not_crashes(spark):
     q = {r.doc_id: r for r in tx.quality_scores(docs, "text", "doc_id").collect()}
     assert q[1].punct_ratio is None and q[1].n_chars == 0
     assert q[2].punct_ratio is not None and q[2].stopword_ratio is not None
+
+
+def test_empty_text_coverage_and_funnel_do_not_crash(spark):
+    """Empty/whitespace docs through the Gopher coverage + funnel path:
+    length(norm)=0 must yield NULL coverage (guard OUTSIDE least(), which
+    skips NULLs) and a 0.0 coverage VERDICT in the funnel rules — never an
+    ANSI DIVIDE_BY_ZERO."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b a b a b a b a b a b")],
+        "doc_id LONG, text STRING",
+    )
+    cov = {r.doc_id: r for r in tx.top_ngram_coverage(docs, "text", "doc_id", ns=(2,)).collect()}
+    assert cov[1].top_2gram_char_ratio is None and cov[2].top_2gram_char_ratio is None
+    assert cov[3].top_2gram_char_ratio is not None
+    fun = {r.doc_id: r for r in tx.quality_funnel(docs, "text", "doc_id").collect()}
+    assert fun[1].r_max_top2gram and not fun[1].keep  # fails min_tokens, not a crash
