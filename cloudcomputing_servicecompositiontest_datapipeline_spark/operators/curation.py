@@ -94,7 +94,10 @@ def source_mix_report(
         "source_value",
         "n_docs",
         "weight",
-        (F.col("weight") / F.col("_total")).alias("share"),
+        # zero/cancelling weights: share NULL, not an ANSI x/0 error
+        F.when(F.col("_total") != 0, F.col("weight") / F.col("_total")).alias(
+            "share"
+        ),
     )
 
 
@@ -317,6 +320,10 @@ def target_mix_resample(
     mult = 1000000.0
     if not targets or abs(sum(targets.values()) - 1.0) > 1e-9:
         raise ValueError("targets must be a non-empty distribution summing to 1")
+    if any(v <= 0 for v in targets.values()):
+        # a zero target would divide by zero in the binding-domain search
+        # (ANSI runtime error); "drop this domain" is a blocklist, not a mix
+        raise ValueError("target shares must be positive; drop domains via blocklist instead")
     tgt = df.sparkSession.createDataFrame(
         [(k, float(v)) for k, v in sorted(targets.items())], f"{domain_col} STRING, _t DOUBLE"
     )

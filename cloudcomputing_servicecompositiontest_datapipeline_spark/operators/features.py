@@ -235,11 +235,13 @@ def funnel_conversion(
                 F.lit(i + 1).alias("step_index"),
                 F.lit(s).alias("step"),
                 F.col(f"_n{i}").alias("n_users"),
-                (
+                # nobody entered the funnel: rate NULL, not ANSI x/0 error
+                F.when(
+                    F.col("_n0") > 0,
                     F.floor(
                         F.col(f"_n{i}").cast("double") / F.col("_n0") * mult + 0.5
                     )
-                    / mult
+                    / mult,
                 ).alias("conversion_rate"),
             )
             for i, s in enumerate(steps)

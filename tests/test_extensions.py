@@ -1868,3 +1868,33 @@ def test_empty_text_coverage_and_funnel_do_not_crash(spark):
     assert cov[3].top_2gram_char_ratio is not None
     fun = {r.doc_id: r for r in tx.quality_funnel(docs, "text", "doc_id").collect()}
     assert fun[1].r_max_top2gram and not fun[1].keep  # fails min_tokens, not a crash
+
+
+def test_mixture_and_funnel_degenerate_denominators(spark):
+    """Zero-sum weights, zero targets, and an empty funnel entry step are
+    NULL/ValueError, never an ANSI DIVIDE_BY_ZERO crash."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu, features as ft
+
+    # source-mix with weights summing to zero
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 0.0), (3, "b", 0.0)],
+        "doc_id LONG, src STRING, w DOUBLE",
+    )
+    rows = {r.source_value: r for r in cu.source_mix_report(df, "src", weight_col="w").collect()}
+    assert rows["a"].share is None and rows["a"].n_docs == 2
+
+    # explicit target mix with a zero share is a contract error, not a crash
+    with pytest.raises(ValueError, match="positive"):
+        cu.target_mix_resample(df, "src", "doc_id", {"a": 1.0, "b": 0.0})
+
+    # funnel where no user performs the entry step
+    ev = spark.createDataFrame(
+        [(1, "purchase", 10, 100)],
+        "user_id LONG, event_type STRING, ts LONG, event_id LONG",
+    ).select("user_id", "event_type", F.timestamp_seconds("ts").alias("ts"), "event_id")
+    out = ft.funnel_conversion(ev, ["click", "purchase"]).collect()
+    assert all(r.n_users == 0 and r.conversion_rate is None for r in out)
