@@ -325,12 +325,18 @@ def report_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = F.col("syy").cast("double")
     num = n * sxy - sx * sy
     den = n * sxx - sx * sx
+    # degenerate-group guards: a group where every x (or every y) is equal
+    # has den = 0 (resp. zero y-variance) — slope/intercept/r2 are then
+    # undefined (NULL), not an ANSI DIVIDE_BY_ZERO runtime error
     return s.select(
         "l_returnflag",
         "n",
-        fround(num / den, 6).alias("slope"),
-        fround((sxx * sy - sx * sxy) / den, 6).alias("intercept"),
-        fround(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+        F.when(den != 0, fround(num / den, 6)).alias("slope"),
+        F.when(den != 0, fround((sxx * sy - sx * sxy) / den, 6)).alias("intercept"),
+        F.when(
+            den * (n * syy - sy * sy) != 0,
+            fround(num * num / (den * (n * syy - sy * sy)), 6),
+        ).alias("r2"),
     )
 
 
@@ -707,10 +713,13 @@ def report_regression_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     den = n * sxx - sx * sx
+    # constant-x train group: model undefined -> NULL slope/intercept (and
+    # NULL mape downstream), not an ANSI DIVIDE_BY_ZERO; DuckDB's x/0 is
+    # NULL so the oracle agrees without a CASE
     m = s.select(
         "l_returnflag",
-        ((n * sxy - sx * sy) / den).alias("_slope"),
-        ((sxx * sy - sx * sxy) / den).alias("_intercept"),
+        F.when(den != 0, (n * sxy - sx * sy) / den).alias("_slope"),
+        F.when(den != 0, (sxx * sy - sx * sxy) / den).alias("_intercept"),
     )
     te = (
         li.filter((F.col("l_linenumber") % 2 == 1) & (F.col("l_extendedprice") > 0))

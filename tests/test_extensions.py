@@ -1898,3 +1898,26 @@ def test_mixture_and_funnel_degenerate_denominators(spark):
     ).select("user_id", "event_type", F.timestamp_seconds("ts").alias("ts"), "event_id")
     out = ft.funnel_conversion(ev, ["click", "purchase"]).collect()
     assert all(r.n_users == 0 and r.conversion_rate is None for r in out)
+
+
+def test_regression_constant_x_group_yields_nulls(spark):
+    """OLS over a group whose x (or y) never varies: slope/intercept/r2
+    NULL — the normal-equation denominator is 0 and must not raise under
+    ANSI.  DuckDB's x/0 is NULL, so the oracle agrees by construction."""
+    import os
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark import api
+
+    # build a tiny lineitem-shaped parquet with one constant-x flag
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [("A", 5.0, 10.0, 1), ("A", 5.0, 20.0, 2), ("B", 1.0, 5.0, 1), ("B", 2.0, 9.0, 2)],
+        "l_returnflag STRING, l_quantity DOUBLE, l_extendedprice DOUBLE, l_linenumber LONG",
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.plans.report import report_linear_regression
+
+    rows = {r.l_returnflag: r for r in report_linear_regression(spark, d).collect()}
+    assert rows["A"].slope is None and rows["A"].r2 is None  # constant x
+    assert rows["B"].slope is not None
