@@ -53,6 +53,11 @@ DRIVER_WINDOW: list[str] = [
     # the r2 remainder queued for r7 (comment below).
     # --- changed in r6
     "curation_quantile_map",
+    # upgraded rows-only → full oracle this round (deterministic histogram
+    # CDF is SQL-expressible); must get a same-round driver row.  Slot paid
+    # for by deferring tlq_typed_cast (r1-green, trivially stable casts,
+    # pytest-pinned) to the r7 window.
+    "sketch_quantile_rollup",
     "embedding_qc",
     "events_ab_test",
     "dedup_semantic_centroids",
@@ -69,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "tlq_dedup_first_wins",
     "tlq_decode_priority",
     "tlq_invalid_date",
-    "tlq_typed_cast",
     "tlq_processing_time_stats",
     "report_group_avg",
     "report_group_sum",

@@ -627,7 +627,44 @@ def sketch_frequency_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("sketch_quantile_rollup")
+@query(
+    "sketch_quantile_rollup",
+    # The sketch is approximate vs the TRUE quantile but fully DETERMINISTIC
+    # given (lo, hi, n_bins): bin = clamp(floor((v-lo)/width)), estimate =
+    # upper edge of the first bin whose cumulative count reaches p·total.
+    # That whole pipeline is plain arithmetic both engines evaluate in IEEE
+    # double, so the oracle recomputes it exactly in SQL — note the bin GRID
+    # must include EMPTY bins (leading zero-count bins still contribute
+    # cum=0 < target positions to the `below` count, mirroring the Spark
+    # side's fixed 64-slot array).  width = (1000-0)/64 = 15.625, exact in
+    # binary, so floor()/multiply round-trips identically.
+    oracle="""
+    WITH vals AS (
+      SELECT event_type,
+             least(63, greatest(0, CAST(floor((value - 0.0) / 15.625) AS int))) AS bin
+      FROM events WHERE value IS NOT NULL),
+    counts AS (SELECT event_type, bin, count(*) AS n FROM vals GROUP BY 1, 2),
+    grid AS (
+      SELECT et.event_type, g.bin, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT event_type FROM vals) et
+      CROSS JOIN (SELECT CAST(range AS int) AS bin FROM range(64)) g
+      LEFT JOIN counts c ON c.event_type = et.event_type AND c.bin = g.bin),
+    cum AS (
+      SELECT event_type, bin,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM grid),
+    below AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE CAST(c AS double) < CAST(total AS double) * 0.5) AS b50,
+             count(*) FILTER (WHERE CAST(c AS double) < CAST(total AS double) * 0.95) AS b95
+      FROM cum GROUP BY event_type)
+    SELECT event_type,
+           least(1000.0, (b50 + 1) * 15.625) AS p50_est,
+           least(1000.0, (b95 + 1) * 15.625) AS p95_est
+    FROM below ORDER BY event_type
+    """,
+)
 def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile member of the mergeable-sketch trio (functions/sketch.py:
     hist_sketch): per-day equi-width histograms of event value, element-wise
@@ -635,7 +672,9 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     read off the merged counters (error <= one bin width — pinned in
     tests/test_report_ops.py::test_hist_sketch_merge_law_and_quantile_bound;
     fixed bin edges make the merge exact, so there is no batch-boundary
-    drift).  Deterministic but approximate → rows-only check.  Output:
+    drift).  Approximate vs the true quantile but DETERMINISTIC given the
+    bin config, so unlike the HLL/CM siblings it DOES have a cross-engine
+    oracle: the SQL twin recomputes the identical histogram CDF.  Output:
     (event_type, p50_est, p95_est)."""
     from ..functions.sketch import hist_merge, hist_quantile, hist_sketch
 
