@@ -428,3 +428,32 @@ def test_dup_rate_join_not_broadcast(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastNestedLoopJoin" not in phys and "CartesianProduct" not in phys
     assert "content_hash" in phys
+
+
+def test_collect_site_audit_is_clean_and_detects_unallowlisted(tmp_path):
+    """Static driver-materialization audit (tools/plan_audit.py): every
+    collect/toPandas/toLocalIterator/DataFrame-first in the package carries
+    an allowlist reason proving a parameter-bounded result (the 'is every
+    collect bounded by construction?' review, institutionalized) — and the
+    detector itself must (a) flag an unallowlisted site, (b) NOT flag a
+    column-aggregate F.first or a pandas-kernel call."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import _collect_site_audit
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "cloudcomputing_servicecompositiontest_datapipeline_spark")
+    n_flagged, lines = _collect_site_audit(pkg)
+    assert n_flagged == 0, "\n".join(l for l in lines if l.startswith("FLAG"))
+
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "from pyspark.sql import functions as F\n"
+        "def bad(df):\n"
+        "    return df.collect()\n"
+        "def fine(df, pdf):\n"
+        "    return df.select(F.first('x')), pdf.head(3)\n"
+    )
+    n_flagged, lines = _collect_site_audit(tmp_path)
+    assert n_flagged == 1 and any("bad() .collect()" in l for l in lines)

@@ -15,6 +15,12 @@ exchange/broadcast counts and flags the scale anti-patterns:
   global window over an aggregate-REDUCED table (the histogram-CDF
   pattern: per-value counts then a running sum) is fine and not flagged.
 
+A STATIC pass also audits every driver-materialization call in the package
+source (``collect``/``toPandas``/``toLocalIterator``/DataFrame ``first``):
+each site must carry a COLLECT_ALLOWLIST reason proving its result is
+parameter-bounded, never corpus-sized — and stale allowlist entries (no
+matching site) flag too, so the list cannot rot.
+
 Known-intentional shapes are allowlisted with the reason printed, so a
 clean run is "every flag is either absent or explained".
 
@@ -86,6 +92,88 @@ ALLOWLIST = {
 
 FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
 
+#: Driver-materialization allowlist for the STATIC pass: every
+#: ``.collect()`` / ``.toPandas()`` / ``.toLocalIterator()`` / DataFrame
+#: ``.first()`` in the package must appear here with the reason its result
+#: is PARAMETER-BOUNDED (independent of corpus size) — the "is every
+#: collect bounded by construction?" audit the r5 review did by hand,
+#: institutionalized.  Keyed (relative file, enclosing function).
+COLLECT_ALLOWLIST = {
+    ("operators/bloom.py", "bloom_build"): "<= num_bits/64 packed filter words",
+    ("operators/bpe.py", "bpe_train"): "1-row argmax per merge round",
+    ("operators/curation.py", "importance_weights"): "single corpus-totals row",
+    ("operators/curation.py", "temporal_split_embargo"): "single quantile-cutoff row",
+    ("operators/curation.py", "quantile_map"): "single row holding the grid+1-point curve",
+    ("operators/features.py", "_dense_counts"): "single min/max time-bounds row",
+    ("operators/features.py", "survival_curve"): "single horizon/anchor rows",
+    ("operators/quality_checks.py", "psi_drift"): "single bin-bounds row",
+    ("operators/similarity.py", "normalize_embeddings_zscore"): "D per-dimension stats rows (D = embedding dim)",
+    ("operators/similarity.py", "semantic_dedup"): "TakeOrdered-bounded k-means training sample",
+    ("operators/similarity.py", "ivf_topk"): "TakeOrdered-bounded IVF training sample",
+    ("operators/similarity.py", "pq_train"): "TakeOrdered-bounded PQ training sample",
+    ("operators/text.py", "train_bigram_lm"): "top_k-capped LM tables (no-collect join twin exists)",
+    ("sources/io.py", "zorder_key"): "single per-column min/max bounds row",
+    ("sources/io.py", "write_report_csv_compat"): "reference-compat single-file sink; write_report_csv is the scale path",
+}
+
+#: driver-materialization attrs; ``first`` only when the receiver is not the
+#: functions module (``F.first(...)`` is a column aggregate, not an action)
+_DRIVER_CALLS = {"collect", "toPandas", "toLocalIterator", "first"}
+
+
+def _collect_site_audit(pkg_root) -> tuple[int, list[str]]:
+    """Static AST pass: find every driver-materialization call in the package
+    and check it against COLLECT_ALLOWLIST.  Returns (n_flagged, lines)."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(pkg_root)
+    lines: list[str] = []
+    flagged = 0
+    seen_keys: set[tuple[str, str]] = set()
+    for p in sorted(root.rglob("*.py")):
+        rel = str(p.relative_to(root))
+        tree = ast.parse(p.read_text())
+        spans = sorted(
+            (n.lineno, n.end_lineno or n.lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        )
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in _DRIVER_CALLS
+            ):
+                continue
+            recv = node.func.value
+            # F.first("col") / pd.x(...) — module-level fn, not an action
+            if isinstance(recv, ast.Name) and recv.id in {"F", "pd", "np"}:
+                continue
+            fn = next(
+                (name for s, e, name in spans if s <= node.lineno <= e),
+                "<module>",
+            )
+            key = (rel, fn)
+            seen_keys.add(key)
+            why = COLLECT_ALLOWLIST.get(key)
+            if why:
+                lines.append(
+                    f"ok    collect-site {rel}:{node.lineno} {fn}() .{node.func.attr}() — {why}"
+                )
+            else:
+                flagged += 1
+                lines.append(
+                    f"FLAG  collect-site {rel}:{node.lineno} {fn}() .{node.func.attr}() — not in COLLECT_ALLOWLIST"
+                )
+    scanned = {str(p.relative_to(root)) for p in root.rglob("*.py")}
+    for key in sorted(set(COLLECT_ALLOWLIST) - seen_keys):
+        if key[0] not in scanned:  # scanning a different tree (tests)
+            continue
+        flagged += 1
+        lines.append(f"FLAG  stale allowlist entry {key[0]}:{key[1]} — no such call site")
+    return flagged, lines
+
 #: logical nodes that REDUCE their input to per-group / bounded cardinality —
 #: a global window running over one of these is metadata-sized, not corpus-sized
 _REDUCING_NODES = {"Aggregate", "Distinct", "Deduplicate", "GlobalLimit", "LocalLimit"}
@@ -129,6 +217,13 @@ def main() -> int:
     from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
     import __spark_entry__ as em
 
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cloudcomputing_servicecompositiontest_datapipeline_spark"
+    )
+    static_bad, static_lines = _collect_site_audit(pkg)
+    if not only:
+        print("\n".join(static_lines))
+
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
@@ -160,6 +255,8 @@ def main() -> int:
             f"bcast={plan.count('BroadcastExchange'):2d}"
             f"{' ' + ';'.join(hits) if hits else ''}{note}"
         )
+    if not only:
+        bad += static_bad
     print(f"{bad} flagged")
     return 1 if bad else 0
 
