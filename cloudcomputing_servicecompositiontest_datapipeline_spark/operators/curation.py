@@ -653,20 +653,26 @@ def quantile_map(
     single ``F.lit(list)`` call); the interpolation is row-local array
     math.
 
-    Rows with a NULL new-side score are EXCLUDED (a missing score has no
-    rank position, and Spark windows order NULLS FIRST while most SQL
-    engines order NULLS LAST — admitting them would shift every non-null
-    percent_rank engine-dependently)."""
+    Rows with a NULL or non-finite (NaN/±Inf) score are EXCLUDED on BOTH
+    sides (a missing score has no rank position; Spark windows order NULLS
+    FIRST while most SQL engines order NULLS LAST — admitting them would
+    shift every percent_rank engine-dependently — and a single NaN in the
+    reference snapshot would poison the quantile curve's upper tail, since
+    Spark's percentile sorts NaN above every double)."""
+    from ..functions.guards import finite_d
+
     fracs = [i / grid for i in range(grid + 1)]
-    curve_vals = ref_df.select(
-        F.percentile(F.col(value_col).cast("double"), F.lit(fracs)).alias("_q")
-    ).first()["_q"]
+    curve_vals = (
+        ref_df.filter(finite_d(F.col(value_col)))
+        .select(F.percentile(F.col(value_col).cast("double"), F.lit(fracs)).alias("_q"))
+        .first()["_q"]
+    )
     if curve_vals is None:
         # no reference distribution to map onto — a silent NULL curve would
         # produce all-NULL mapped values downstream; fail loudly instead
         raise ValueError("quantile_map: reference frame has no non-null values")
     q = F.lit([float(x) for x in curve_vals])
-    base = new_df.filter(F.col(value_col).isNotNull()).select(
+    base = new_df.filter(finite_d(F.col(value_col))).select(
         F.col(id_col), F.col(value_col).alias("value")
     )
     per_value = base.groupBy("value").agg(F.count(F.lit(1)).alias("_c"))

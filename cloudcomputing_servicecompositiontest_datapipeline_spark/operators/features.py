@@ -81,19 +81,29 @@ def robust_stats_by_group(
     (Spark's ``percentile`` aggregate), then the deviation pass re-joins
     the per-group median (broadcast — |groups| is bounded for a monitoring
     dimension) and takes the median of |x − med|.  Rounded 1e-6 for
-    engine-stable hashing."""
+    engine-stable hashing.
+
+    Non-finite values (NaN/±Inf) are EXCLUDED from the percentile inputs —
+    Spark's percentile sorts NaN above every double, so one broken reading
+    would drag the median/MAD of its whole group — by mapping them to NULL
+    inside the aggregate (percentile ignores NULLs on both engines).  ``n``
+    stays the group's TOTAL row count (its population, the denominator a
+    monitor reports against)."""
+    from ..functions.guards import finite_d
+
     mult = float(10**round_scale)
 
     def r6(c):
         return F.floor(c * mult + 0.5) / mult
 
+    v = F.when(finite_d(F.col(value_col)), F.col(value_col))
     med = df.groupBy(F.col(group_col).alias("_g")).agg(
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med"),
+        F.percentile(v, F.lit(0.5)).alias("_med"),
         F.count(F.lit(1)).alias("n"),
     )
     dev = (
         df.join(F.broadcast(med), df[group_col].eqNullSafe(F.col("_g")))
-        .select("_g", "n", "_med", F.abs(F.col(value_col) - F.col("_med")).alias("_ad"))
+        .select("_g", "n", "_med", F.abs(v - F.col("_med")).alias("_ad"))
         .groupBy("_g", "n", "_med")
         .agg(F.percentile(F.col("_ad"), F.lit(0.5)).alias("_mad"))
     )
@@ -165,16 +175,25 @@ def robust_outliers(
     threshold would be inflated by them).  Reuses
     :func:`robust_stats_by_group`'s |groups|-row table as a broadcast; the
     flagging pass is row-local.  Groups with MAD = 0 flag any deviation
-    (a constant stream moving at all is anomalous).  Returns only the
+    (a constant stream moving at all is anomalous).  A NaN/±Inf value is
+    ALWAYS flagged (a measurement that claims to exist and is garbage is
+    the broken-sensor case a monitor exists for) with a NULL robust_z —
+    never a NaN score, which would poison downstream hashing/sorting; NULL
+    values stay unflagged (legitimate missing data).  Returns only the
     flagged rows with their robust z-score."""
+    from ..functions.guards import bad_measurement_d
+
     mult = float(10**round_scale)
     stats = robust_stats_by_group(df, group_col, value_col, round_scale=round_scale)
+    bad = bad_measurement_d(df[value_col])
     dev = F.abs(F.col(value_col) - F.col("median"))
-    flagged = F.when(F.col("mad") > 0, dev > F.lit(k) * F.col("mad")).otherwise(
-        dev > 0
+    flagged = F.when(bad, F.lit(True)).otherwise(
+        F.when(F.col("mad") > 0, dev > F.lit(k) * F.col("mad")).otherwise(dev > 0)
     )
     score = F.when(
-        F.col("mad") > 0, F.floor(dev / F.col("mad") * mult + 0.5) / mult
+        bad, F.lit(None).cast("double")
+    ).otherwise(
+        F.when(F.col("mad") > 0, F.floor(dev / F.col("mad") * mult + 0.5) / mult)
     )
     return (
         df.join(

@@ -145,12 +145,17 @@ def psi_drift(
     are eps-smoothed so empty bins stay finite; all math is double with
     floor-rounding, hence oracle-checkable.
 
-    NULL values of ``col`` are excluded from the bin shares (they have no
-    position on the numeric axis) but are SURFACED as ``n_null_old`` /
+    NULL **and non-finite (NaN/±Inf)** values of ``col`` are excluded from
+    the bin shares (they have no position on the numeric axis — and worse,
+    Spark orders NaN above every double, so ONE NaN row reaching the
+    min/max pass makes the bin width NaN on BOTH snapshots and the monitor
+    silently reads psi=0.0 forever) but are SURFACED in ``n_null_old`` /
     ``n_null_new`` so a batch that suddenly arrives half-missing cannot
     drift silently.  Two empty snapshots yield the zero row (counts 0,
     psi/js 0.0), not a crash."""
     from pyspark.sql import functions as F
+
+    from ..functions.guards import finite_d, nonfinite_d
 
     c = F.col(col).cast("double")
     both = old.select(c.alias("_v")).unionByName(new.select(c.alias("_v")))
@@ -158,19 +163,26 @@ def psi_drift(
     # bounded-collect pattern (cf. IVF sample / Bloom words): bin edges as
     # plan literals make both binning passes map-only instead of
     # re-aggregating min/max per snapshot behind a one-row broadcast.
-    srow = both.agg(F.min("_v").alias("mn"), F.max("_v").alias("mx")).first()
+    # FINITE values only: an unfiltered max absorbs any NaN (Spark sorts it
+    # above every double) and a single ±Inf makes the width infinite.
+    srow = (
+        both.filter(finite_d(F.col("_v")))
+        .agg(F.min("_v").alias("mn"), F.max("_v").alias("mx"))
+        .first()
+    )
     # all-NULL/empty snapshots: no axis to bin on — keep the report finite
     mn = 0.0 if srow["mn"] is None else float(srow["mn"])
     mx = 0.0 if srow["mx"] is None else float(srow["mx"])
     width = (mx - mn) / bins or 1.0
 
     def binned(df: DataFrame, label: str) -> DataFrame:
-        # NULLs land in sentinel bin -1 (counted in the SAME single pass,
-        # split out below); the all_bins join keeps only real bins
+        # NULLs AND non-finite values land in sentinel bin -1 (counted in
+        # the SAME single pass, split out below); the all_bins join keeps
+        # only real bins
         return (
             df.select(c.alias("_v"))
             .select(
-                F.when(F.col("_v").isNull(), F.lit(-1))
+                F.when(nonfinite_d(F.col("_v")), F.lit(-1))
                 .otherwise(
                     F.least(
                         F.lit(bins - 1),

@@ -522,15 +522,17 @@ def text_bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
       SELECT min(cast(value AS double)) AS mn, max(cast(value AS double)) AS mx
-      FROM events),
+      FROM events WHERE NOT (value IS NULL OR isnan(value) OR abs(value) > 1e308)),
     o AS (
       SELECT least(9, cast(floor((cast(value AS double) - mn) / ((mx - mn) / 10)) AS int)) AS bin,
              count(*) AS n_old
-      FROM events, stats WHERE event_id % 2 = 0 GROUP BY 1),
+      FROM events, stats WHERE event_id % 2 = 0
+        AND NOT (value IS NULL OR isnan(value) OR abs(value) > 1e308) GROUP BY 1),
     n AS (
       SELECT least(9, cast(floor((cast(value AS double) - mn) / ((mx - mn) / 10)) AS int)) AS bin,
              count(*) AS n_new
-      FROM events, stats WHERE event_id % 2 = 1 GROUP BY 1),
+      FROM events, stats WHERE event_id % 2 = 1
+        AND NOT (value IS NULL OR isnan(value) OR abs(value) > 1e308) GROUP BY 1),
     bins AS (
       SELECT b.bin, coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new
       FROM (SELECT unnest(range(0, 10)) AS bin) b
@@ -544,8 +546,10 @@ def text_bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cast(sum(n_old) AS bigint) AS n_old, cast(sum(n_new) AS bigint) AS n_new,
            floor(cast(sum(cast((q - p) * ln(q / p) AS decimal(28,12))) AS double) * 1000000 + 0.5) / 1000000 AS psi,
            floor(cast(sum(cast(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m) AS decimal(28,12))) AS double) * 1000000 + 0.5) / 1000000 AS js_divergence,
-           (SELECT count(*) FROM events WHERE event_id % 2 = 0 AND value IS NULL) AS n_null_old,
-           (SELECT count(*) FROM events WHERE event_id % 2 = 1 AND value IS NULL) AS n_null_new
+           (SELECT count(*) FROM events WHERE event_id % 2 = 0
+              AND (value IS NULL OR isnan(value) OR abs(value) > 1e308)) AS n_null_old,
+           (SELECT count(*) FROM events WHERE event_id % 2 = 1
+              AND (value IS NULL OR isnan(value) OR abs(value) > 1e308)) AS n_null_new
     FROM terms
     """,
 )

@@ -1687,10 +1687,15 @@ def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_mad_by_type",
     oracle="""
     WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS m, count(*) AS n
+      SELECT event_type,
+             quantile_cont(CASE WHEN NOT (value IS NULL OR isnan(value) OR abs(value) > 1e308)
+                                THEN value END, 0.5) AS m,
+             count(*) AS n
       FROM events GROUP BY 1),
     dev AS (
-      SELECT e.event_type, med.n, med.m, abs(e.value - med.m) AS ad
+      SELECT e.event_type, med.n, med.m,
+             CASE WHEN NOT (e.value IS NULL OR isnan(e.value) OR abs(e.value) > 1e308)
+                  THEN abs(e.value - med.m) END AS ad
       FROM events e JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type)
     SELECT event_type, cast(n AS bigint) AS n,
            floor(m * 1000000 + 0.5) / 1000000 AS median,
@@ -1738,10 +1743,15 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_outliers_robust",
     oracle="""
     WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS m, count(*) AS n
+      SELECT event_type,
+             quantile_cont(CASE WHEN NOT (value IS NULL OR isnan(value) OR abs(value) > 1e308)
+                                THEN value END, 0.5) AS m,
+             count(*) AS n
       FROM events GROUP BY 1),
     dev AS (
-      SELECT e.event_type, med.n, med.m, abs(e.value - med.m) AS ad
+      SELECT e.event_type, med.n, med.m,
+             CASE WHEN NOT (e.value IS NULL OR isnan(e.value) OR abs(e.value) > 1e308)
+                  THEN abs(e.value - med.m) END AS ad
       FROM events e JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type),
     st AS (
       SELECT event_type,
@@ -1749,11 +1759,13 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              floor(quantile_cont(ad, 0.5) * 1000000 + 0.5) / 1000000 AS mad
       FROM dev GROUP BY 1, m)
     SELECT e.event_id, e.event_type, e.value, st.median, st.mad,
-           CASE WHEN st.mad > 0 THEN
+           CASE WHEN e.value IS NOT NULL AND (isnan(e.value) OR abs(e.value) > 1e308) THEN NULL
+                WHEN st.mad > 0 THEN
              floor(abs(e.value - st.median) / st.mad * 1000000 + 0.5) / 1000000
            END AS robust_z
     FROM events e JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type
-    WHERE CASE WHEN st.mad > 0 THEN abs(e.value - st.median) > 3.0 * st.mad
+    WHERE CASE WHEN e.value IS NOT NULL AND (isnan(e.value) OR abs(e.value) > 1e308) THEN TRUE
+               WHEN st.mad > 0 THEN abs(e.value - st.median) > 3.0 * st.mad
                ELSE abs(e.value - st.median) > 0 END
     """,
 )
@@ -2504,8 +2516,11 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH newt AS (
       SELECT event_id, cast(value AS double) AS value FROM events
-      WHERE event_id % 2 = 1 AND value IS NOT NULL),
-    ref AS (SELECT cast(value AS double) AS v FROM events WHERE event_id % 2 = 0),
+      WHERE event_id % 2 = 1
+        AND NOT (value IS NULL OR isnan(value) OR abs(value) > 1e308)),
+    ref AS (
+      SELECT cast(value AS double) AS v FROM events WHERE event_id % 2 = 0
+        AND NOT (value IS NULL OR isnan(value) OR abs(value) > 1e308)),
     curve AS (
       SELECT quantile_cont(v, list_transform(range(0, 1001), i -> i / 1000.0)) AS q
       FROM ref),

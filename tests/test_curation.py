@@ -888,3 +888,55 @@ def test_weighted_per_group_sample_semantics(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_psi_drift_nonfinite_values_cannot_blind_the_monitor(spark):
+    """One NaN (or ±Inf) reading must NOT poison the bin axis: Spark sorts
+    NaN above every double, so an unguarded max makes the width NaN on
+    BOTH snapshots and drift silently reads 0.0 forever (the pre-r6 bug).
+    Non-finite values are excluded from the axis like NULLs and surfaced
+    in the n_null_* counts."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.quality_checks import psi_drift
+
+    mk = lambda vs: spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "id LONG, v DOUBLE"
+    )
+    old = mk([1.0, 1.0, 2.0, 2.0, 5.0])
+    new_shift = [4.0, 4.0, 5.0, 5.0, 5.0]
+    clean = psi_drift(old, mk(new_shift), "v", bins=5).first()
+    assert clean.psi > 0.2  # a real shift reads as drift
+
+    for poison in [float("nan"), float("inf"), float("-inf")]:
+        r = psi_drift(old, mk(new_shift + [poison]), "v", bins=5).first()
+        assert r.psi == clean.psi and r.js_divergence == clean.js_divergence
+        assert r.n_null_new == 1 and r.n_null_old == 0
+        # the poisoned run still reports the REAL drift, not 0.0
+        assert r.psi > 0.2
+
+
+def test_quantile_map_excludes_nonfinite_on_both_sides(spark):
+    """A NaN in the reference snapshot would otherwise poison the quantile
+    curve's upper tail (percentile sorts NaN last); a NaN new-side score
+    has no rank position.  Both are excluded exactly like NULLs."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    nan = float("nan")
+    ref_clean = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id LONG, v DOUBLE"
+    )
+    ref_dirty = ref_clean.unionByName(
+        spark.createDataFrame([(99, nan), (98, float("inf"))], "id LONG, v DOUBLE")
+    )
+    new = spark.createDataFrame(
+        [(100, 5.0), (101, 15.0), (102, nan)], "id LONG, v DOUBLE"
+    )
+    got_clean = {
+        r.id: (r.quantile, r.mapped_value)
+        for r in cu.quantile_map(new, ref_clean, "v", "id", grid=100).collect()
+    }
+    got_dirty = {
+        r.id: (r.quantile, r.mapped_value)
+        for r in cu.quantile_map(new, ref_dirty, "v", "id", grid=100).collect()
+    }
+    assert 102 not in got_clean  # NaN score: no rank position
+    assert got_dirty == got_clean  # dirty reference row changes nothing

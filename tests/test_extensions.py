@@ -1921,3 +1921,29 @@ def test_regression_constant_x_group_yields_nulls(spark):
     rows = {r.l_returnflag: r for r in report_linear_regression(spark, d).collect()}
     assert rows["A"].slope is None and rows["A"].r2 is None  # constant x
     assert rows["B"].slope is not None
+
+
+def test_robust_stats_and_outliers_handle_nonfinite_measurements(spark):
+    """A NaN/±Inf reading must not drag its group's median/MAD (percentile
+    sorts NaN above every double) — it is excluded from the stats and
+    ALWAYS flagged as an outlier with a NULL (never NaN) robust_z; NULL
+    values stay unflagged (legitimate missing data)."""
+    import math
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import features as ft
+
+    rows = [
+        (1, "g", 10.0), (2, "g", 11.0), (3, "g", 12.0), (4, "g", 13.0),
+        (5, "g", 1000.0),            # genuine outlier
+        (6, "g", float("nan")),      # broken sensor: flagged, z NULL
+        (7, "g", float("inf")),      # broken sensor: flagged, z NULL
+        (8, "g", None),              # missing: not flagged
+    ]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v DOUBLE")
+    stats = ft.robust_stats_by_group(df, "g", "v").first()
+    assert stats.median == 12.0 and stats.n == 8  # stats unpoisoned; n = population
+
+    out = {r.id: r for r in ft.robust_outliers(df, "g", "v", "id", k=3.0).collect()}
+    assert set(out) == {5, 6, 7}
+    assert out[5].robust_z is not None and not math.isnan(out[5].robust_z)
+    assert out[6].robust_z is None and out[7].robust_z is None
