@@ -25,7 +25,13 @@ DEC = "decimal(28,4)"
 def dsum(col: str | Column, alias: str | None = None, scale: int = 2) -> Column:
     """Order-insensitive sum: round the exact decimal (both engines round
     decimals half-away-from-zero), then cast — never round a double, whose
-    string-vs-binary rounding differs between engines at .xx5 boundaries."""
+    string-vs-binary rounding differs between engines at .xx5 boundaries.
+
+    Non-finite doubles (NaN/±Inf) have no decimal representation: Spark's
+    decimal cast yields NULL for them (even under ANSI), so they are
+    EXCLUDED from the sum like NULLs — that is the defined semantic, and
+    :func:`sql_dsum` mirrors it with ``try_cast`` (a plain DuckDB cast
+    would raise instead, silently breaking engine parity on dirty data)."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.round(F.sum(c.cast(DEC)), scale).cast("double")
     return out.alias(alias) if alias else out
@@ -38,10 +44,19 @@ def davg(col: str | Column, alias: str | None = None, scale: int = 2) -> Column:
 
     Mirrors the reference's Decimal mean (`report_generator.py:372-381`, which
     rounds to 2 decimals).
+
+    The denominator counts the DECIMAL-CAST column, not the raw one, so a
+    non-finite double (NaN/±Inf → NULL under the decimal cast, see
+    :func:`dsum`) drops out of numerator AND denominator together — counting
+    it only in the denominator would silently bias every mean downward on
+    dirty data.
     """
     c = F.col(col) if isinstance(col, str) else col
     mult = float(10**scale)
-    q = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    dc = c.cast(DEC)
+    # try_divide: a group whose EVERY value is non-finite has count 0, and
+    # ANSI raises on /0 — NULL mean matches DuckDB's NULL/0
+    q = F.try_divide(F.sum(dc).cast("double"), F.count(dc))
     out = F.floor(q * F.lit(mult) + F.lit(0.5)) / F.lit(mult)
     return out.alias(alias) if alias else out
 
@@ -75,15 +90,30 @@ def dsum_exact(col: Column, alias: str | None = None, scale: int = 2) -> Column:
     return out.alias(alias) if alias else out
 
 
+def _sql_dec(expr: str) -> str:
+    """Decimal-cast an expression the way Spark's cast behaves on dirty
+    doubles: NaN/±Inf → NULL.  ``try_cast`` alone handles ±Inf, but DuckDB
+    1.0's try_cast still RAISES on NaN→decimal (the INT128 path), so NaN is
+    pre-filtered explicitly; the isnan probe goes through a double cast so
+    it is valid for decimal-typed inputs too."""
+    return (
+        f"try_cast((CASE WHEN isnan(cast(({expr}) as double)) THEN NULL"
+        f" ELSE ({expr}) END) as {DEC})"
+    )
+
+
 def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
-    """DuckDB-side twin of :func:`dsum` for oracle strings."""
-    return f"cast(round(sum(cast(({expr}) as {DEC})), {scale}) as double) AS {alias}"
+    """DuckDB-side twin of :func:`dsum` for oracle strings.  The guarded
+    cast (NULL on NaN/±Inf) mirrors Spark's decimal-cast-to-NULL; a plain
+    cast would RAISE on the first non-finite double and break parity."""
+    return f"cast(round(sum({_sql_dec(expr)}), {scale}) as double) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 2) -> str:
-    """DuckDB-side twin of :func:`davg`."""
+    """DuckDB-side twin of :func:`davg` (same guarded cast as
+    :func:`sql_dsum`, in numerator AND denominator)."""
     mult = float(10**scale)
     return (
-        f"floor((cast(sum(cast(({expr}) as {DEC})) as double)"
-        f" / count(({expr}))) * {mult} + 0.5) / {mult} AS {alias}"
+        f"floor((cast(sum({_sql_dec(expr)}) as double)"
+        f" / count({_sql_dec(expr)})) * {mult} + 0.5) / {mult} AS {alias}"
     )

@@ -149,7 +149,14 @@ def hist_sketch(
     """One histogram per group over ``[lo, hi)``: a flat ``n_bins`` LONG
     array in column ``hist`` (values outside the range clamp into the edge
     bins, so totals are preserved).  Same two-shuffle build as cm_sketch:
-    (group, bin) counts, then an O(n_bins) collapse — rows never move."""
+    (group, bin) counts, then an O(n_bins) collapse — rows never move.
+
+    Non-finite values (NaN/±Inf) are excluded like NULLs BEFORE the bin
+    arithmetic: ``floor((inf - lo)/w)`` is a bigint-max under ANSI whose
+    int cast RAISES (CAST_OVERFLOW) — one broken reading would kill the
+    whole sketch job."""
+    from .guards import finite_d
+
     # divide by the bin width directly (not (v/span)*n_bins, whose two
     # roundings can land edge values one bin low)
     bin_width = (hi - lo) / n_bins
@@ -161,7 +168,7 @@ def hist_sketch(
         ),
     )
     counts = (
-        df.where(F.col(value_col).isNotNull())
+        df.where(finite_d(F.col(value_col)))
         .select(*group_cols, bin_idx.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("n"))

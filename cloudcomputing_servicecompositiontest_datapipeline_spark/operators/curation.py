@@ -240,11 +240,14 @@ def value_deciles(
     deterministic at any partitioning.  Bins are ascending: 0 = lowest
     values, ``n_bins``-1 = highest.
 
-    Rows with a NULL value are EXCLUDED (documented, not silent: a missing
-    quality signal has no rank position, and Spark and SQL engines disagree
-    on NULL sort order, so admitting them would make bin assignment
-    engine-dependent)."""
-    df = df.filter(F.col(value_col).isNotNull())
+    Rows with a NULL or non-finite (NaN/±Inf) value are EXCLUDED
+    (documented, not silent: a missing quality signal has no rank position,
+    Spark and SQL engines disagree on NULL sort order, and both engines
+    sort NaN/Inf LAST — which would hand garbage scores the TOP quality
+    decile, the exact rows a curriculum sampler must not promote)."""
+    from ..functions.guards import finite_d
+
+    df = df.filter(finite_d(F.col(value_col)))
     v = F.col(value_col)
     per_value = df.groupBy(v.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
     wv = Window.orderBy(F.col("_v").asc()).rowsBetween(

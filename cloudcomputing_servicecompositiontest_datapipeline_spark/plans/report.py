@@ -642,7 +642,7 @@ def sketch_frequency_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     WITH vals AS (
       SELECT event_type,
              least(63, greatest(0, CAST(floor((value - 0.0) / 15.625) AS int))) AS bin
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE NOT (value IS NULL OR isnan(value) OR abs(value) > 1e308)),
     counts AS (SELECT event_type, bin, count(*) AS n FROM vals GROUP BY 1, 2),
     grid AS (
       SELECT et.event_type, g.bin, coalesce(c.n, 0) AS n

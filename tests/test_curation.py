@@ -940,3 +940,21 @@ def test_quantile_map_excludes_nonfinite_on_both_sides(spark):
     }
     assert 102 not in got_clean  # NaN score: no rank position
     assert got_dirty == got_clean  # dirty reference row changes nothing
+
+
+def test_value_deciles_excludes_nonfinite_scores(spark):
+    """Both engines sort NaN/Inf above every finite double, so an unguarded
+    rank binner hands garbage scores the TOP quality decile — the exact
+    rows a curriculum sampler must not promote.  They are excluded like
+    NULLs (same convention as quantile_map/psi_drift)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    rows = [(i, float(i)) for i in range(20)] + [
+        (100, float("nan")),
+        (101, float("inf")),
+        (102, None),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    got = {r.id: r.bin for r in cu.value_deciles(df, "v", "id", n_bins=10).collect()}
+    assert set(got) == set(range(20))  # dirty rows excluded
+    assert got[19] == 9 and got[0] == 0  # finite binning unchanged

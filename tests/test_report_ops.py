@@ -353,3 +353,60 @@ def test_hist_sketch_merge_law_and_quantile_bound(spark):
     for p, true_q in ((0.5, 499.5), (0.9, 899.1), (0.99, 989.01)):
         est = hist_quantile(whole, p, lo=lo, hi=hi).collect()[0].quantile_est
         assert abs(est - true_q) <= (hi - lo) / n_bins + 1e-9  # one bin width
+
+
+def test_exact_aggregates_exclude_nonfinite_consistently(spark):
+    """dsum/davg defined semantics for dirty doubles: NaN/±Inf have no
+    decimal representation (Spark's decimal cast NULLs them even under
+    ANSI), so they drop out of the sum AND the mean's denominator together
+    — a denominator that still counted them would silently bias every mean
+    (the pre-r6 davg bug).  sql_dsum/sql_davg mirror with try_cast, where
+    a plain DuckDB cast would RAISE on the first non-finite row."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.exact import (
+        davg,
+        dsum,
+        sql_davg,
+        sql_dsum,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    rows = [("a", 1.0), ("a", 3.0), ("a", nan), ("b", 2.0), ("b", inf), ("c", nan)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = {
+        r.g: (r.s, r.m)
+        for r in df.groupBy("g")
+        .agg(dsum(F.col("v"), "s"), davg(F.col("v"), "m"))
+        .collect()
+    }
+    assert got["a"] == (4.0, 2.0)  # NaN out of numerator AND denominator
+    assert got["b"] == (2.0, 2.0)
+    assert got["c"] == (None, None)  # all-dirty group: NULL, not a /0 crash
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = {
+        g: (s, m)
+        for g, s, m in con.execute(
+            f"SELECT g, {sql_dsum('v', 's')}, {sql_davg('v', 'm')} FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert oracle == got  # engine parity holds on dirty data too
+
+
+def test_hist_sketch_survives_nonfinite_values(spark):
+    """floor((inf - lo)/width) is a bigint-max whose ANSI int cast raises
+    CAST_OVERFLOW — one broken reading must not kill the sketch job.
+    Non-finite values are excluded like NULLs; finite counts unchanged."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.sketch import hist_sketch
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 9.0), ("g", nan), ("g", inf), ("g", -inf), ("g", None)],
+        "g STRING, v DOUBLE",
+    )
+    [row] = hist_sketch(df, "v", ["g"], lo=0.0, hi=10.0, n_bins=4).collect()
+    assert sum(row.hist) == 3 and row.hist == [2, 0, 0, 1]
