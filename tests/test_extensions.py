@@ -1947,3 +1947,29 @@ def test_robust_stats_and_outliers_handle_nonfinite_measurements(spark):
     assert set(out) == {5, 6, 7}
     assert out[5].robust_z is not None and not math.isnan(out[5].robust_z)
     assert out[6].robust_z is None and out[7].robust_z is None
+
+
+def test_similarity_drops_nan_vectors_instead_of_ranking_them(spark):
+    """A NaN component makes the decimal-fold dot/norm NULL, the cosine
+    NULL, and the row drop from every ranking — the poisoned vector
+    becomes neighborless instead of (a) crashing or (b) topping every
+    top-k list (NaN sorts above every double in a desc orderBy, so a raw
+    double pipeline would do exactly that).  Pinned here so a future
+    'optimization' away from decimal folds cannot silently regress it."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import similarity as sim
+
+    nan = float("nan")
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)] + [(99, [nan, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [(50, [3.0, 1.0]), (51, [nan, 2.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    out = sim.brute_force_topk(corpus, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.cand_id)
+    assert 99 not in by_q.get(50, [])      # poisoned candidate never ranked
+    assert 51 not in by_q                  # poisoned query yields no rankings
+    assert len(by_q[50]) == 3              # clean query unaffected
