@@ -69,15 +69,22 @@ DRIVER_WINDOW: list[str] = [
     "events_burst_zscore",
     "events_cusum_shifts",
     "events_rolling_rate",
+    # non-finite-guard round (NaN/Inf sweep): these three had their ORACLE
+    # SQL hand-edited to mirror the new finite predicates, so they need a
+    # same-round driver row; the sql_dsum/sql_davg helper change is already
+    # covered by the 10 guarded-cast oracles elsewhere in this window.
+    # Slots paid for by deferring tlq_decode_priority / tlq_invalid_date /
+    # report_global_zall (r1-green, literal-level transforms, pytest-pinned
+    # and locally re-gated every round) to r7.
+    "events_mad_by_type",
+    "events_outliers_robust",
+    "drift_events_value",
     # --- latest driver row is r1: full refresh
     "tlq_transform",
     "tlq_dedup_first_wins",
-    "tlq_decode_priority",
-    "tlq_invalid_date",
     "tlq_processing_time_stats",
     "report_group_avg",
     "report_group_sum",
-    "report_global_zall",
     "report_invalidator_warmup",
     "report_union_sentinel",
     "report_derive_row",
