@@ -27,13 +27,16 @@ def dsum(col: str | Column, alias: str | None = None, scale: int = 2) -> Column:
     decimals half-away-from-zero), then cast — never round a double, whose
     string-vs-binary rounding differs between engines at .xx5 boundaries.
 
-    Non-finite doubles (NaN/±Inf) have no decimal representation: Spark's
-    decimal cast yields NULL for them (even under ANSI), so they are
-    EXCLUDED from the sum like NULLs — that is the defined semantic, and
-    :func:`sql_dsum` mirrors it with ``try_cast`` (a plain DuckDB cast
-    would raise instead, silently breaking engine parity on dirty data)."""
+    Values with no ``decimal(28,4)`` representation — NaN, ±Inf, and
+    finite doubles beyond ~1e24 — are EXCLUDED from the sum like NULLs
+    (``try_cast``, not ``cast``: ANSI's plain cast silently NULLs NaN/Inf
+    but RAISES NUMERIC_VALUE_OUT_OF_RANGE on a huge finite double, so one
+    garbage reading would kill the whole aggregate at 100 TB), and
+    :func:`sql_dsum` mirrors the same try_cast semantics in DuckDB.  The
+    decimal SUM itself accumulates at precision 38 (~1e34 headroom), so
+    only the per-value representability bound applies."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(F.sum(c.cast(DEC)), scale).cast("double")
+    out = F.round(F.sum(c.try_cast(DEC)), scale).cast("double")
     return out.alias(alias) if alias else out
 
 
@@ -46,14 +49,14 @@ def davg(col: str | Column, alias: str | None = None, scale: int = 2) -> Column:
     rounds to 2 decimals).
 
     The denominator counts the DECIMAL-CAST column, not the raw one, so a
-    non-finite double (NaN/±Inf → NULL under the decimal cast, see
-    :func:`dsum`) drops out of numerator AND denominator together — counting
-    it only in the denominator would silently bias every mean downward on
-    dirty data.
+    value with no decimal representation (NaN/±Inf/≳1e24 → NULL under the
+    try_cast, see :func:`dsum`) drops out of numerator AND denominator
+    together — counting it only in the denominator would silently bias
+    every mean downward on dirty data.
     """
     c = F.col(col) if isinstance(col, str) else col
     mult = float(10**scale)
-    dc = c.cast(DEC)
+    dc = c.try_cast(DEC)
     # try_divide: a group whose EVERY value is non-finite has count 0, and
     # ANSI raises on /0 — NULL mean matches DuckDB's NULL/0
     q = F.try_divide(F.sum(dc).cast("double"), F.count(dc))
@@ -90,7 +93,7 @@ def dsum_exact(col: Column, alias: str | None = None, scale: int = 2) -> Column:
     return out.alias(alias) if alias else out
 
 
-def _sql_dec(expr: str) -> str:
+def sql_dec(expr: str) -> str:
     """Decimal-cast an expression the way Spark's cast behaves on dirty
     doubles: NaN/±Inf → NULL.  ``try_cast`` alone handles ±Inf, but DuckDB
     1.0's try_cast still RAISES on NaN→decimal (the INT128 path), so NaN is
@@ -106,7 +109,7 @@ def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
     """DuckDB-side twin of :func:`dsum` for oracle strings.  The guarded
     cast (NULL on NaN/±Inf) mirrors Spark's decimal-cast-to-NULL; a plain
     cast would RAISE on the first non-finite double and break parity."""
-    return f"cast(round(sum({_sql_dec(expr)}), {scale}) as double) AS {alias}"
+    return f"cast(round(sum({sql_dec(expr)}), {scale}) as double) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 2) -> str:
@@ -114,6 +117,6 @@ def sql_davg(expr: str, alias: str, scale: int = 2) -> str:
     :func:`sql_dsum`, in numerator AND denominator)."""
     mult = float(10**scale)
     return (
-        f"floor((cast(sum({_sql_dec(expr)}) as double)"
-        f" / count({_sql_dec(expr)})) * {mult} + 0.5) / {mult} AS {alias}"
+        f"floor((cast(sum({sql_dec(expr)}) as double)"
+        f" / count({sql_dec(expr)})) * {mult} + 0.5) / {mult} AS {alias}"
     )

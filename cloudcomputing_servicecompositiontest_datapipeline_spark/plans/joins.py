@@ -169,7 +169,7 @@ def tenancy_annotate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id, stage,
-           cast(round(sum(cast(value AS decimal(28,4))) OVER (
+           cast(round(sum(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as decimal(28,4))) OVER (
              PARTITION BY user_id ORDER BY stage
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS double) AS value_pipeline
     FROM staged
@@ -194,7 +194,7 @@ def pipeline_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "stage",
             F.round(
-                F.sum(F.col("value").cast("decimal(28,4)")).over(cum_w), 2
+                F.sum(F.col("value").try_cast("decimal(28,4)")).over(cum_w), 2
             ).cast("double").alias("value_pipeline"),
         )
     )

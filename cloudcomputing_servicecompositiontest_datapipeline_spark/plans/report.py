@@ -79,7 +79,7 @@ def report_show_as_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report_multi_group",
     oracle=f"""
     SELECT event_type, user_id, count(*) AS uses,
-           {sql_fround(f"cast(sum(cast(value AS {DEC})) AS double) / count(value)", 2)} AS avg_value
+           {sql_fround(f"cast(sum(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as {DEC})) AS double) / count(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as {DEC}))", 2)} AS avg_value
     FROM events GROUP BY GROUPING SETS ((event_type), (user_id))
     """,
 )
@@ -92,7 +92,7 @@ def report_multi_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT event_type, user_id, count(*) AS uses,
-               cast(floor((cast(sum(cast(value AS {DEC})) AS double) / count(value)) * 100.0 + 0.5) / 100.0 AS double) AS avg_value
+               cast(floor((cast(sum(try_cast(value AS {DEC})) AS double) / count(try_cast(value AS {DEC}))) * 100.0 + 0.5) / 100.0 AS double) AS avg_value
         FROM events_mg GROUP BY GROUPING SETS ((event_type), (user_id))
         """
     )
@@ -156,7 +156,7 @@ def report_invalidator_warmup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       props, event_id % 2 AS iteration
                FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b))
     SELECT iteration, count(*) AS uses,
-           floor((cast(sum(cast(value AS decimal(28,4))) AS double) / count(value)) * 100.0 + 0.5) / 100.0 AS avg_value
+           floor((cast(sum(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as decimal(28,4))) AS double) / count(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as decimal(28,4)))) * 100.0 + 0.5) / 100.0 AS avg_value
     FROM u GROUP BY iteration
     """,
 )
@@ -346,7 +346,7 @@ def report_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS runs,
            count(DISTINCT user_id) AS containers,
            {sql_davg("value", "avg_runtime")},
-           {sql_fround(f"cast(sum(cast(value AS {DEC})) AS double) / 1000 * 0.00001667 * (3008.0/1024)", 6)} AS total_cost
+           {sql_fround(f"cast(sum(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as {DEC})) AS double) / 1000 * 0.00001667 * (3008.0/1024)", 6)} AS total_cost
     FROM events
     """,
 )
@@ -360,7 +360,7 @@ def report_summary_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("containers"),
         davg("value", "avg_runtime"),
         fround(
-            F.sum(F.col("value").cast(DEC)).cast("double")
+            F.sum(F.col("value").try_cast(DEC)).cast("double")
             / 1000
             * 0.00001667
             * (3008.0 / 1024),
@@ -374,7 +374,7 @@ def report_summary_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per_user AS (
       SELECT event_type, user_id, count(*) AS uses,
-             sum(cast(value AS {DEC})) AS sum_value
+             sum(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as {DEC})) AS sum_value
       FROM events GROUP BY event_type, user_id
     )
     SELECT event_type, uses AS tenancy, count(*) AS n_tenants,
@@ -388,7 +388,7 @@ def report_tenancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("uses"),
-        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        F.sum(F.col("value").try_cast(DEC)).alias("sum_value"),
     )
     return per_user.groupBy("event_type", "uses").agg(
         F.count(F.lit(1)).alias("n_tenants"),
@@ -565,7 +565,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
     daily = ev.groupBy("day", "event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("value").cast(DEC)).alias("psum"),
+        F.sum(F.col("value").try_cast(DEC)).alias("psum"),
     )
     return daily.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("uses"),

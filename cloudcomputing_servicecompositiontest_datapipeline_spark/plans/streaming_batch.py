@@ -34,7 +34,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           cast(round(sum(cast(value AS decimal(28,4))), 2) AS double) AS sum_value
+           cast(round(sum(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as decimal(28,4))), 2) AS double) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -137,7 +137,7 @@ def streaming_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return compiled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("uses"),
-        F.round(F.sum(F.col("value").cast("decimal(28,4)")), 2)
+        F.round(F.sum(F.col("value").try_cast("decimal(28,4)")), 2)
         .cast("double")
         .alias("sum_value"),
     )

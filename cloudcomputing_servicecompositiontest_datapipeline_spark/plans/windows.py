@@ -102,7 +102,7 @@ def window_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            count(*) OVER (PARTITION BY user_id ORDER BY event_id
                           RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_recent,
-           cast(round(sum(cast(value AS decimal(28,4))) OVER (
+           cast(round(sum(try_cast((CASE WHEN isnan(cast(value as double)) THEN NULL ELSE value END) as decimal(28,4))) OVER (
                    PARTITION BY user_id ORDER BY event_id
                    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW), 2) AS double) AS sum_recent
     FROM events
@@ -117,7 +117,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_recent"),
-        F.round(F.sum(F.col("value").cast("decimal(28,4)")).over(w), 2)
+        F.round(F.sum(F.col("value").try_cast("decimal(28,4)")).over(w), 2)
         .cast("double")
         .alias("sum_recent"),
     )

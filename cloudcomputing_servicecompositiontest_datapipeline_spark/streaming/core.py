@@ -69,7 +69,7 @@ def tumbling_windowed_agg(
     ]
     return df.groupBy(*group).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(28,4)")), 2)
+        F.round(F.sum(F.col("value").try_cast("decimal(28,4)")), 2)
         .cast("double")
         .alias("sum_value"),
     )

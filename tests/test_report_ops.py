@@ -373,7 +373,16 @@ def test_exact_aggregates_exclude_nonfinite_consistently(spark):
     )
 
     nan, inf = float("nan"), float("inf")
-    rows = [("a", 1.0), ("a", 3.0), ("a", nan), ("b", 2.0), ("b", inf), ("c", nan)]
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", nan),
+        ("b", 2.0), ("b", inf),
+        ("c", nan),
+        # a huge FINITE double has no decimal(28,4) representation either:
+        # ANSI's plain cast RAISES NUMERIC_VALUE_OUT_OF_RANGE on it (where
+        # it silently NULLs NaN/Inf) — try_cast is what keeps one garbage
+        # reading from killing the aggregate
+        ("b", 1e30),
+    ]
     df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
     got = {
         r.g: (r.s, r.m)
