@@ -232,9 +232,14 @@ def bpe_encode(
             F.lit(_S_OPEN + a + _S_CLOSE + _S_OPEN + b + _S_CLOSE),
             F.lit(_S_OPEN + a + b + _S_CLOSE),
         )
-    flat = F.filter(
-        F.split(F.translate(s, _W_SEP + _S_OPEN, ""), _S_CLOSE),
-        lambda t: F.length(t) > 0,
+    flat = F.coalesce(
+        F.filter(
+            F.split(F.translate(s, _W_SEP + _S_OPEN, ""), _S_CLOSE),
+            lambda t: F.length(t) > 0,
+        ),
+        # NULL text → empty token list, matching bpe_encode_pandas (a NULL
+        # tokens/n_tokens row would break the two encoders' parity contract)
+        F.array().cast("array<string>"),
     )
     return ensure_parallelism(df).select(
         F.col(id_col),
@@ -271,6 +276,8 @@ def bpe_encode_pandas(
     bc = df.sparkSession.sparkContext.broadcast(rank_of)
 
     def encode_word(word: str, ranks: dict) -> list[str]:
+        if not word:  # defensive: an empty word has no symbols to merge
+            return []
         syms = list(word)
         syms[-1] += EOW
         while len(syms) >= 2:
@@ -317,7 +324,12 @@ def bpe_encode_pandas(
 
     base = ensure_parallelism(df).select(
         F.col(id_col),
-        _words(F.col(text_col)).alias("_words"),
+        # NULL text → empty word array HERE (JVM-side): a None reaching the
+        # pandas kernel is not iterable and would kill the whole Arrow task
+        # — one NULL document must not fail a 100 TB encode job
+        F.coalesce(
+            _words(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_words"),
     )
     id_type = dict(base.dtypes)[id_col]
     return base.mapInPandas(

@@ -958,3 +958,22 @@ def test_value_deciles_excludes_nonfinite_scores(spark):
     got = {r.id: r.bin for r in cu.value_deciles(df, "v", "id", n_bins=10).collect()}
     assert set(got) == set(range(20))  # dirty rows excluded
     assert got[19] == 9 and got[0] == 0  # finite binning unchanged
+
+
+def test_bpe_encoders_agree_on_null_and_empty_documents(spark):
+    """A NULL document reaching the Arrow kernel as a non-iterable None
+    killed the whole mapInPandas task (one bad row fails a 100 TB encode
+    job); the literal-fold twin returned NULL tokens where the kernel
+    returns [].  Both now emit an empty token list / n_tokens 0, keeping
+    the encoder parity contract on degenerate rows."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "normal text"), (2, None), (3, ""), (4, "emoji 🎉")],
+        "doc_id LONG, text STRING",
+    )
+    merges = [("t", "h"), ("th", "e")]
+    lit = {r.doc_id: (list(r.tokens), r.n_tokens) for r in bpe.bpe_encode(df, "text", "doc_id", merges).collect()}
+    pan = {r.doc_id: (list(r.tokens), r.n_tokens) for r in bpe.bpe_encode_pandas(df, "text", "doc_id", merges).collect()}
+    assert lit == pan
+    assert lit[2] == ([], 0) and lit[3] == ([], 0)
