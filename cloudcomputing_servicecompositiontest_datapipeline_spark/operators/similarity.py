@@ -132,6 +132,21 @@ def lsh_bucket(vec: F.Column, *, planes: int, dim: int, plane_offset: int = 0) -
     return bucket
 
 
+def _homogeneous_sample(sample: list[list[float]]) -> list[list[float]]:
+    """Keep only the MAJORITY-dimension vectors of a training sample: one
+    wrong-dimension row makes ``np.asarray``/``np.stack`` ragged and kills
+    the driver-side Lloyd's fit — the same one-bad-row-kills-the-job class
+    the finite guards close elsewhere.  Driver-side and O(|sample|); the
+    distributed assignment paths apply the matching ``F.size(vec) == dim``
+    filter so mismatched vectors drop out consistently end-to-end."""
+    if not sample:
+        return sample
+    from collections import Counter
+
+    dim, _ = Counter(len(v) for v in sample).most_common(1)[0]
+    return [v for v in sample if len(v) == dim]
+
+
 def _train_centroids(sample_vecs: list[list[float]], n_centroids: int, n_iters: int = 10):
     """Driver-side Lloyd's iterations on a BOUNDED training sample —
     deterministic (evenly-spaced init over the sample, fixed iteration count,
@@ -140,7 +155,7 @@ def _train_centroids(sample_vecs: list[list[float]], n_centroids: int, n_iters: 
     corpus size; only assignment is distributed."""
     import numpy as np
 
-    X = np.asarray(sample_vecs, dtype=np.float64)
+    X = np.asarray(_homogeneous_sample(sample_vecs), dtype=np.float64)
     idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
     C = X[idx].copy()
     for _ in range(n_iters):
@@ -200,7 +215,12 @@ def ivf_topk(
     row-local, shuffle-free, embarrassingly parallel at any corpus size.
     Recall vs brute force is tunable via n_probe (tested in
     tests/test_extensions.py)."""
-    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
+    # NULL vectors are unindexable (and a None crossing into the driver-side
+    # trainer is not iterable — one bad row must not kill the index build);
+    # drop them here, row-local, before anything touches numpy
+    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).where(
+        F.col("cand_vec").isNotNull()
+    )
     # Bounded, deterministic training sample WITHOUT a count job: take the
     # `target` lowest salted-hash ids (TakeOrdered = per-partition heap,
     # linear scan, no full sort) — a uniform pseudo-random spread that is a
@@ -214,10 +234,15 @@ def ivf_topk(
         .collect()
     ]
     centers = _train_centroids(sample, n_centroids)
+    dim = len(centers[0]) if len(centers) and len(centers[0]) else None
 
     assigned = c.withColumn(
         "centroid", _argmin_centroids(F.col("cand_vec"), centers, 1)[0]
     )
+    if dim is not None:
+        # a wrong-dimension vector would poison the zip_with distance fold
+        # (silently short-zips) — exclude it like a NULL
+        assigned = assigned.where(F.size("cand_vec") == dim)
     q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
     probes = q.select(
         "query_id",
@@ -384,7 +409,13 @@ def semantic_dedup(
             "_id",
         )
     else:
-        c = _with_norm(emb, "_id", "_vec", id_col, vec_col)
+        # NULL vectors cannot be blocked (and a None reaching the pandas
+        # assignment kernel's np.stack kills the whole Arrow task); they
+        # drop out of pairing here and rejoin as singletons in the final
+        # cluster_canonical pass, which unions ALL input ids
+        c = _with_norm(emb, "_id", "_vec", id_col, vec_col).where(
+            F.col("_vec").isNotNull()
+        )
         target = 200 * n_centroids
         # Arrow toPandas, not collect(): row-by-row py4j deserialization of
         # array columns costs ~0.5 ms/row (measured 1.6 s for a 3200-row
@@ -397,6 +428,11 @@ def semantic_dedup(
         )
         sample = [[float(x) for x in v] for v in sample_pdf["_vec"]]
         centers = _train_centroids(sample, n_centroids)
+        if len(centers) and len(centers[0]):
+            # a wrong-dimension vector makes the kernel's np.stack ragged
+            # (task-killing) — exclude it like a NULL; it rejoins as a
+            # singleton in cluster_canonical
+            c = c.where(F.size("_vec") == len(centers[0]))
         # Vectorized assignment: one Arrow-batched pandas UDF doing the
         # (batch × centroids) distance matmul in numpy — ~5x the interpreted
         # per-centroid fold chain for dense vector math, the same sanctioned
@@ -644,10 +680,13 @@ def pq_train(
     sample = [
         [float(x) for x in r._v]
         for r in emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        # a NULL vector in the sample is not iterable and kills training
+        .where(F.col(vec_col).isNotNull())
         .orderBy(F.xxhash64(F.lit(seed), F.col("_id").cast("string")), "_id")
         .limit(target)
         .collect()
     ]
+    sample = _homogeneous_sample(sample)
     if not sample:
         raise ValueError("empty embedding table")
     d = len(sample[0])

@@ -1973,3 +1973,30 @@ def test_similarity_drops_nan_vectors_instead_of_ranking_them(spark):
     assert 99 not in by_q.get(50, [])      # poisoned candidate never ranked
     assert 51 not in by_q                  # poisoned query yields no rankings
     assert len(by_q[50]) == 3              # clean query unaffected
+
+
+def test_kmeans_paths_survive_null_and_ragged_vectors(spark):
+    """A NULL embedding reaching the driver-side trainer (not iterable) or
+    the Arrow assignment kernel (np.stack of None) killed the job; a
+    wrong-dimension vector made the training matrix ragged (ValueError).
+    Both classes now drop out of blocking/indexing row-locally — and in
+    semantic dedup they REJOIN as self-canonical singletons, so no input
+    id is ever silently lost."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import similarity as sim
+
+    rows = [(i, [float(i % 5), 1.0, 0.5]) for i in range(30)]
+    rows += [(99, None), (98, [1.0, 2.0])]  # NULL + ragged
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    out = sim.semantic_dedup(emb, n_centroids=3, exact_dots=False)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 32  # every id present
+    assert got[99].canonical_id == 99 and got[99].is_kept  # singletons
+    assert got[98].canonical_id == 98 and got[98].is_kept
+
+    q = spark.createDataFrame([(0, [1.0, 1.0, 0.5])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    hits = sim.ivf_topk(emb, q, n_centroids=3, k=2).collect()
+    assert len(hits) == 2 and all(h.cand_id not in (98, 99) for h in hits)
+
+    books = sim.pq_train(emb, m=1, k=4)
+    assert len(books) == 1 and len(books[0][0]) == 3  # majority dim wins
