@@ -82,17 +82,30 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # NULL payload = missing/corrupt media: surface the row with
+            # NULL decode fields (bytes(None) would kill the whole Arrow
+            # task, and dropping the row would hide the corruption)
             payloads = pdf["payload"]
-            dims = [_fake_decode(bytes(p)) for p in payloads]
+            dims = [
+                _fake_decode(bytes(p)) if p is not None else (None, None, None)
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": [m["mime"] for m in pdf["meta"]],
-                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "media_type": [
+                        m["mime"] if m is not None else None for m in pdf["meta"]
+                    ],
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else None for p in payloads
+                    ],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "channels": [d[2] for d in dims],
-                    "content_sha": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+                    "content_sha": [
+                        hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
+                        for p in payloads
+                    ],
                 }
             )
 
@@ -124,6 +137,9 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in it:
             feats = []
             for p in pdf["payload"]:
+                if p is None:  # missing media: NULL feature, row surfaced
+                    feats.append(None)
+                    continue
                 d = hashlib.sha256(bytes(p)).digest()
                 vec = [round(d[i] / 255.0, 6) for i in range(dim)]
                 feats.append(",".join(f"{v:.6f}" for v in vec))
@@ -160,6 +176,12 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     offset (explode is the Spark-side fan-out a real frame sampler uses).
     Uses byte offsets as stand-in frame indexes — STUB per module docstring."""
     n_frames = F.greatest((F.length("payload") / every_n_bytes).cast("int"), F.lit(1))
-    return df.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
-    ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+    return (
+        # NULL payload: no media to sample — zero frames, not one phantom
+        # frame (greatest() SKIPS the NULL length and would emit offset 0)
+        df.where(F.col("payload").isNotNull())
+        .select(
+            "doc_id", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+        )
+        .withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+    )

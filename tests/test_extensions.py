@@ -2000,3 +2000,34 @@ def test_kmeans_paths_survive_null_and_ragged_vectors(spark):
 
     books = sim.pq_train(emb, m=1, k=4)
     assert len(books) == 1 and len(books[0][0]) == 3  # majority dim wins
+
+
+def test_multimodal_kernels_surface_null_payloads(spark):
+    """bytes(None) in the decode/feature Arrow kernels killed the whole
+    task — one corrupt media row must not fail a shard.  NULL payloads now
+    surface as rows with NULL decode fields (visible corruption, not
+    silent loss); frame_sample emits ZERO frames for them (greatest()
+    skips the NULL length and used to emit one phantom frame at offset 0)."""
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None), (3, "world")], "doc_id LONG, text STRING"
+    )
+    carrier = mm.attach_binary(df, "text", "doc_id").withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 2, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    )
+    dec = {r.doc_id: r for r in mm.decode_media(carrier).collect()}
+    assert set(dec) == {1, 2, 3}
+    assert dec[2].content_sha is None and dec[2].width is None
+    assert dec[1].content_sha is not None
+
+    feats = {r.doc_id: r.feature for r in mm.extract_features(carrier).collect()}
+    assert feats[2] is None and feats[1] is not None
+
+    frames = mm.frame_sample(carrier).select("doc_id").distinct().collect()
+    assert {r.doc_id for r in frames} == {1, 3}  # no phantom frame for 2
