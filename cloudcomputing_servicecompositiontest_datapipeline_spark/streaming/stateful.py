@@ -35,7 +35,10 @@ def _track(
         runs += len(pdf)
         if "newcontainer" in pdf:
             cold += int(pdf["newcontainer"].fillna(0).sum())
-        ts_us = (pdf["ts"].astype("int64") // 1000) if "ts" in pdf else None
+        # dropna BEFORE the int64 view: a NULL event time arrives as NaT,
+        # and astype("int64") on NaT raises — one timestampless record
+        # must not kill the lifetime tracker's task
+        ts_us = (pdf["ts"].dropna().astype("int64") // 1000) if "ts" in pdf else None
         if ts_us is not None and len(ts_us):
             lo, hi = int(ts_us.min()), int(ts_us.max())
             first_us = lo if first_us is None else min(first_us, lo)

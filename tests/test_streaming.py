@@ -663,3 +663,43 @@ def test_streaming_burst_monitor_welford_across_batches(spark, tmp_path):
     second = {r.bucket_ts.hour: r for r in drain()}
     assert second[4].is_burst and second[4].z_score > 2.0
     assert second[4].n_windows_seen == 5  # state carried across drains
+
+
+def test_stateful_lifetimes_survive_null_timestamps(spark, tmp_path):
+    """A timestampless record arrives in the kernel as NaT, and
+    astype('int64') on NaT raises — one bad record must not kill the
+    lifetime tracker's task.  NULL event times are excluded from the
+    first/last window but still count as runs."""
+    import json as _json
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.streaming.stateful import (
+        container_lifetimes,
+    )
+
+    d = tmp_path / "stateful_nullts"
+    d.mkdir()
+    schema = "run_id BIGINT, uuid STRING, newcontainer INT, ts TIMESTAMP"
+    with open(d / "a.json", "w") as f:
+        f.write(_json.dumps({"run_id": 0, "uuid": "c0", "newcontainer": 1, "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write(_json.dumps({"run_id": 1, "uuid": "c0", "newcontainer": 0, "ts": None}) + "\n")
+        f.write(_json.dumps({"run_id": 2, "uuid": "c1", "newcontainer": 1, "ts": None}) + "\n")
+    stream = spark.readStream.schema(_parse_datatype_string(schema)).json(str(d))
+    rows = {}
+
+    def sink(batch_df, _epoch):
+        for r in batch_df.collect():
+            rows[r.uuid] = r
+
+    q = (
+        container_lifetimes(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nullts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert rows["c0"].runs == 2 and rows["c0"].first_us is not None
+    assert rows["c1"].runs == 1 and rows["c1"].first_us is None  # all-NaT group
