@@ -89,6 +89,12 @@ def profile_columns(df: DataFrame, cols: list[str], *, exact_distinct: bool = Tr
     the expand multiplies rows by the column count); at 100 TB pass
     ``exact_distinct=False`` to swap in ``approx_count_distinct`` (HLL,
     no Expand) — the profile is advisory, ±2% is fine there.
+
+    Dirty-data stance (deliberate, opposite of the monitoring operators'
+    finite guards): a NaN in a double column SURFACES as ``max_value =
+    'NaN'`` — both engines order NaN above every double, so the profile is
+    oracle-consistent, and a profiler's job is to SHOW the corruption that
+    the downstream psi/robust/sketch operators will then exclude.
     """
     if not cols:
         raise ValueError("no columns to profile")
