@@ -158,15 +158,20 @@ def hist_sketch(
     from .guards import finite_d
 
     # divide by the bin width directly (not (v/span)*n_bins, whose two
-    # roundings can land edge values one bin low)
+    # roundings can land edge values one bin low); clamp ON THE DOUBLE,
+    # before the int cast — a large-but-finite reading (e.g. 5e12 over a
+    # [0,1000) range) floors to a bigint far past int range, and under
+    # ANSI the cast itself raises CAST_OVERFLOW before a post-cast clamp
+    # could ever run
     bin_width = (hi - lo) / n_bins
-    bin_idx = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col(value_col).cast("double") - lo) / bin_width).cast("int"),
-        ),
-    )
+    bin_idx = F.floor(
+        F.least(
+            F.lit(float(n_bins - 1)),
+            F.greatest(
+                F.lit(0.0), (F.col(value_col).cast("double") - lo) / bin_width
+            ),
+        )
+    ).cast("int")
     counts = (
         df.where(finite_d(F.col(value_col)))
         .select(*group_cols, bin_idx.alias("bin"))

@@ -620,6 +620,87 @@ def packing_report(
     )
 
 
+def _exact_quantiles_reduced(
+    df: DataFrame, value_expr, fracs: list[float]
+) -> list[float] | None:
+    """Exact ``percentile(value, fracs)`` — bit-identical to Spark's exact
+    ``percentile`` aggregate — computed from the PER-VALUE COUNT reduction
+    instead of the Percentile aggregation buffer.
+
+    Spark's exact ``Percentile`` buffers every distinct value in ONE
+    aggregation buffer on the merging reducer — memory ∝ |distinct|, an
+    OOM for continuous scores/timestamps at corpus scale.  Here the corpus
+    reduces to a per-value count table in one partial-agg shuffle; a
+    running sum over that REDUCED table gives each value its sorted index
+    range [rows_before, rows_before+count); the len(fracs) requested
+    positions (a tiny broadcast) range-join against it and interpolate.
+    Peak per-task state is one shuffle partition of DISTINCT values — the
+    same bound as every other histogram-CDF operator here — instead of all
+    of them in one buffer.
+
+    Bit-identity with the JVM aggregate (so swapping this in leaves query
+    hashes unchanged): position ``p·(n−1)`` is an IEEE double multiply
+    (computed driver-side — same bits as the JVM's); integral positions
+    and lower==higher-value positions return the value directly (the
+    aggregate's two early returns); otherwise
+    ``(k+1−pos)·v_lo + (pos−k)·v_hi`` in the aggregate's exact operand
+    order.  NULLs are excluded like the aggregate does; NaN (if not
+    pre-filtered) sorts above every double in BOTH paths.
+
+    Two bounded driver materializations: the single (rows, distinct)
+    stats row and the len(fracs)-row curve.  Costs one extra scan of
+    ``df`` vs the single-aggregate form — linear, vs the buffer OOM it
+    removes.  Returns None for an empty (or all-NULL) input.
+    """
+    import math
+
+    spark = df.sparkSession
+    vals = df.select(value_expr.cast("double").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    per_value = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    srow = per_value.agg(F.sum("_c").alias("_n")).first()
+    n = int(srow["_n"] or 0)
+    if n == 0:
+        return None
+    pf = spark.createDataFrame(
+        [
+            (i, float(p) * float(n - 1), int(math.floor(float(p) * float(n - 1))))
+            for i, p in enumerate(fracs)
+        ],
+        "i int, _pos double, _k long",
+    )
+    wv = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_value.select(
+        "_v", "_c", (F.sum("_c").over(wv) - F.col("_c")).alias("_b")
+    )
+    # value at sorted index k is the one whose cumulative range covers k
+    in_lo = (F.col("_k") >= F.col("_b")) & (
+        F.col("_k") < F.col("_b") + F.col("_c")
+    )
+    in_hi = (F.col("_k") + 1 >= F.col("_b")) & (
+        F.col("_k") + 1 < F.col("_b") + F.col("_c")
+    )
+    hit = cum.join(F.broadcast(pf), in_lo | in_hi)
+    per_i = hit.groupBy("i", "_pos", "_k").agg(
+        F.max(F.when(in_lo, F.col("_v"))).alias("_vlo"),
+        F.max(F.when(in_hi, F.col("_v"))).alias("_vhi"),
+    )
+    kd = F.col("_k").cast("double")
+    curve = (
+        F.when(F.col("_pos") == kd, F.col("_vlo"))
+        .when(F.col("_vhi") == F.col("_vlo"), F.col("_vlo"))
+        .otherwise(
+            F.col("_vlo") * (kd + F.lit(1.0) - F.col("_pos"))
+            + F.col("_vhi") * (F.col("_pos") - kd)
+        )
+    )
+    rows = per_i.select("i", curve.alias("_q")).orderBy("i").collect()
+    return [r["_q"] for r in rows]
+
+
 def quantile_map(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -628,6 +709,8 @@ def quantile_map(
     *,
     grid: int = 1000,
     round_scale: int = 6,
+    broadcast_ranks: bool | None = None,
+    broadcast_distinct_limit: int = 4_000_000,
 ) -> DataFrame:
     """X70 quantile mapping (CDF matching): re-express each NEW score as
     the REFERENCE-distribution value at the same percentile — the score
@@ -639,22 +722,25 @@ def quantile_map(
     (ties share a rank), then linear interpolation into the reference's
     exact quantile curve sampled at ``grid``+1 points.
 
-    100 TB shape: the same two-phase histogram CDF as :func:`value_deciles`
-    — percent_rank of a value v is exactly ``(# rows with value < v) /
-    (n - 1)`` with ties sharing the minimum rank, so it is a pure function
-    of the PER-VALUE COUNT TABLE: ONE partial-agg shuffle reduces the
-    corpus to distinct values, a running sum over that reduced table
-    yields ``rows_before`` per value, and the rank broadcast-joins back
-    (no corpus-sized sort, no single-task global window — the X70
-    anti-pattern this replaced).  The running-sum window IS global but
-    runs over the aggregate-reduced value table (scores are near-always
-    quantized — |distinct| << |rows|; for pathological all-distinct
-    continuous scores drop the broadcast hint and let the join shuffle).
-    The reference reduces to a ``grid``+1-point curve in one aggregate
-    whose values are BAKED into the plan as one literal array (the
-    bounded-collect pattern — grid+1 doubles to the driver, shipped in a
-    single ``F.lit(list)`` call); the interpolation is row-local array
-    math.
+    100 TB shape: BOTH sides now run the same two-phase histogram CDF as
+    :func:`value_deciles` — percent_rank of a value v is exactly
+    ``(# rows with value < v) / (n - 1)`` with ties sharing the minimum
+    rank, so it is a pure function of the PER-VALUE COUNT TABLE: ONE
+    partial-agg shuffle reduces each corpus to distinct values, a running
+    sum over that reduced table yields ``rows_before`` per value, and the
+    rank joins back (no corpus-sized sort, no single-task global window —
+    the X70 anti-pattern this replaced).  The running-sum window IS global
+    but runs over the aggregate-reduced value table.  The REFERENCE curve
+    comes from :func:`_exact_quantiles_reduced` — bit-identical to Spark's
+    exact ``percentile`` but without its buffer-every-distinct-value
+    reducer (the OOM-at-100-TB hazard for continuous scores); the grid+1
+    curve points are BAKED into the plan as one literal array (the
+    bounded-collect pattern) and the interpolation is row-local array
+    math.  The rank join-back is broadcast only when the NEW side's
+    distinct count (measured in the same bounded stats row that supplies
+    the corpus total) is at most ``broadcast_distinct_limit`` — continuous
+    all-distinct scores fall back to a shuffle join instead of an
+    executor-OOM broadcast; pass ``broadcast_ranks`` to force either way.
 
     Rows with a NULL or non-finite (NaN/±Inf) score are EXCLUDED on BOTH
     sides (a missing score has no rank position; Spark windows order NULLS
@@ -665,10 +751,8 @@ def quantile_map(
     from ..functions.guards import finite_d
 
     fracs = [i / grid for i in range(grid + 1)]
-    curve_vals = (
-        ref_df.filter(finite_d(F.col(value_col)))
-        .select(F.percentile(F.col(value_col).cast("double"), F.lit(fracs)).alias("_q"))
-        .first()["_q"]
+    curve_vals = _exact_quantiles_reduced(
+        ref_df.filter(finite_d(F.col(value_col))), F.col(value_col), fracs
     )
     if curve_vals is None:
         # no reference distribution to map onto — a silent NULL curve would
@@ -679,6 +763,14 @@ def quantile_map(
         F.col(id_col), F.col(value_col).alias("value")
     )
     per_value = base.groupBy("value").agg(F.count(F.lit(1)).alias("_c"))
+    # ONE bounded stats row: the corpus total (baked as a plan literal —
+    # replaces the former 1-row crossJoin) and the distinct count that
+    # gates the rank broadcast below
+    stats = per_value.agg(
+        F.sum("_c").alias("_total"), F.count(F.lit(1)).alias("_nd")
+    ).first()
+    n_total = int(stats["_total"] or 0)
+    n_distinct = int(stats["_nd"] or 0)
     wv = Window.orderBy(F.col("value").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -686,14 +778,13 @@ def quantile_map(
         F.col("value").alias("_v"),
         (F.sum("_c").over(wv) - F.col("_c")).alias("_before"),
     )
-    total = per_value.agg(F.sum("_c").alias("_total"))
     # percent_rank = (min_rank - 1) / (n - 1) = rows_before / (n - 1); a
     # 1-row corpus has rank 0.0 by both engines' definition
-    pr_val = F.when(
-        F.col("_total") > 1,
-        F.col("_before").cast("double") / (F.col("_total") - 1).cast("double"),
-    ).otherwise(F.lit(0.0))
-    ranks = cum.crossJoin(F.broadcast(total)).select("_v", pr_val.alias("_pr"))
+    if n_total > 1:
+        pr_val = F.col("_before").cast("double") / F.lit(float(n_total - 1))
+    else:
+        pr_val = F.lit(0.0)
+    ranks = cum.select("_v", pr_val.alias("_pr"))
     pr = F.col("_pr")
     idx = pr * grid
     lo = F.floor(idx).cast("int")
@@ -702,7 +793,10 @@ def quantile_map(
     q_hi = F.element_at(q, F.least(lo + F.lit(2), F.lit(grid + 1)))
     mapped = q_lo + frac * (q_hi - q_lo)
     mult = float(10**round_scale)
-    return base.join(F.broadcast(ranks), F.col("value") == F.col("_v")).select(
+    if broadcast_ranks is None:
+        broadcast_ranks = n_distinct <= broadcast_distinct_limit
+    rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+    return base.join(rank_side, F.col("value") == F.col("_v")).select(
         id_col,
         "value",
         (F.floor(pr * mult + 0.5) / mult).alias("quantile"),
@@ -726,14 +820,17 @@ def temporal_split_embargo(
     the cutoff leak label horizon into test, which the embargo removes —
     the purged/embargoed CV rule, public standard in financial ML).
 
-    Cutoff = the exact ``train_frac`` quantile of the epoch timestamp — ONE
-    double to the driver, baked as a plan literal (the bounded-collect
-    pattern; no join, not even a single-row BNLJ); membership is a
-    row-local epoch comparison.  No window, no shuffle beyond the quantile
-    aggregate."""
+    Cutoff = the exact ``train_frac`` quantile of the epoch timestamp,
+    computed by :func:`_exact_quantiles_reduced` (bit-identical to Spark's
+    exact ``percentile`` but via the per-value count reduction — event
+    timestamps are near-all-distinct, exactly the input that OOMs the
+    Percentile aggregate's buffer-every-distinct-value reducer at corpus
+    scale) — ONE double to the driver, baked as a plan literal (the
+    bounded-collect pattern); membership is a row-local epoch
+    comparison."""
     ep = F.col(ts_col).cast("timestamp").cast("double")
-    row = df.select(F.percentile(ep, F.lit(float(train_frac))).alias("_cut")).first()
-    cut = 0.0 if row["_cut"] is None else float(row["_cut"])
+    q = _exact_quantiles_reduced(df, ep, [float(train_frac)])
+    cut = 0.0 if q is None or q[0] is None else float(q[0])
     return df.select(
         F.col(id_col), F.col(ts_col).cast("timestamp").alias("ts")
     ).select(

@@ -471,15 +471,25 @@ def cluster_canonical(
     canonical.
 
     The loop runs with AQE ``coalescePartitions.parallelismFirst=false``
-    (restored after): iterative graph frames should be partitioned by the
-    GRAPH's size, not the session's parallelism default — AQE then
-    coalesces a kilobyte-scale duplicate graph to ~1 task per round
-    (instead of ``shuffle.partitions`` near-empty tasks × rounds) while a
-    100 TB dup graph still gets the advisory-size partition count.
+    (restored after — UNSET again if the session had never set it, so a
+    default-config session is left bit-identical): iterative graph frames
+    should be partitioned by the GRAPH's size, not the session's
+    parallelism default — AQE then coalesces a kilobyte-scale duplicate
+    graph to ~1 task per round (instead of ``shuffle.partitions``
+    near-empty tasks × rounds) while a 100 TB dup graph still gets the
+    advisory-size partition count.  NOT re-entrant: the conf is
+    session-global, so concurrent queries on the same SparkSession see the
+    override for the duration of the loop, and two overlapping
+    ``cluster_canonical`` calls can restore a mid-flight value — serialize
+    calls per session (the registered queries do; a future multi-tenant
+    wrapper should hold a per-session lock around this function).
     """
     spark = df.sparkSession
     _pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    prev_pf = spark.conf.get(_pf_key, "true")
+    # get(key, None) returns the EXPLICITLY-set value or None — unlike
+    # get(key), which falls back to the conf entry's defined default and
+    # would pin an untouched session to an explicit "true" on restore
+    prev_pf = spark.conf.get(_pf_key, None)
     try:
         spark.conf.set(_pf_key, "false")
         fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -561,7 +571,10 @@ def cluster_canonical(
             if changed == 0:
                 break
     finally:
-        spark.conf.set(_pf_key, prev_pf)
+        if prev_pf is None:
+            spark.conf.unset(_pf_key)
+        else:
+            spark.conf.set(_pf_key, prev_pf)
     return (
         df.select(F.col(id_col).alias("node"))
         .join(labels.select("node", "label"), "node", "left")

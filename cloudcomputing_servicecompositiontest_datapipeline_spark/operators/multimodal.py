@@ -39,7 +39,58 @@ DECODE_SCHEMA = StructType(
     ]
 )
 
-HAVE_REAL_CODECS = False  # flipped if PIL / soundfile etc. become available
+def _probe_real_codecs() -> bool:
+    """Runtime codec probe: True when PIL is importable in THIS process.
+    Called once per process (driver for the module flag, lazily per worker
+    inside the kernels — a heterogeneous cluster can have codec-capable
+    executors under a codec-less driver or vice versa)."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+#: Driver-side probe result; kernels re-probe per worker via _codecs_here().
+HAVE_REAL_CODECS = _probe_real_codecs()
+
+_CODECS_HERE: bool | None = None
+
+
+def _codecs_here() -> bool:
+    """Per-process cached probe (executors don't share the driver's import
+    state; functools caching keeps it one import attempt per worker)."""
+    global _CODECS_HERE
+    if _CODECS_HERE is None:
+        _CODECS_HERE = _probe_real_codecs()
+    return _CODECS_HERE
+
+
+def _real_decode(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """Actual image decode via PIL; undecodable bytes surface as NULL dims
+    (same convention as a NULL payload — corruption is surfaced, never
+    hidden by silently falling back to the fake)."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            width, height = im.size
+            channels = len(im.getbands())
+        return width, height, channels
+    except Exception:
+        return None, None, None
+
+
+def _decode_dims(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """Dispatch: real codec when present in this process, else the
+    deterministic fake — the escape hatch that makes any image-capable
+    environment exercise real decode with zero code change."""
+    if _codecs_here():
+        return _real_decode(payload)
+    return _fake_decode(payload)
 
 
 def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -87,7 +138,7 @@ def decode_media(df: DataFrame) -> DataFrame:
             # task, and dropping the row would hide the corruption)
             payloads = pdf["payload"]
             dims = [
-                _fake_decode(bytes(p)) if p is not None else (None, None, None)
+                _decode_dims(bytes(p)) if p is not None else (None, None, None)
                 for p in payloads
             ]
             yield pd.DataFrame(

