@@ -1342,24 +1342,66 @@ def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20)
     k = 5
     truth = sim.brute_force_topk(emb, q, k=k).select("query_id", "cand_id")
-    mult = 1000000.0
-
-    def score(name: str, pred: DataFrame) -> DataFrame:
-        return (
-            truth.withColumn("t", F.lit(1))
-            .join(pred.select("query_id", "cand_id").withColumn("p", F.lit(1)),
-                  ["query_id", "cand_id"], "left")
-            .agg(
-                F.lit(name).alias("method"),
-                F.count(F.lit(1)).cast("long").alias("n_truth"),
-                F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_hit"),
-                (F.floor(F.coalesce(F.sum("p"), F.lit(0)) / F.count(F.lit(1)) * mult + 0.5) / mult).alias("recall"),
-            )
-        )
-
-    lsh = score("lsh", sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=4))
-    ivf = score("ivf", sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=4))
+    lsh = _ann_recall(truth, "lsh", sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=4))
+    ivf = _ann_recall(truth, "ivf", sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=4))
     return lsh.unionByName(ivf).orderBy("method")
+
+
+def _ann_recall(truth: DataFrame, name: str, pred: DataFrame) -> DataFrame:
+    """One (method, n_truth, n_hit, recall) row: share of the brute-force
+    truth pairs the ANN path reproduced."""
+    mult = 1000000.0
+    return (
+        truth.withColumn("t", F.lit(1))
+        .join(pred.select("query_id", "cand_id").withColumn("p", F.lit(1)),
+              ["query_id", "cand_id"], "left")
+        .agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_hit"),
+            (F.floor(F.coalesce(F.sum("p"), F.lit(0)) / F.count(F.lit(1)) * mult + 0.5) / mult).alias("recall"),
+        )
+    )
+
+
+@query("similarity_ann_sweep")
+def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-grade ANN eval (r6 verdict item 7): recall@5 vs brute
+    force across a PARAMETER SWEEP — LSH tables ∈ {1,4,8} and IVF n_probe
+    ∈ {1,2,4} — so a regression in the bucketing shows up as a broken
+    monotone curve, not a single point drifting inside noise.  Recall is
+    provably non-decreasing along each axis: more tables / more probes
+    produce a candidate SUPERSET, and any candidate outscoring a true
+    top-k pair would itself be in the brute-force top-k (global ranking,
+    same cand_id tiebreak), so top-k-from-a-superset can only gain truth
+    hits — the monotonicity law tests/test_extensions.py pins.  All paths
+    are seeded/deterministic → stable rows; rows-only check (recall of a
+    bucketing heuristic is engine-specific by design).  Output: (method,
+    setting, n_truth, n_hit, recall), ordered."""
+    from ..operators import similarity as sim
+
+    apply_runtime_conf(spark)
+    emb = star.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    k = 5
+    truth = sim.brute_force_topk(emb, q, k=k).select("query_id", "cand_id")
+    rows = []
+    for tables in (1, 4, 8):
+        rows.append(
+            _ann_recall(
+                truth, "lsh", sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=tables)
+            ).select(F.col("method"), F.lit(tables).alias("setting"), "n_truth", "n_hit", "recall")
+        )
+    for n_probe in (1, 2, 4):
+        rows.append(
+            _ann_recall(
+                truth, "ivf", sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=n_probe)
+            ).select(F.col("method"), F.lit(n_probe).alias("setting"), "n_truth", "n_hit", "recall")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method", "setting")
 
 
 _WINNOW_CTE = f"""

@@ -42,91 +42,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r6 window (oldest-green-first per the r5 verdict).  Leads with the 12
-    # queries whose code or oracle changed THIS round — the histogram-CDF
-    # quantile_map rewrite, the null-component embedding_qc fix, the
-    # Bessel-corrected ab_test, the connected-components rewrite (everything
-    # downstream of cluster_canonical), and the empty-frame rate-monitor
-    # fallbacks — then the 36 queries whose latest driver row is r1-vintage,
-    # then the 2 oldest r2 rows.  Every r1-latest row re-verifies; nothing
-    # oracle-backed is left with a stale green older than 3 rounds except
-    # the r2 remainder queued for r7 (comment below).
-    # --- changed in r6
+    # r7 window (oldest-green-first, continuing the r5 rotation rule; the
+    # r6 window had 0 FAILs).  Leads with the 3 queries whose code is new
+    # or changed THIS round — the exact-percentile→per-value-count-
+    # reduction rewrite of quantile_map/temporal_split (hash-identical by
+    # construction, but a plan rewrite needs a same-round driver row) and
+    # the new ANN parameter-sweep eval — then the 4 queries whose latest
+    # driver row is still r1 (deferred from r6 as promised), then all 40
+    # r2-vintage rows, then the 3 oldest r3 rows.  After this round no
+    # registered query's latest driver record is older than r3.
+    # --- changed/new in r7
     "curation_quantile_map",
-    # upgraded rows-only → full oracle this round (deterministic histogram
-    # CDF is SQL-expressible); must get a same-round driver row.  Slot paid
-    # for by deferring tlq_typed_cast (r1-green, trivially stable casts,
-    # pytest-pinned) to the r7 window.
-    "sketch_quantile_rollup",
-    "embedding_qc",
-    "events_ab_test",
-    "dedup_semantic_centroids",
-    "dedup_cluster_canonical",
-    "dedup_cluster_canonical_lsh",
-    "dedup_semantic_clusters",
-    "split_leakage_safe",
-    "dedup_winnow_clusters",
-    "events_burst_zscore",
-    "events_cusum_shifts",
-    "events_rolling_rate",
-    # non-finite-guard round (NaN/Inf sweep): these three had their ORACLE
-    # SQL hand-edited to mirror the new finite predicates, so they need a
-    # same-round driver row; the sql_dsum/sql_davg helper change is already
-    # covered by the 10 guarded-cast oracles elsewhere in this window.
-    # Slots paid for by deferring tlq_decode_priority / tlq_invalid_date /
-    # report_global_zall (r1-green, literal-level transforms, pytest-pinned
-    # and locally re-gated every round) to r7.
-    "events_mad_by_type",
-    "events_outliers_robust",
-    "drift_events_value",
-    # --- latest driver row is r1: full refresh
-    "tlq_transform",
-    "tlq_dedup_first_wins",
-    "tlq_processing_time_stats",
-    "report_group_avg",
-    "report_group_sum",
-    "report_invalidator_warmup",
-    "report_union_sentinel",
-    "report_derive_row",
-    "report_variance_uses",
-    "report_summary_cost",
-    "report_tenancy_histogram",
-    "report_dedup_containers",
-    "report_validity_gate",
-    "report_combine_sheets",
-    "skew_salted_agg",
-    # (r1's "overlap_global" row refers to the since-split query; its oldest
-    # living descendant is the r3-vintage binned form)
-    "overlap_global_binned",
-    "join_config_stamp",
-    "funnel_click_to_purchase",
-    "retention_week_over_week",
-    "window_lag_lead",
-    "window_rank_kinds",
-    "window_range_frame",
-    "join_left_outer",
-    "join_semi_anti",
-    "join_full_outer",
-    "setop_intersect",
-    "setop_except",
-    "rollup_region_nation",
-    "cube_status_priority",
-    "having_filter",
-    "distinct_multi",
-    "q4_order_priority_check",
-    # --- oldest r2 rows
-    "report_show_as_list",
-    "report_cold_start_count",
+    "curation_temporal_split",
+    "similarity_ann_sweep",
+    # --- latest driver row is r1 (the r6 deferrals)
+    "tlq_decode_priority",
+    "tlq_invalid_date",
+    "tlq_typed_cast",
+    "report_global_zall",
+    # --- latest driver row is r2: full refresh
+    "report_full",
+    "report_approx_stats",
+    "inspector_nested_poll_agg",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "docs_join_embeddings",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "text_language_id",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_decode",
+    "text_quality_cutoff",
+    "sample_stratified_systematic",
+    "text_chunk_documents",
+    "corpus_curation_pipeline",
+    "dedup_passages",
+    "dedup_against_corpus",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_case_agg",
+    "q13_order_distribution",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_balance_anti",
+    "subquery_cheapest_part",
+    "percentile_stats",
+    "pivot_event_types",
+    "unpivot_event_counts",
+    # --- oldest r3 rows
+    "report_linear_regression",
+    "incremental_agg_merge",
+    "sketch_distinct_rollup",
 ]
-# r7 queue: lead with any r6 FAILs, then queries added/changed in r7, then
-# the remaining r2-vintage rows (report_approx_stats, inspector_nested_poll_agg,
-# dedup_minhash_lsh, dedup_simhash, dedup_embedding_cosine,
-# docs_join_embeddings, similarity_ivf_topk, similarity_lsh_topk,
-# text_language_id, text_token_count, text_fingerprint, multimodal_decode,
-# text_quality_cutoff, sample_stratified_systematic, text_chunk_documents,
-# corpus_curation_pipeline, dedup_passages, dedup_against_corpus,
-# q2/q6-q8/q10-q22, subquery_cheapest_part, percentile_stats,
-# pivot_event_types, unpivot_event_counts), then start on the r3 vintage.
+# r8 queue: lead with any r7 FAILs, then queries added/changed in r8, then
+# the remaining r3-vintage rows (sketch_frequency_heavy_hitters,
+# events_cumulative_distinct_users, skew_key_report, the scalar-function
+# family, events_time_rollup, multimodal_features, text_redact_pii,
+# text_repetition_score, the sampler/packing block, cdc/profile/quality,
+# dedup_lsh_eval, similarity_ann_eval, streaming batch-twins, io/udf
+# roundtrips, rename/payload ops), then start on the r4 vintage.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

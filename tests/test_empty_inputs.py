@@ -1,0 +1,72 @@
+"""Degenerate-schema sweep (r6 verdict item 8): every registered query runs
+against a ZERO-ROW copy of the star schema.
+
+The r6 NaN/±Inf sweep found four latent monitor defects; empty frames are
+the remaining unswept corner — a whole class of operators (trainers,
+cutoff computations, dense-axis builders, global aggregates feeding plan
+literals) touch driver-side values that stop existing when the input is
+empty.  Contract pinned here:
+
+- a query either returns a DataFrame that COLLECTS cleanly (possibly 0
+  rows — most operators), or
+- raises ``ValueError`` with a readable message (the documented fail-loud
+  paths: quantile_map's empty reference, the k-means/PQ trainers' empty
+  embedding table).
+
+Anything else — numpy IndexErrors, Py4J NPEs, ANSI cast errors, silent
+hangs — is a latent one-bad-partition bug at 100 TB (an empty partition,
+an all-filtered slice) and fails the sweep.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+
+#: queries DOCUMENTED to fail loudly on an empty corpus (ValueError with a
+#: readable message) — everything else must produce a collectable frame.
+EXPECTED_VALUEERROR = {
+    # quantile_map: an empty reference distribution has no quantile curve
+    "curation_quantile_map",
+    # k-means / PQ trainers: no usable vectors to train on
+    "dedup_semantic_centroids",
+    "similarity_ivf_topk",
+    "similarity_pq_encode",
+    "similarity_pq_eval",
+    "similarity_ann_eval",
+    "similarity_ann_sweep",
+}
+
+_QUERIES = em.queries()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory) -> str:
+    """A star-schema directory with every table present but ZERO rows —
+    schemas cloned from the sf0.001 fixtures so casts/column resolution
+    behave exactly as on real data."""
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path_factory.mktemp("sf_empty")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        spark.createDataFrame([], df.schema).write.mode("overwrite").parquet(
+            str(out / f"{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
+    fn = _QUERIES[name]
+    if name in EXPECTED_VALUEERROR:
+        with pytest.raises(ValueError):
+            fn(spark, empty_sf_dir).collect()
+        return
+    rows = fn(spark, empty_sf_dir).collect()
+    assert isinstance(rows, list)  # collected cleanly; emptiness is fine
