@@ -756,6 +756,42 @@ def test_bpe_encoders_agree_on_arbitrary_text(spark, texts, n_merges):
 
 
 @given(
+    vals=st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-1e6,
+            max_value=1e6,
+        ),
+        min_size=1,
+        max_size=18,
+    ),
+    fracs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=6
+    ),
+)
+@SETTINGS
+def test_exact_quantiles_reduced_equals_percentile_aggregate(spark, vals, fracs):
+    """Property form of the r7 swap: _exact_quantiles_reduced must return
+    BIT-identical doubles to Spark's exact ``percentile`` aggregate on
+    arbitrary float multisets and arbitrary fraction lists (integral
+    positions, ties, duplicate fractions, p=0/1 included by the
+    endpoints the strategy can draw) — ``==`` on the raw doubles, no
+    tolerance, because the swap's hash-safety claim is bitwise."""
+    from pyspark.sql import functions as SF
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import curation as cu
+
+    fracs = [0.0, 1.0] + fracs  # always exercise the endpoints
+    df = spark.createDataFrame([(float(v),) for v in vals], "v DOUBLE")
+    expected = df.select(
+        SF.percentile(SF.col("v").cast("double"), SF.lit(fracs)).alias("q")
+    ).first()["q"]
+    got = cu._exact_quantiles_reduced(df, SF.col("v"), fracs)
+    assert got == [float(x) for x in expected]
+
+
+@given(
     new_vals=st.lists(
         st.integers(min_value=-5, max_value=8), min_size=1, max_size=24
     ),
