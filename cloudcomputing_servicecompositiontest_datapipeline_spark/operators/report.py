@@ -117,12 +117,58 @@ def group_section(df: DataFrame, key: str, cfg: ReportConfig) -> DataFrame:
             aggs.append(dsum(df[c], f"sum_{c}", cfg.round_scale))
     for c in cfg.show_as_list:
         if c in df.columns and c not in dropped:
+            # NOTE the slice caps the OUTPUT, not the collect_set buffer:
+            # per-group state is still every distinct value of c — fine for
+            # the reference's showAsList columns (bounded monitoring dims:
+            # vmIDs, cpuTypes), but a high-cardinality column should go
+            # through capped_distinct_list, the buffer-bounded form.
             aggs.append(
                 F.slice(F.sort_array(F.collect_set(df[c])), 1, cfg.list_cap).alias(
                     f"{c}_list"
                 )
             )
     return df.groupBy(df[key]).agg(*aggs).orderBy(df[key])
+
+
+def capped_distinct_list(
+    df: DataFrame, key_col: str, value_col: str, cap: int
+) -> DataFrame:
+    """Buffer-bounded showAsList (A5/D3 at 100 TB): the same sorted-distinct
+    cap-``cap`` list as ``slice(sort_array(collect_set(c)), 1, cap)`` but
+    with aggregation STATE bounded by the cap, not by the group's distinct
+    count — ``collect_set`` accumulates every distinct value in one
+    aggregation buffer before any slice runs, the same
+    buffer-∝-distinct-values class as the exact-Percentile hazard, just
+    per group.
+
+    Shape: distinct (one spillable partial-agg shuffle, state = 1 row per
+    (key, value)), then ``row_number() <= cap`` — compiles to
+    WindowGroupLimit, so map tasks prune to the cap per key BEFORE the
+    window exchange — then ``collect_list`` over at most ``cap`` elements.
+    One extra shuffle vs the single-pass form; the single-pass form stays
+    the default in :func:`group_section` (reference-faithful, cheaper at
+    sane cardinalities).
+
+    NULL values are excluded like ``collect_set`` does; a group with ONLY
+    NULLs disappears entirely (the single-pass form keeps it with an empty
+    list) — callers needing those groups re-join against the key table.
+    Output: (key, ``{value}_list`` comma-joined sorted string, n_listed =
+    min(distinct, cap))."""
+    distinct = (
+        df.select(key_col, value_col)
+        .where(F.col(value_col).isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col(value_col).asc())
+    capped = distinct.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= cap
+    )
+    return capped.groupBy(key_col).agg(
+        F.array_join(F.sort_array(F.collect_list(value_col)), ",").alias(
+            f"{value_col}_list"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_listed"),
+    )
 
 
 def add_tenancy_columns(

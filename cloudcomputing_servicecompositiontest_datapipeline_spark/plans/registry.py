@@ -55,6 +55,7 @@ DRIVER_WINDOW: list[str] = [
     "curation_quantile_map",
     "curation_temporal_split",
     "similarity_ann_sweep",
+    "report_show_as_list_bounded",
     # --- latest driver row is r1 (the r6 deferrals)
     "tlq_decode_priority",
     "tlq_invalid_date",
@@ -101,10 +102,10 @@ DRIVER_WINDOW: list[str] = [
     "percentile_stats",
     "pivot_event_types",
     "unpivot_event_counts",
-    # --- oldest r3 rows
+    # --- oldest r3 rows (sketch_distinct_rollup deferred to r8: its slot
+    # pays for the new bounded-list query; it is rows-only and pytest-pinned)
     "report_linear_regression",
     "incremental_agg_merge",
-    "sketch_distinct_rollup",
 ]
 # r8 queue: lead with any r7 FAILs, then queries added/changed in r8, then
 # the remaining r3-vintage rows (sketch_frequency_heavy_hitters,

@@ -76,6 +76,31 @@ def report_show_as_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "report_show_as_list_bounded",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type)))[1:3], ',') AS event_type_list,
+           least(count(DISTINCT event_type), 3) AS n_listed
+    FROM events WHERE event_type IS NOT NULL GROUP BY user_id
+    """,
+)
+def report_show_as_list_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/D3 scale path: the same sorted-distinct capped list as
+    report_show_as_list but with aggregation state bounded by the cap —
+    distinct → WindowGroupLimit (row_number <= cap pruned map-side) →
+    collect_list of at most cap values, instead of collect_set buffering
+    every distinct value per group before the slice.  The single-pass
+    collect_set form stays the default for the reference's bounded
+    monitoring dimensions; this is the high-cardinality-column form
+    (operators/report.py:capped_distinct_list; plan + equality pinned in
+    tests/test_report_ops.py)."""
+    ev = _events(spark, sf_dir)
+    from ..operators.report import capped_distinct_list
+
+    return capped_distinct_list(ev, "user_id", "event_type", cap=3)
+
+
+@query(
     "report_multi_group",
     oracle=f"""
     SELECT event_type, user_id, count(*) AS uses,

@@ -421,6 +421,33 @@ def test_hist_sketch_survives_nonfinite_values(spark):
     assert sum(row.hist) == 3 and row.hist == [2, 0, 0, 1]
 
 
+def test_capped_distinct_list_matches_collect_set_form_with_bounded_state(spark):
+    """capped_distinct_list must return exactly slice(sort_array(
+    collect_set(c)), 1, cap) per group — while its plan shows the
+    WindowGroupLimit map-side prune that bounds aggregation state by the
+    cap instead of the group's distinct count (the buffer-∝-distinct
+    hazard class, per-group edition)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.report import capped_distinct_list
+
+    rows = [(i % 7, f"v{(i * 13) % 29:02d}") for i in range(300)] + [(3, None)]
+    df = spark.createDataFrame(rows, "k INT, c STRING")
+    cap = 4
+    out = capped_distinct_list(df, "k", "c", cap=cap)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side prune to cap per key
+    got = {r.k: (r.c_list, r.n_listed) for r in out.collect()}
+    ref = {
+        r.k: r.lst
+        for r in df.groupBy("k")
+        .agg(F.slice(F.sort_array(F.collect_set("c")), 1, cap).alias("lst"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k, (lst, n) in got.items():
+        assert lst == ",".join(ref[k])
+        assert n == len(ref[k])
+
+
 def test_hist_sketch_clamps_large_finite_values_into_edge_bins(spark):
     """A large-but-FINITE reading (e.g. 5e12 over a [0,1000) range) floors
     to a bigint far past int range — the clamp must happen ON THE DOUBLE,
