@@ -95,17 +95,24 @@ def cm_sketch(
 
 def cm_merge(df: DataFrame, group_cols: list[str] | None = None, sketch_col: str = "cm") -> DataFrame:
     """Element-wise-sum sketches (optionally per coarser group) — the rollup
-    step.  Only kilobyte arrays move; raw data is never re-touched."""
-    sketches = F.collect_list(sketch_col)
-    # aggregate() needs a typed zero: an all-zero array the length of the
-    # first collected sketch — built from that sketch itself, so the merge
-    # never hardcodes depth×width.
-    merged = F.aggregate(
-        sketches,
-        F.transform(F.element_at(sketches, 1), lambda _: F.lit(0).cast("long")),
-        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b),
+    step.  Only kilobyte arrays move; raw data is never re-touched.
+
+    Merge state is bounded by the SKETCH WIDTH, not the partial count:
+    ``posexplode`` each stored sketch to (group, position, value), sum per
+    (group, position) — map-side partial aggregation collapses each task's
+    partials before the shuffle, reduce state is one long per position —
+    then reassemble the array from the width-bounded per-position rows.
+    The previous ``collect_list(sketch)``-then-fold form buffered EVERY
+    stored partial in one aggregation buffer (a year of per-day partials:
+    fine; millions of per-file partials at 100 TB: the
+    buffer-∝-input-rows class this repo eliminates everywhere else)."""
+    gcols = list(group_cols) if group_cols else []
+    ex = df.select(*gcols, F.posexplode(sketch_col).alias("_pos", "_v"))
+    sums = ex.groupBy(*gcols, "_pos").agg(F.sum("_v").alias("_s"))
+    merged = F.transform(
+        F.array_sort(F.collect_list(F.struct("_pos", "_s"))), lambda s: s["_s"]
     )
-    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    gb = sums.groupBy(*gcols) if gcols else sums.groupBy()
     return gb.agg(merged.alias(sketch_col))
 
 
