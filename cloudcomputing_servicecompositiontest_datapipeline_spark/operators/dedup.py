@@ -159,9 +159,16 @@ def lsh_candidate_pairs(
     one aggregation buffer.  Buckets above the cap are DROPPED from
     candidate generation (the standard production-LSH move: their members
     are wholesale near-identical and belong to exact dedup / passage dedup,
-    which handle them linearly) — set it for any unbounded corpus.  The
-    guard is now a free ``size(ids) <= cap`` filter on the grouped row, not
-    a separate count window."""
+    which handle them linearly) — set it for any unbounded corpus.  With a
+    cap the guard is enforced BEFORE the list ever materializes (the
+    winnow_candidates shape): a count aggregate keeps only buckets with
+    2..cap members — count state is one long per bucket — and the
+    collect_list then buffers at most ``cap`` ids; a post-collect
+    ``size(ids) <= cap`` filter would have already paid the hot bucket's
+    full buffer just to throw it away.  The pre-filter join keys on
+    (band, bucket), the same partitioning the collect uses.  Without a cap
+    (None) the single-pass form runs — the caller is accepting unbounded
+    buckets explicitly."""
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -184,13 +191,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
     if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+        keep = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+            .select("band", "bucket")
+        )
+        banded = banded.join(keep, ["band", "bucket"])
+        grouped = banded.groupBy("band", "bucket").agg(
+            F.array_sort(F.collect_list(id_col)).alias("ids")
+        )
+    else:
+        grouped = (
+            banded.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
     n = F.size("ids")
     # sorted ids ⇒ emitting (ids[i], ids[j]) for i<j gives id_a < id_b
     pairs = F.flatten(

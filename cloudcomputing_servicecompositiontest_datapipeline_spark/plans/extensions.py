@@ -129,7 +129,8 @@ def dedup_cluster_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py::test_lsh_clustering_matches_exact."""
     docs = _docs(spark, sf_dir)
     pairs = dd.minhash_near_dups(
-        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
+        docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5,
+        max_bucket_size=1000,
     )
     return dd.cluster_canonical(docs, pairs, "doc_id")
 
@@ -140,7 +141,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify).  Hash-function-dependent → rows-only; recall vs the exact
     Jaccard query is asserted in tests/test_extensions.py."""
     return dd.minhash_near_dups(
-        _docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
+        _docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4,
+        threshold=0.5, max_bucket_size=1000,
     )
 
 
@@ -1306,7 +1308,8 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", block_col=None, threshold=0.5
     ).select("id_a", "id_b")
     pred = dd.minhash_near_dups(
-        docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5, shingle_n=1
+        docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5,
+        shingle_n=1, max_bucket_size=1000,
     ).select("id_a", "id_b")
     both = pred.withColumn("p", F.lit(1)).join(
         truth.withColumn("t", F.lit(1)), ["id_a", "id_b"], "full_outer"
@@ -1349,7 +1352,10 @@ def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_recall(truth: DataFrame, name: str, pred: DataFrame) -> DataFrame:
     """One (method, n_truth, n_hit, recall) row: share of the brute-force
-    truth pairs the ANN path reproduced."""
+    truth pairs the ANN path reproduced.  try_divide: an EMPTY truth panel
+    (every query filtered out, or a 1-vector corpus whose only neighbor is
+    itself) yields NULL recall, not an ANSI DIVIDE_BY_ZERO that kills the
+    eval job (found by the one-row degenerate sweep)."""
     mult = 1000000.0
     return (
         truth.withColumn("t", F.lit(1))
@@ -1359,7 +1365,16 @@ def _ann_recall(truth: DataFrame, name: str, pred: DataFrame) -> DataFrame:
             F.lit(name).alias("method"),
             F.count(F.lit(1)).cast("long").alias("n_truth"),
             F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_hit"),
-            (F.floor(F.coalesce(F.sum("p"), F.lit(0)) / F.count(F.lit(1)) * mult + 0.5) / mult).alias("recall"),
+            (
+                F.floor(
+                    F.try_divide(
+                        F.coalesce(F.sum("p"), F.lit(0)), F.count(F.lit(1))
+                    )
+                    * mult
+                    + 0.5
+                )
+                / mult
+            ).alias("recall"),
         )
     )
 

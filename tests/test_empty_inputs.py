@@ -70,3 +70,33 @@ def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
         return
     rows = fn(spark, empty_sf_dir).collect()
     assert isinstance(rows, list)  # collected cleanly; emptiness is fine
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(spark, tmp_path_factory) -> str:
+    """A star-schema directory with exactly ONE row per table — the n=1
+    degenerate that exercises every (n-1) denominator, single-element
+    window, 1-point quantile curve, and 1-vector trainer path.  Rows are
+    each table's first row, so joins may legitimately come up empty
+    (referential misses are fine; crashes are not)."""
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path_factory.mktemp("sf_one")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        df.limit(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_survives_one_row_corpus(spark, one_row_sf_dir, name):
+    """Every query must collect cleanly on a 1-row corpus: no ANSI /0 from
+    an (n-1) denominator, no trainer IndexError on a 1-vector sample, no
+    empty-window crash.  ValueError is NOT acceptable here — one row is a
+    usable corpus for every operator."""
+    rows = _QUERIES[name](spark, one_row_sf_dir).collect()
+    assert isinstance(rows, list)

@@ -130,6 +130,77 @@ COLLECT_ALLOWLIST = {
     ("sources/io.py", "write_report_csv_compat"): "reference-compat single-file sink; write_report_csv is the scale path",
 }
 
+#: Aggregation-BUFFER allowlist: every ``collect_set``/``collect_list``
+#: call in the package must appear here with the reason its per-group
+#: buffer is BOUNDED — collect aggregates hold their whole group's list in
+#: one aggregation buffer before any downstream slice/filter runs, the
+#: same state-∝-cardinality class as the exact-Percentile hazard (r7).
+#: Keyed (relative file, enclosing function); stale entries flag.
+AGG_BUFFER_ALLOWLIST = {
+    ("functions/sketch.py", "cm_sketch"): "one (cell,count) entry per sketch cell — depth*width bounded",
+    ("functions/sketch.py", "cm_merge"): "one (pos,sum) entry per position after the element-wise sum — width bounded",
+    ("functions/sketch.py", "hist_sketch"): "one (bin,count) entry per histogram bin — n_bins bounded",
+    ("operators/dedup.py", "lsh_candidate_pairs"): "bucket ids <= max_bucket_size via count pre-filter; uncapped only by explicit None",
+    ("operators/dedup.py", "passage_dedup"): "per-document passages — bounded by the document itself",
+    ("operators/report.py", "group_section"): "showAsList columns are bounded monitoring dims; capped_distinct_list is the high-cardinality path",
+    ("operators/report.py", "capped_distinct_list"): "<= cap rows per group after the WindowGroupLimit prune",
+    ("plans/inspector.py", "inspector_nested_poll_agg"): "cpuPolls per run — poll-cadence bounded",
+    ("plans/report.py", "report_show_as_list"): "event_type is a bounded monitoring dimension; report_show_as_list_bounded is the scale path",
+}
+
+_AGG_BUFFER_CALLS = {"collect_set", "collect_list"}
+
+
+def _agg_buffer_audit(pkg_root) -> tuple[int, list[str]]:
+    """Static AST pass: every collect_set/collect_list call site must carry
+    an AGG_BUFFER_ALLOWLIST reason; stale entries flag too."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(pkg_root)
+    lines: list[str] = []
+    flagged = 0
+    seen_keys: set[tuple[str, str]] = set()
+    for p in sorted(root.rglob("*.py")):
+        rel = str(p.relative_to(root))
+        tree = ast.parse(p.read_text())
+        spans = sorted(
+            (n.lineno, n.end_lineno or n.lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        )
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in _AGG_BUFFER_CALLS
+            ):
+                continue
+            fn = next(
+                (name for s, e, name in spans if s <= node.lineno <= e),
+                "<module>",
+            )
+            key = (rel, fn)
+            seen_keys.add(key)
+            why = AGG_BUFFER_ALLOWLIST.get(key)
+            if why:
+                lines.append(
+                    f"ok    agg-buffer {rel}:{node.lineno} {fn}() .{node.func.attr}() — {why}"
+                )
+            else:
+                flagged += 1
+                lines.append(
+                    f"FLAG  agg-buffer {rel}:{node.lineno} {fn}() .{node.func.attr}() — not in AGG_BUFFER_ALLOWLIST"
+                )
+    scanned = {str(p.relative_to(root)) for p in root.rglob("*.py")}
+    for key in sorted(set(AGG_BUFFER_ALLOWLIST) - seen_keys):
+        if key[0] not in scanned:
+            continue
+        flagged += 1
+        lines.append(f"FLAG  stale agg-buffer entry {key[0]}:{key[1]} — no such call site")
+    return flagged, lines
+
+
 #: driver-materialization attrs; ``first`` only when the receiver is not the
 #: functions module (``F.first(...)`` is a column aggregate, not an action)
 _DRIVER_CALLS = {"collect", "toPandas", "toLocalIterator", "first"}
@@ -270,6 +341,9 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cloudcomputing_servicecompositiontest_datapipeline_spark"
     )
     static_bad, static_lines = _collect_site_audit(pkg)
+    buf_bad, buf_lines = _agg_buffer_audit(pkg)
+    static_bad += buf_bad
+    static_lines += buf_lines
     if not only:
         print("\n".join(static_lines))
 
