@@ -192,15 +192,29 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        keep = (
+        # checkpoint the NARROW (id, band, bucket) rows: the size pre-pass
+        # and the collect pass both read them, and without the checkpoint
+        # each would recompute the whole shingle→minhash→band pipeline;
+        # lazy, so it materializes on the first action
+        banded = banded.localCheckpoint(eager=False)
+        # anti-join against the OVER-CAP buckets only — that list is tiny
+        # by construction (degenerate boilerplate cells), so AQE converts
+        # the anti-join to broadcast and the big frame still shuffles
+        # exactly ONCE (the collect groupBy); a semi-join against the
+        # in-range buckets would carry the near-total bucket list instead.
+        # Singleton buckets stay: their collect buffer is one id, and the
+        # >= 2 filter after the collect is free.
+        overcap = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+            .filter(F.col("_n") > max_bucket_size)
             .select("band", "bucket")
         )
-        banded = banded.join(keep, ["band", "bucket"])
-        grouped = banded.groupBy("band", "bucket").agg(
-            F.array_sort(F.collect_list(id_col)).alias("ids")
+        pruned = banded.join(overcap, ["band", "bucket"], "left_anti")
+        grouped = (
+            pruned.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") >= 2)
         )
     else:
         grouped = (
