@@ -100,3 +100,39 @@ def test_query_survives_one_row_corpus(spark, one_row_sf_dir, name):
     usable corpus for every operator."""
     rows = _QUERIES[name](spark, one_row_sf_dir).collect()
     assert isinstance(rows, list)
+
+
+@pytest.fixture(scope="module")
+def constant_sf_dir(spark, tmp_path_factory) -> str:
+    """A star-schema directory where every table is its FIRST ROW repeated
+    50 times — the all-duplicates degenerate: every document identical
+    (one LSH bucket holds the whole corpus — the skew-cap path), every
+    cluster a clique, every score column single-distinct (zero variance,
+    one-point quantile curves, zero MAD), duplicate keys everywhere."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path_factory.mktemp("sf_const")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        one = df.limit(1)
+        rep = one.crossJoin(
+            spark.range(50).select(F.lit(1).alias("_dup"))
+        ).drop("_dup")
+        rep.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_survives_constant_corpus(spark, constant_sf_dir, name):
+    """Every query must collect cleanly on the all-duplicates corpus — the
+    degenerate that produces maximal-skew buckets, cliques, and
+    zero-variance statistics.  No ValueError is acceptable: 50 identical
+    rows are a usable (if pathological) corpus for every operator."""
+    rows = _QUERIES[name](spark, constant_sf_dir).collect()
+    assert isinstance(rows, list)
