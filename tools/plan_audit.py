@@ -22,11 +22,16 @@ exchange/broadcast counts and flags the scale anti-patterns:
   Exact percentile over an already-reduced table, or per bounded group
   with a printed allowlist reason, is fine.
 
-A STATIC pass also audits every driver-materialization call in the package
-source (``collect``/``toPandas``/``toLocalIterator``/DataFrame ``first``):
-each site must carry a COLLECT_ALLOWLIST reason proving its result is
-parameter-bounded, never corpus-sized — and stale allowlist entries (no
-matching site) flag too, so the list cannot rot.
+STATIC passes also audit the package source (stale allowlist entries — no
+matching site — flag too, so the lists cannot rot):
+
+- every driver-materialization call (``collect``/``toPandas``/
+  ``toLocalIterator``/DataFrame ``first``) must carry a COLLECT_ALLOWLIST
+  reason proving its result is parameter-bounded, never corpus-sized;
+- every ``collect_set``/``collect_list`` aggregate must carry an
+  AGG_BUFFER_ALLOWLIST reason proving its per-group buffer is
+  cardinality-bounded — collect aggregates hold the whole group's list in
+  one buffer BEFORE any downstream slice/filter runs (r7).
 
 Known-intentional shapes are allowlisted with the reason printed, so a
 clean run is "every flag is either absent or explained".
