@@ -89,6 +89,26 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
             assert abs(brute_scores[(r.query_id, r.cand_id)] - r.cosine) < 1e-9
 
 
+def test_ann_sweep_recall_monotone(spark, sf_dir):
+    """similarity_ann_sweep's law: recall@5 is non-decreasing in LSH table
+    count and IVF probe count (candidate SUPERSETS can only gain truth
+    hits — any candidate outscoring a truth pair would itself be truth),
+    and the widest settings must beat a sane floor.  A bucketing
+    regression breaks the curve's shape, not just one point."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.plans.extensions import similarity_ann_sweep
+
+    rows = similarity_ann_sweep(spark, sf_dir).collect()
+    curves: dict[str, list[tuple[int, float]]] = {}
+    for r in rows:
+        curves.setdefault(r.method, []).append((r.setting, r.recall))
+    assert set(curves) == {"lsh", "ivf"}
+    for method, pts in curves.items():
+        pts.sort()
+        recalls = [rec for _, rec in pts]
+        assert recalls == sorted(recalls), f"{method} recall not monotone: {pts}"
+        assert recalls[-1] >= 0.5, f"{method} widest-setting recall too low: {pts}"
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
 
