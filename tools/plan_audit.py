@@ -79,6 +79,7 @@ ALLOWLIST = {
     # quadratic form on a bounded slice (the thing being measured against)
     "dedup_lsh_eval": ("BroadcastNestedLoopJoin", "bounded exact-truth slice for LSH P/R"),
     "similarity_ann_eval": ("BroadcastNestedLoopJoin", "bounded brute-force truth for recall@k"),
+    "similarity_ann_sweep": ("BroadcastNestedLoopJoin", "bounded brute-force truth panel reused across the parameter sweep"),
     # one-row global-total broadcasts (the single-task-window replacement):
     # the broadcast side is exactly ONE aggregate row
     "skew_key_report": ("BroadcastNestedLoopJoin", "single global-total row over per-key counts"),
