@@ -136,3 +136,65 @@ def test_query_survives_constant_corpus(spark, constant_sf_dir, name):
     rows are a usable (if pathological) corpus for every operator."""
     rows = _QUERIES[name](spark, constant_sf_dir).collect()
     assert isinstance(rows, list)
+
+
+#: primary-key columns kept intact in the NULL-heavy fixture — a NULL join
+#: key is a data-quality problem upstream of every operator here, but any
+#: OTHER column must tolerate NULLs row by row
+_TABLE_KEYS = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey", "n_regionkey"},
+    "customer": {"c_custkey", "c_nationkey"},
+    "supplier": {"s_suppkey", "s_nationkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"},
+    "events": {"event_id", "user_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+
+
+@pytest.fixture(scope="module")
+def nullheavy_sf_dir(spark, tmp_path_factory) -> str:
+    """A star-schema directory where every NON-KEY column is NULL on a
+    seeded ~50% of rows — the dirty-feed degenerate: half-missing texts,
+    embeddings, timestamps, and measures, with join keys intact so plans
+    still traverse their joins."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path_factory.mktemp("sf_nulls")
+    for t, keys in _TABLE_KEYS.items():
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        cols = [
+            F.col(c)
+            if c in keys
+            else F.when(F.xxhash64(F.lit(t + c), F.monotonically_increasing_id()) % 2 == 0, F.col(c))
+            .otherwise(F.lit(None))
+            .alias(c)
+            for c in df.columns
+        ]
+        df.select(cols).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_survives_nullheavy_corpus(spark, nullheavy_sf_dir, name):
+    """Every query must collect cleanly when half of every non-key column
+    is NULL — the realistic dirty-feed shape (failed scrapes, missing
+    embeddings, null timestamps).  The fail-loud trainers may raise their
+    documented ValueError only if their specific input column lost every
+    usable row; everything else must degrade to NULL/absent rows, never
+    crash."""
+    fn = _QUERIES[name]
+    try:
+        rows = fn(spark, nullheavy_sf_dir).collect()
+    except ValueError:
+        assert name in EXPECTED_VALUEERROR, (
+            f"{name} raised ValueError on the null-heavy corpus but is not "
+            "a documented fail-loud operator"
+        )
+        return
+    assert isinstance(rows, list)
