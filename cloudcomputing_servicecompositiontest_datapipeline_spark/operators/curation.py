@@ -933,3 +933,46 @@ def concentration_report(
             (F.floor(F.max(share) * mult + 0.5) / mult).alias("top_share"),
         )
     )
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int = 5,
+    strata_col: str | None = None,
+    salt: str = "cv0",
+) -> DataFrame:
+    """k-fold cross-validation assignment: every row gets a fold in
+    ``[0, k)`` from a deterministic md5(salt‖id) draw — train/eval k times
+    with fold i held out and no row ever in two folds.  With ``strata_col``
+    the folds are EXACT per stratum (±1 row): rows are ranked within the
+    stratum by the draw and dealt round-robin, so a rare language still
+    lands ``n/k`` rows in every fold instead of hash-lottery variance.
+
+    Deterministic and engine-portable: md5 is md5, ordering is
+    (draw, id) — a total order — and dealing is ``(rank-1) % k``; a new
+    ``salt`` re-deals every fold without touching any RNG state.
+
+    100 TB shape: the unstratified path is map-only (a pure hash mod — no
+    shuffle at any scale); the stratified path is ONE shuffle on the
+    stratum plus a within-partition sort, the same price
+    :func:`stratified_split` pays for exactness.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    if strata_col is None:
+        fold = F.pmod(draw, F.lit(k))
+    else:
+        w = Window.partitionBy(strata_col).orderBy(draw.asc(), F.col(id_col).asc())
+        fold = (F.row_number().over(w) - 1) % k
+    cols = [F.col(id_col)]
+    if strata_col is not None:
+        cols.append(F.col(strata_col).alias("stratum"))
+    return df.select(*cols, fold.cast("int").alias("fold"))

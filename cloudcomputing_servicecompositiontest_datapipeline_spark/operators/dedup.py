@@ -792,3 +792,107 @@ def fuzzy_pairs_by_block(
             F.col("distance").cast("int").alias("distance"),
         )
     )
+
+
+def repeated_span_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    min_occurrences: int = 2,
+    round_scale: int = 6,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of token positions covered by at least one
+    k-token gram that occurs ``min_occurrences``+ times anywhere in the
+    corpus (including within the same document).  The suffix-array
+    ExactSubstr pass removes those spans; this operator reports the
+    per-document duplicated-span mass so a curation gate can drop or trim
+    the worst offenders.
+
+    Plan (all shuffles keyed on a 64-bit gram hash, never broadcast —
+    the gram table is corpus-sized):
+
+    1. tokenize (normalized split) and posexplode every k-gram with its
+       start position — row-local, no shuffle;
+    2. count occurrences per gram hash (one gram-keyed shuffle with
+       map-side partial aggregation) and keep grams at/over the threshold;
+    3. shuffle-join occurrences against the repeated-gram table on the
+       same hash key — co-partitioned, no second shuffle of the big side;
+    4. expand each surviving occurrence to the k token indexes it covers,
+       de-duplicate per (doc, index), and count — coverage is the union of
+       overlapping spans, so a position inside three repeated grams counts
+       once;
+    5. join the per-doc covered counts back to per-doc token counts.
+
+    Docs shorter than k tokens contribute their single truncated gram (the
+    same slice convention as repetition_scores/novelty_scores), so a
+    two-copy short doc still scores 1.0.  Gram equality is tested on
+    xxhash64 of the gram text — at any realistic corpus size a 64-bit
+    collision is vanishingly unlikely but would merge two distinct grams
+    (same trade every MinHash/winnowing path in this module makes).
+
+    Returns (id, n_tokens, covered_tokens, dup_span_frac) with the shared
+    1e-``round_scale`` rounding grid; coverage on a token-less document is
+    NULL.
+    """
+    mult = float(10**round_scale)
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), toks.alias("_t")
+    )
+    n_tokens = base.select(
+        F.col("_id"), F.size("_t").cast("long").alias("n_tokens")
+    )
+    grams = base.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_t") - k, F.lit(0))),
+                lambda i: F.xxhash64(F.array_join(F.slice("_t", i + 1, k), " ")),
+            )
+        ).alias("pos", "gh"),
+    )
+    repeated = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .where(F.col("_occ") >= min_occurrences)
+        .select("gh")
+    )
+    covered = (
+        grams.join(repeated, "gh")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("t"),
+        )
+        .groupBy("_id")
+        .agg(F.count_distinct(F.col("t")).alias("covered_raw"))
+    )
+    return (
+        n_tokens.join(covered, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            # clamp: the final (truncated) gram of a doc with n % 1 != 0
+            # tokens can claim indexes past n-1; coverage is over REAL
+            # positions only
+            F.least(
+                F.coalesce("covered_raw", F.lit(0)), F.col("n_tokens")
+            ).alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(
+                    F.least(F.coalesce("covered_raw", F.lit(0)), F.col("n_tokens"))
+                    .cast("double")
+                    / F.col("n_tokens")
+                    * mult
+                    + 0.5
+                )
+                / mult,
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -1468,3 +1468,72 @@ def novelty_scores(
             ).alias("novelty"),
         )
     )
+
+
+def structural_repetition(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    line_sep: str = "\n",
+    para_sep: str = "\n\n",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Gopher structural-repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of LINES (resp. paragraphs) that are duplicates of an earlier
+    identical line, by count and by character mass.  Templated pages, nav
+    boilerplate, and scraper loops repeat whole lines; clean prose does not
+    — these four ratios are the standard line-level complement to the
+    n-gram ratios in :func:`repetition_scores`.
+
+    Semantics (per document, empty segments dropped):
+
+    - ``dup_line_ratio``       = (n_lines - n_distinct_lines) / n_lines
+    - ``dup_line_char_ratio``  = duplicated character mass / total character
+      mass, where the duplicated mass of a line appearing c times is
+      (c - 1) · len(line) — algebraically ``total_chars - distinct_chars``,
+      so no per-distinct counting loop is needed.
+    - same pair for paragraphs (split on ``para_sep`` first).
+
+    Documents with no non-empty lines get NULL ratios (nothing to judge —
+    the caller's quality gate decides, matching quality_scores' stance).
+
+    Scale: pure per-row array expressions — no explode, no shuffle, stays
+    inside whole-stage codegen; a 100 TB corpus is a map-only pass.
+    Reference semantics: Rae et al. 2021 (Gopher) repetition filters; same
+    rounding grid as repetition_scores so both engines agree bit-for-bit.
+    """
+    mult = float(10**round_scale)
+
+    def seg_stats(sep: str, prefix: str) -> list[F.Column]:
+        segs = F.filter(
+            F.transform(F.split(F.col(text_col), sep), lambda s: F.trim(s)),
+            lambda s: F.length(s) > 0,
+        )
+        n = F.size(segs)
+        n_distinct = F.size(F.array_distinct(segs))
+        chars = F.aggregate(
+            segs, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+        )
+        distinct_chars = F.aggregate(
+            F.array_distinct(segs),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.length(s),
+        )
+        grid = lambda x: F.floor(x * mult + 0.5) / mult  # noqa: E731
+        return [
+            n.cast("long").alias(f"n_{prefix}s"),
+            F.when(n > 0, grid((n - n_distinct).cast("double") / n)).alias(
+                f"dup_{prefix}_ratio"
+            ),
+            F.when(
+                chars > 0,
+                grid((chars - distinct_chars).cast("double") / chars),
+            ).alias(f"dup_{prefix}_char_ratio"),
+        ]
+
+    return df.select(
+        F.col(id_col),
+        *seg_stats(line_sep, "line"),
+        *seg_stats(para_sep, "para"),
+    )

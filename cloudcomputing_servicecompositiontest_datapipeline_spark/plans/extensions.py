@@ -3051,3 +3051,144 @@ def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 2 == 1)
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     return tx.novelty_scores(new, ref, "text", "doc_id", n=5)
+
+
+#: Deterministic multi-line rendering of the (newline-free) test corpus so
+#: the structural-repetition query has real line/paragraph structure to
+#: judge: 3-token lines, 4 lines (12 tokens) per paragraph.  Both engines
+#: build the SAME string, so the operator's split/dup logic is what the
+#: hash compares.
+_LINED = f"""
+    array_to_string(
+      list_transform(
+        range(0, cast(floor((len(string_split({_NORM}, ' ')) - 1) / 12) AS bigint) + 1),
+        q -> array_to_string(
+               list_transform(
+                 range(q * 4, least(q * 4 + 4,
+                       cast(floor((len(string_split({_NORM}, ' ')) - 1) / 3) AS bigint) + 1)),
+                 i -> array_to_string(string_split({_NORM}, ' ')[i * 3 + 1 : i * 3 + 3], ' ')),
+               chr(10))),
+      chr(10) || chr(10))
+"""
+
+
+def _lined_text(text_col: str) -> F.Column:
+    """Spark twin of ``_LINED``: 3-token lines, 12-token paragraphs."""
+    toks = F.split(dd.normalized_text(F.col(text_col)), " ")
+    n_lines = F.floor((F.size(toks) - 1) / 3) + 1
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 12).cast("int")),
+        lambda q: F.array_join(
+            F.slice(lines, q * 4 + 1, 4), "\n"
+        ),
+    )
+    return F.array_join(paras, "\n\n")
+
+
+@query(
+    "text_dup_line_fraction",
+    oracle=f"""
+    WITH lined AS (SELECT doc_id, {_LINED} AS txt FROM documents),
+    seg AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(txt, chr(10)), s -> trim(s)),
+                         s -> len(s) > 0) AS ln,
+             list_filter(list_transform(string_split(txt, chr(10) || chr(10)), s -> trim(s)),
+                         s -> len(s) > 0) AS pa
+      FROM lined)
+    SELECT doc_id,
+           cast(len(ln) AS bigint) AS n_lines,
+           CASE WHEN len(ln) > 0 THEN
+             floor(cast(len(ln) - len(list_distinct(ln)) AS double) / len(ln) * 1000000 + 0.5) / 1000000
+           END AS dup_line_ratio,
+           CASE WHEN coalesce(list_sum(list_transform(ln, s -> len(s))), 0) > 0 THEN
+             floor(cast(list_sum(list_transform(ln, s -> len(s)))
+                        - list_sum(list_transform(list_distinct(ln), s -> len(s))) AS double)
+                   / list_sum(list_transform(ln, s -> len(s))) * 1000000 + 0.5) / 1000000
+           END AS dup_line_char_ratio,
+           cast(len(pa) AS bigint) AS n_paras,
+           CASE WHEN len(pa) > 0 THEN
+             floor(cast(len(pa) - len(list_distinct(pa)) AS double) / len(pa) * 1000000 + 0.5) / 1000000
+           END AS dup_para_ratio,
+           CASE WHEN coalesce(list_sum(list_transform(pa, s -> len(s))), 0) > 0 THEN
+             floor(cast(list_sum(list_transform(pa, s -> len(s)))
+                        - list_sum(list_transform(list_distinct(pa), s -> len(s))) AS double)
+                   / list_sum(list_transform(pa, s -> len(s))) * 1000000 + 0.5) / 1000000
+           END AS dup_para_char_ratio
+    FROM seg
+    """,
+)
+def text_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 Gopher duplicate-line/paragraph fractions (Rae et al. 2021
+    §A1.1) — the line-level boilerplate signal complementing
+    text_repetition_score's n-gram ratios.  The test corpus is
+    newline-free, so the query first renders each doc into a deterministic
+    3-token-line / 12-token-paragraph layout (both engines build the
+    identical string); real corpora skip that step and feed raw text.
+    Map-only: per-row array expressions, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    lined = docs.select("doc_id", _lined_text("text").alias("text"))
+    return tx.structural_repetition(lined, "text", "doc_id")
+
+
+@query(
+    "split_kfold",
+    oracle="""
+    SELECT doc_id, lang AS stratum,
+           cast((row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY cast(('0x' || substr(md5('cv0:' || cast(doc_id AS varchar)), 1, 8)) AS bigint),
+                            doc_id) - 1) % 5 AS int) AS fold
+    FROM documents
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 stratified k-fold cross-validation assignment (k=5, strata =
+    language): md5-draw ranking dealt round-robin, so every language lands
+    n/k ±1 rows in each fold — deterministic, engine-portable, re-dealable
+    by salt.  One stratum shuffle + sort (the exactness price); the
+    unstratified variant is a map-only hash mod."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    return cu.kfold_assign(docs, "doc_id", k=5, strata_col="lang")
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, s AS pos, array_to_string(tk[s + 1 : s + 5], ' ') AS gram
+      FROM (SELECT doc_id, tk,
+                   unnest(range(0, greatest(len(tk) - 5, 0) + 1)) AS s
+            FROM t)),
+    rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, count(DISTINCT pos + j) AS covered_raw
+      FROM (SELECT g.doc_id, g.pos, unnest(range(0, 5)) AS j
+            FROM g JOIN rep USING (gram))
+      GROUP BY doc_id),
+    n AS (SELECT doc_id, cast(len(tk) AS bigint) AS n_tokens FROM t)
+    SELECT n.doc_id, n.n_tokens,
+           least(coalesce(cov.covered_raw, 0), n.n_tokens) AS covered_tokens,
+           CASE WHEN n.n_tokens > 0 THEN
+             floor(cast(least(coalesce(cov.covered_raw, 0), n.n_tokens) AS double)
+                   / n.n_tokens * 1000000 + 0.5) / 1000000
+           END AS dup_span_frac
+    FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 ExactSubstr-style duplicate-span coverage (Lee et al. 2022): the
+    per-document fraction of token positions inside a 5-gram that repeats
+    anywhere in the corpus — the signal the suffix-array ExactSubstr pass
+    removes, as a curation-gate score.  All shuffles are keyed on a 64-bit
+    gram hash (count → co-partitioned join → per-doc distinct-position
+    count); the corpus-sized gram table is never broadcast."""
+    docs = _docs(spark, sf_dir)
+    return dd.repeated_span_coverage(docs, "text", "doc_id", k=5)

@@ -56,6 +56,9 @@ DRIVER_WINDOW: list[str] = [
     "curation_temporal_split",
     "similarity_ann_sweep",
     "report_show_as_list_bounded",
+    "text_dup_line_fraction",
+    "split_kfold",
+    "dedup_span_coverage",
     # --- latest driver row is r1 (the r6 deferrals)
     "tlq_decode_priority",
     "tlq_invalid_date",
@@ -101,14 +104,15 @@ DRIVER_WINDOW: list[str] = [
     "subquery_cheapest_part",
     "percentile_stats",
     "pivot_event_types",
-    "unpivot_event_counts",
-    # --- oldest r3 rows (sketch_distinct_rollup deferred to r8: its slot
-    # pays for the new bounded-list query; it is rows-only and pytest-pinned)
-    "report_linear_regression",
-    "incremental_agg_merge",
+    # (the three X84-X86 queries added mid-r7 take the last three slots;
+    # sketch_distinct_rollup, report_linear_regression, incremental_agg_merge
+    # and unpivot_event_counts are deferred to r8 — all four green in
+    # tools/check.py today and pytest-pinned)
 ]
 # r8 queue: lead with any r7 FAILs, then queries added/changed in r8, then
-# the remaining r3-vintage rows (sketch_frequency_heavy_hitters,
+# the four r7 deferrals (sketch_distinct_rollup, report_linear_regression,
+# incremental_agg_merge, unpivot_event_counts), then the remaining
+# r3-vintage rows (sketch_frequency_heavy_hitters,
 # events_cumulative_distinct_users, skew_key_report, the scalar-function
 # family, events_time_rollup, multimodal_features, text_redact_pii,
 # text_repetition_score, the sampler/packing block, cdc/profile/quality,

@@ -1,0 +1,155 @@
+"""Round-7 additions: Gopher duplicate-line/paragraph fractions (X84),
+stratified k-fold assignment (X85), ExactSubstr-style repeated-span
+coverage (X86)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import (
+    curation as cu,
+    dedup as dd,
+    text as tx,
+)
+
+
+# ---------------------------------------------------------------- X84
+
+
+@pytest.fixture(scope="module")
+def lined_docs(spark):
+    rows = [
+        # 4 lines, "nav" repeated twice -> dup_line_ratio 1/4;
+        # chars: nav(3)*2 + body lines -> dup mass = 3
+        (0, "nav\nalpha beta\nnav\ngamma delta epsilon"),
+        # no repeats at all
+        (1, "one two\nthree four\nfive six"),
+        # 2 paragraphs, second an exact copy of the first
+        (2, "header line\nbody text\n\nheader line\nbody text"),
+        # blank/whitespace-only lines are dropped, not counted
+        (3, "a\n\n   \n\na"),
+        (4, ""),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_structural_repetition_line_ratios(lined_docs):
+    out = {r.doc_id: r for r in tx.structural_repetition(lined_docs, "text", "doc_id").collect()}
+    r0 = out[0]
+    assert r0.n_lines == 4 and r0.dup_line_ratio == 0.25
+    total = 3 + 10 + 3 + 19  # nav + "alpha beta" + nav + "gamma delta epsilon"
+    assert r0.dup_line_char_ratio == pytest.approx(3 / total, abs=1e-6)
+    r1 = out[1]
+    assert r1.dup_line_ratio == 0.0 and r1.dup_line_char_ratio == 0.0
+
+
+def test_structural_repetition_paragraph_ratios(lined_docs):
+    out = {r.doc_id: r for r in tx.structural_repetition(lined_docs, "text", "doc_id").collect()}
+    r2 = out[2]
+    assert r2.n_paras == 2 and r2.dup_para_ratio == 0.5
+    # duplicated paragraph mass = chars of one copy
+    assert r2.dup_para_char_ratio == 0.5
+    # its 4 lines are 2x2 copies -> dup_line_ratio 0.5
+    assert r2.n_lines == 4 and r2.dup_line_ratio == 0.5
+
+
+def test_structural_repetition_degenerates(lined_docs):
+    out = {r.doc_id: r for r in tx.structural_repetition(lined_docs, "text", "doc_id").collect()}
+    # whitespace-only segments dropped: doc 3 has lines ["a", "a"]
+    assert out[3].n_lines == 2 and out[3].dup_line_ratio == 0.5
+    # empty text -> zero segments -> NULL ratios, zero counts
+    assert out[4].n_lines == 0 and out[4].dup_line_ratio is None
+    # NULL text -> NULL everything
+    assert out[5].dup_line_ratio is None and out[5].dup_para_ratio is None
+
+
+# ---------------------------------------------------------------- X85
+
+
+@pytest.fixture(scope="module")
+def fold_docs(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(101)]
+    return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+
+def test_kfold_stratified_exact_balance(fold_docs):
+    out = cu.kfold_assign(fold_docs, "doc_id", k=5, strata_col="lang").collect()
+    assert len(out) == 101 and all(0 <= r.fold < 5 for r in out)
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r.fold)
+    for stratum, folds in by.items():
+        counts = [folds.count(f) for f in range(5)]
+        assert max(counts) - min(counts) <= 1, (stratum, counts)
+
+
+def test_kfold_deterministic_and_redealable(fold_docs):
+    a = {r.doc_id: r.fold for r in cu.kfold_assign(fold_docs, "doc_id", k=5).collect()}
+    b = {r.doc_id: r.fold for r in cu.kfold_assign(fold_docs, "doc_id", k=5).collect()}
+    assert a == b
+    c = {r.doc_id: r.fold for r in cu.kfold_assign(fold_docs, "doc_id", k=5, salt="cv1").collect()}
+    assert a != c  # a new salt re-deals
+
+
+def test_kfold_unstratified_is_map_only(fold_docs):
+    plan = (
+        cu.kfold_assign(fold_docs, "doc_id", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_kfold_rejects_degenerate_k(fold_docs):
+    with pytest.raises(ValueError):
+        cu.kfold_assign(fold_docs, "doc_id", k=1)
+
+
+# ---------------------------------------------------------------- X86
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "one two three four five"  # a 5-gram shared by docs 0 and 1
+    rows = [
+        (0, shared + " apple banana cherry date elder fig grape"),
+        (1, "kiwi lemon mango nectar orange " + shared),
+        (2, "unique words only here nothing repeats at all today friend"),
+        (3, "tiny dup"),  # < k tokens, duplicated with doc 4
+        (4, "tiny dup"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_span_coverage_marks_shared_spans(span_docs):
+    out = {r.doc_id: r for r in dd.repeated_span_coverage(span_docs, "text", "doc_id", k=5).collect()}
+    # docs 0/1: exactly the 5 shared positions are covered
+    assert out[0].covered_tokens == 5 and out[0].n_tokens == 12
+    assert out[0].dup_span_frac == pytest.approx(5 / 12, abs=1e-6)
+    assert out[1].covered_tokens == 5 and out[1].n_tokens == 10
+    # doc 2 shares nothing
+    assert out[2].covered_tokens == 0 and out[2].dup_span_frac == 0.0
+    # short duplicated docs are fully covered (truncated gram, clamped)
+    assert out[3].dup_span_frac == 1.0 and out[4].dup_span_frac == 1.0
+
+
+def test_span_coverage_union_not_double_count(spark):
+    # one doc that repeats its own 5-gram with overlap: positions must be
+    # a union, never counted twice
+    text = "a b c d e a b c d e a b c d e"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    r = dd.repeated_span_coverage(df, "text", "doc_id", k=5).collect()[0]
+    assert r.n_tokens == 15
+    assert r.covered_tokens == 15 and r.dup_span_frac == 1.0
+
+
+def test_span_coverage_no_corpus_broadcast(span_docs):
+    plan = (
+        dd.repeated_span_coverage(span_docs, "text", "doc_id", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
