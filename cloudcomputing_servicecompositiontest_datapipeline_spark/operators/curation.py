@@ -976,3 +976,57 @@ def kfold_assign(
     if strata_col is not None:
         cols.append(F.col(strata_col).alias("stratum"))
     return df.select(*cols, fold.cast("int").alias("fold"))
+
+def batch_by_length(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    *,
+    batch_size: int = 32,
+    n_shards: int = 32,
+    salt: str = "b0",
+) -> DataFrame:
+    """X88 length-bucketed inference/training batching: deal rows into
+    deterministic hash shards, sort each shard by token count (desc, id
+    tie-break), and cut fixed-size batches — near-equal lengths per batch,
+    so padding-to-batch-max waste collapses versus arrival-order batching
+    (the standard bucketed-batching trick every inference server and
+    padded-training exporter uses).
+
+    Output per row: (id, shard, batch_id, n_tokens, batch_max_tokens,
+    pad_tokens) where pad = batch_max − own length: ``sum(pad) /
+    sum(batch_max)`` over any slice IS the padding-waste share, directly
+    comparable against an arrival-order baseline.
+
+    100 TB shape: the same contract as :func:`pack_sequences_sharded` —
+    one shuffle on the md5 shard key, a per-shard window sort (each shard
+    is 1/n_shards of the corpus; n_shards scales with the cluster), and a
+    second window over (shard, batch) that reuses the same partitioning.
+    Zero/NULL-token rows are excluded (documented): they carry no work and
+    would all tie at the sort tail.
+    """
+    n_tok = F.col(token_col).cast("long")
+    df = df.filter(n_tok > 0)
+    draw = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(draw, 1, 6), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    with_shard = df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    batched = with_shard.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    wb = Window.partitionBy("shard", "batch_id")
+    return batched.select(
+        id_col,
+        "shard",
+        "batch_id",
+        "n_tokens",
+        F.max("n_tokens").over(wb).alias("batch_max_tokens"),
+        (F.max("n_tokens").over(wb) - F.col("n_tokens")).alias("pad_tokens"),
+    )

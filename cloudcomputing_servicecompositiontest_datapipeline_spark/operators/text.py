@@ -1537,3 +1537,82 @@ def structural_repetition(
         *seg_stats(line_sep, "line"),
         *seg_stats(para_sep, "para"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_df: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style cross-corpus boilerplate removal (Raffel et al. 2020 §2.2):
+    drop every line that occurs ``min_df``+ times across the WHOLE corpus
+    ("enable javascript", cookie banners, nav menus), keeping each
+    document's surviving lines in their original order.  The within-doc
+    complement is :func:`structural_repetition`; this is the cross-doc cut.
+
+    Plan (the X86 shape — all shuffles keyed on a 64-bit line hash):
+
+    1. split to trimmed non-empty lines WITH their position — row-local
+       posexplode;
+    2. count occurrences per line hash corpus-wide (one shuffle, map-side
+       partial aggregation);
+    3. join occurrences against the under-threshold hash set — co-
+       partitioned on the same key, no second shuffle of the big side;
+    4. reassemble per doc: collect (position, line), array_sort, join with
+       the separator — deterministic byte-identical output on any
+       partitioning;
+    5. left-join back to the input so fully-boilerplate docs survive as
+       empty strings (the caller's length gate drops them — this operator
+       never silently deletes a document).
+
+    Returns (id, clean_text, n_lines_kept, n_lines_removed).  Line equality
+    is on xxhash64 (the module-standard 64-bit-collision trade).  NULL text
+    → NULL clean_text, zero counts.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), line_sep), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), lines.alias("_ls")
+    )
+    exploded = base.select(
+        "_id", F.posexplode("_ls").alias("i", "ln")
+    ).withColumn("lh", F.xxhash64("ln"))
+    keep_hashes = (
+        exploded.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") < min_df)
+        .select("lh")
+    )
+    kept = exploded.join(keep_hashes, "lh").groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ln"))),
+                lambda s: s["ln"],
+            ),
+            line_sep,
+        ).alias("_clean"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    totals = base.select(
+        "_id", F.size("_ls").cast("long").alias("_n_lines")
+    )
+    return (
+        totals.join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(
+                F.col("_n_lines").isNotNull(),
+                F.coalesce("_clean", F.lit("")),
+            ).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (
+                F.coalesce("_n_lines", F.lit(0))
+                - F.coalesce("n_lines_kept", F.lit(0))
+            ).alias("n_lines_removed"),
+        )
+    )

@@ -3192,3 +3192,79 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     count); the corpus-sized gram table is never broadcast."""
     docs = _docs(spark, sf_dir)
     return dd.repeated_span_coverage(docs, "text", "doc_id", k=5)
+
+
+@query(
+    "text_remove_boilerplate",
+    oracle=f"""
+    WITH lined AS (SELECT doc_id, {_LINED} AS txt FROM documents),
+    seg AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(txt, chr(10)), s -> trim(s)),
+                         s -> len(s) > 0) AS ls
+      FROM lined),
+    ex AS (SELECT doc_id, unnest(ls) AS ln, generate_subscripts(ls, 1) AS i FROM seg),
+    keep AS (SELECT ln FROM ex GROUP BY ln HAVING count(*) < 3),
+    kept AS (
+      SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS clean,
+             count(*) AS n_kept
+      FROM ex JOIN keep USING (ln) GROUP BY doc_id),
+    tot AS (SELECT doc_id, cast(len(ls) AS bigint) AS n_lines FROM seg)
+    SELECT t.doc_id,
+           CASE WHEN t.n_lines IS NOT NULL THEN coalesce(k.clean, '') END AS clean_text,
+           coalesce(k.n_kept, 0) AS n_lines_kept,
+           coalesce(t.n_lines, 0) - coalesce(k.n_kept, 0) AS n_lines_removed
+    FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 C4-style cross-corpus boilerplate-line removal (Raffel et al.
+    2020 §2.2): every line occurring 3+ times anywhere in the corpus is
+    dropped; documents are reassembled in original line order (left-joined
+    back, so fully-boilerplate docs survive as empty strings).  Same
+    deterministic lined rendering as text_dup_line_fraction — the tiny
+    shared vocabulary makes repeated 3-token lines common, so the removal
+    path has real work to do.  All shuffles are line-hash-keyed."""
+    docs = _docs(spark, sf_dir)
+    lined = docs.select("doc_id", _lined_text("text").alias("text"))
+    return tx.remove_boilerplate_lines(lined, "text", "doc_id", min_df=3)
+
+
+@query(
+    "curation_batch_by_length",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             cast(len(string_split({_NORM}, ' ')) AS bigint) AS n_tokens,
+             cast(cast(('0x' || substr(md5('b0:' || cast(doc_id AS varchar)), 1, 6)) AS bigint)
+                  % 8 AS int) AS shard
+      FROM documents
+      WHERE len(string_split({_NORM}, ' ')) > 0),
+    b AS (
+      SELECT doc_id, shard, n_tokens,
+             cast(floor((row_number() OVER (
+                    PARTITION BY shard ORDER BY n_tokens DESC, doc_id) - 1) / 16.0)
+                  AS bigint) AS batch_id
+      FROM t)
+    SELECT doc_id, shard, batch_id, n_tokens,
+           max(n_tokens) OVER (PARTITION BY shard, batch_id) AS batch_max_tokens,
+           max(n_tokens) OVER (PARTITION BY shard, batch_id) - n_tokens AS pad_tokens
+    FROM b
+    """,
+)
+def curation_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 length-bucketed batching: hash-deal docs into 8 shards, sort
+    each shard by token count, cut batches of 16 — near-equal lengths per
+    batch so padding-to-batch-max waste collapses vs arrival order.
+    pad_tokens/batch_max sums give the waste share directly.  One shard
+    shuffle + per-shard window (the pack_sequences_sharded contract)."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(dd.normalized_text(F.col("text")), " ")).alias("n_tok"),
+    )
+    return cu.batch_by_length(
+        with_tokens, "n_tok", "doc_id", batch_size=16, n_shards=8
+    )

@@ -59,6 +59,8 @@ DRIVER_WINDOW: list[str] = [
     "text_dup_line_fraction",
     "split_kfold",
     "dedup_span_coverage",
+    "text_remove_boilerplate",
+    "curation_batch_by_length",
     # --- latest driver row is r1 (the r6 deferrals)
     "tlq_decode_priority",
     "tlq_invalid_date",
@@ -102,16 +104,16 @@ DRIVER_WINDOW: list[str] = [
     "q21_waiting_suppliers",
     "q22_balance_anti",
     "subquery_cheapest_part",
-    "percentile_stats",
-    "pivot_event_types",
-    # (the three X84-X86 queries added mid-r7 take the last three slots;
-    # sketch_distinct_rollup, report_linear_regression, incremental_agg_merge
-    # and unpivot_event_counts are deferred to r8 — all four green in
-    # tools/check.py today and pytest-pinned)
+    # (the five X84-X88 queries added mid-r7 take the last five slots;
+    # sketch_distinct_rollup, report_linear_regression, incremental_agg_merge,
+    # unpivot_event_counts, percentile_stats and pivot_event_types are
+    # deferred to r8 — all six green in tools/check.py today and
+    # pytest-pinned)
 ]
 # r8 queue: lead with any r7 FAILs, then queries added/changed in r8, then
-# the four r7 deferrals (sketch_distinct_rollup, report_linear_regression,
-# incremental_agg_merge, unpivot_event_counts), then the remaining
+# the six r7 deferrals (sketch_distinct_rollup, report_linear_regression,
+# incremental_agg_merge, unpivot_event_counts, percentile_stats,
+# pivot_event_types), then the remaining
 # r3-vintage rows (sketch_frequency_heavy_hitters,
 # events_cumulative_distinct_users, skew_key_report, the scalar-function
 # family, events_time_rollup, multimodal_features, text_redact_pii,

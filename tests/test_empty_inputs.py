@@ -198,3 +198,64 @@ def test_query_survives_nullheavy_corpus(spark, nullheavy_sf_dir, name):
         )
         return
     assert isinstance(rows, list)
+
+
+#: per-table (column -> hot value picker) for the skew fixture: the
+#: natural grouping/join keys each get ONE dominant value on ~95% of rows
+#: (FK validity preserved — hot values are EXISTING keys/categories), the
+#: shape a viral document, a bot user, or a mega-customer produces.
+_SKEW_COLS = {
+    "events": ["user_id", "event_type"],
+    "documents": ["source", "lang"],
+    "orders": ["o_custkey"],
+    "lineitem": ["l_suppkey"],
+    "embeddings": ["label"],
+}
+
+
+@pytest.fixture(scope="module")
+def skewed_sf_dir(spark, tmp_path_factory) -> str:
+    """A star-schema directory where each table's natural grouping keys are
+    ~95% ONE value (the minimum existing value, so FK integrity holds).
+    Every groupBy/join on those keys sees one partition-dominating bucket —
+    the single-hot-key degenerate that AQE skew handling, salting, and the
+    capped-bucket dedup paths exist for."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path_factory.mktemp("sf_skew")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        for c in _SKEW_COLS.get(t, []):
+            hot = df.agg(F.min(F.col(c))).collect()[0][0]
+            keep = (
+                F.xxhash64(F.lit(t + c), F.monotonically_increasing_id()) % 20 == 0
+            )
+            df = df.withColumn(
+                c, F.when(keep, F.col(c)).otherwise(F.lit(hot))
+            )
+        df.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_survives_skewed_corpus(spark, skewed_sf_dir, name):
+    """Every query must collect cleanly when one key owns ~95% of every
+    grouping column — the hot-key degenerate.  Correctness only (the
+    perf story is AQE + the explicit salting/capped-bucket paths); any
+    crash here is a one-hot-partition bug at 100 TB."""
+    fn = _QUERIES[name]
+    try:
+        rows = fn(spark, skewed_sf_dir).collect()
+    except ValueError:
+        assert name in EXPECTED_VALUEERROR, (
+            f"{name} raised ValueError on the skewed corpus but is not "
+            "a documented fail-loud operator"
+        )
+        return
+    assert isinstance(rows, list)

@@ -153,3 +153,100 @@ def test_span_coverage_no_corpus_broadcast(span_docs):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- X87
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    rows = [
+        (0, "enable javascript\nreal content zero\nmore real text"),
+        (1, "enable javascript\nreal content one"),
+        (2, "enable javascript\nreal content two"),
+        (3, "enable javascript\nenable javascript"),  # fully boilerplate
+        (4, None),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_boilerplate_lines_removed_corpus_wide(boiler_docs):
+    out = {
+        r.doc_id: r
+        for r in tx.remove_boilerplate_lines(
+            boiler_docs, "text", "doc_id", min_df=3
+        ).collect()
+    }
+    # "enable javascript" occurs 5x (incl. twice in doc 3) -> dropped
+    assert out[0].clean_text == "real content zero\nmore real text"
+    assert out[0].n_lines_kept == 2 and out[0].n_lines_removed == 1
+    assert out[1].clean_text == "real content one"
+    # fully-boilerplate doc survives as an EMPTY string, not a lost row
+    assert out[3].clean_text == "" and out[3].n_lines_kept == 0
+    assert out[3].n_lines_removed == 2
+    # NULL text propagates NULL; empty text stays empty with zero counts
+    assert out[4].clean_text is None and out[4].n_lines_removed == 0
+    assert out[5].clean_text == "" and out[5].n_lines_kept == 0
+
+
+def test_boilerplate_keeps_original_line_order(spark):
+    df = spark.createDataFrame(
+        [(0, "zz last\naa first\nmm mid"), (1, "unrelated line")],
+        ["doc_id", "text"],
+    )
+    out = tx.remove_boilerplate_lines(df, "text", "doc_id", min_df=3).collect()
+    got = {r.doc_id: r.clean_text for r in out}
+    # nothing repeats -> everything kept, ORIGINAL order (not sorted text)
+    assert got[0] == "zz last\naa first\nmm mid"
+
+
+# ---------------------------------------------------------------- X88
+
+
+@pytest.fixture(scope="module")
+def length_docs(spark):
+    # ids 0..199 with token counts alternating tiny/huge: arrival-order
+    # batching pads ~half of every batch to the huge length
+    rows = [(i, 10 if i % 2 else 500) for i in range(200)]
+    return spark.createDataFrame(rows, ["doc_id", "n_tok"])
+
+
+def test_batch_by_length_shape_and_pad(length_docs):
+    out = cu.batch_by_length(
+        length_docs, "n_tok", "doc_id", batch_size=8, n_shards=4
+    ).collect()
+    assert len(out) == 200
+    sizes = {}
+    for r in out:
+        assert r.pad_tokens == r.batch_max_tokens - r.n_tokens >= 0
+        sizes.setdefault((r.shard, r.batch_id), 0)
+        sizes[(r.shard, r.batch_id)] += 1
+    assert max(sizes.values()) <= 8
+
+
+def test_batch_by_length_beats_arrival_order(length_docs):
+    out = cu.batch_by_length(
+        length_docs, "n_tok", "doc_id", batch_size=8, n_shards=4
+    ).collect()
+    waste = sum(r.pad_tokens for r in out) / sum(r.batch_max_tokens for r in out)
+    # arrival order on this corpus wastes 0.49 (every batch holds both 10s
+    # and 500s, so half of every batch pads 490-to-500); bucketing leaves
+    # only each shard's single straddle batch paying that price
+    toks = [10 if i % 2 else 500 for i in range(200)]
+    pad = tot = 0
+    for b in range(0, 200, 8):
+        batch = toks[b : b + 8]
+        m = max(batch)
+        pad += sum(m - t for t in batch)
+        tot += m * len(batch)
+    arrival = pad / tot
+    assert waste < arrival / 2
+
+
+def test_batch_by_length_drops_tokenless_rows(spark):
+    df = spark.createDataFrame(
+        [(0, 5), (1, 0), (2, None)], ["doc_id", "n_tok"]
+    )
+    out = cu.batch_by_length(df, "n_tok", "doc_id", batch_size=4, n_shards=2).collect()
+    assert [r.doc_id for r in out] == [0]

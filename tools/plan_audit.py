@@ -148,6 +148,7 @@ AGG_BUFFER_ALLOWLIST = {
     ("functions/sketch.py", "hist_sketch"): "one (bin,count) entry per histogram bin — n_bins bounded",
     ("operators/dedup.py", "lsh_candidate_pairs"): "bucket ids <= max_bucket_size via count pre-filter; uncapped only by explicit None",
     ("operators/dedup.py", "passage_dedup"): "per-document passages — bounded by the document itself",
+    ("operators/text.py", "remove_boilerplate_lines"): "per-document surviving lines — bounded by the document itself",
     ("operators/report.py", "group_section"): "showAsList columns are bounded monitoring dims; capped_distinct_list is the high-cardinality path",
     ("operators/report.py", "capped_distinct_list"): "<= cap rows per group after the WindowGroupLimit prune",
     ("plans/inspector.py", "inspector_nested_poll_agg"): "cpuPolls per run — poll-cadence bounded",
