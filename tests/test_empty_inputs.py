@@ -259,3 +259,77 @@ def test_query_survives_skewed_corpus(spark, skewed_sf_dir, name):
         )
         return
     assert isinstance(rows, list)
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(spark, tmp_path_factory) -> str:
+    """A star-schema directory where every document text is replaced by a
+    unicode-hostile rendering -- emoji (incl. modifier sequences), RTL
+    runs, CJK, combining marks, astral-plane codepoints, zero-width
+    joiners and raw control chars spliced between the original tokens.
+    Regex token splits, char-class quality signals, NFC normalization,
+    BPE byte handling, winnowing shingles and HTML stripping all chew on
+    this at 100 TB; any crash or codec error here is a real-corpus bug."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path_factory.mktemp("sf_unicode")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    hostile = [
+        "\U0001F600\U0001F3FD",       # emoji + skin-tone modifier
+        "\u0645\u0631\u062d\u0628\u0627",  # Arabic (RTL)
+        "\u4f60\u597d\u4e16\u754c",  # CJK
+        "e\u0301\u0327",               # combining acute + cedilla
+        "\U00010348",                   # astral plane (Gothic)
+        "\u200d\u200b\ufeff",         # ZWJ / ZWSP / BOM
+        "\x01\x1e\x1f",               # raw control chars
+        "\u05e9\u05dc\u05d5\u05dd",  # Hebrew (RTL)
+    ]
+    for t in tables:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        if t == "documents":
+            # splice a hostile token between every original token, rotating
+            # through the list by doc_id so texts stay distinct
+            frag = F.element_at(
+                F.array(*[F.lit(h) for h in hostile]),
+                (F.col("doc_id") % len(hostile) + 1).cast("int"),
+            )
+            df = df.withColumn(
+                "text",
+                F.when(
+                    F.col("text").isNotNull(),
+                    F.concat(
+                        frag,
+                        F.lit(" "),
+                        F.regexp_replace(
+                            F.col("text"), " ",
+                            F.concat(F.lit(" "), frag, F.lit(" ")),
+                        ),
+                        F.lit(" \U0001F9EA"),
+                    ),
+                ),
+            )
+        df.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_survives_unicode_corpus(spark, unicode_sf_dir, name):
+    """Every query must collect cleanly on the unicode-hostile corpus --
+    multi-byte, RTL, combining and astral-plane text is normal web data,
+    and a codepoint that kills a tokenizer/regex/encoder task kills the
+    whole 100 TB job."""
+    fn = _QUERIES[name]
+    try:
+        rows = fn(spark, unicode_sf_dir).collect()
+    except ValueError:
+        assert name in EXPECTED_VALUEERROR, (
+            f"{name} raised ValueError on the unicode corpus but is not "
+            "a documented fail-loud operator"
+        )
+        return
+    assert isinstance(rows, list)
