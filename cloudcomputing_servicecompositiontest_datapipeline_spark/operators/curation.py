@@ -1030,3 +1030,82 @@ def batch_by_length(
         F.max("n_tokens").over(wb).alias("batch_max_tokens"),
         (F.max("n_tokens").over(wb) - F.col("n_tokens")).alias("pad_tokens"),
     )
+
+def pack_documents_nostraddle(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    *,
+    context_len: int,
+    n_shards: int = 32,
+    salt: str = "p0",
+) -> DataFrame:
+    """X89 no-straddle document packing: greedy next-fit — walk each
+    shard's documents in a deterministic md5 order and open a new bin
+    whenever the next document would cross the ``context_len`` boundary.
+    Documents are NEVER split (the instruction-tuning / SFT exporter mode,
+    where an example must not straddle two contexts); the concat-and-cut
+    pretraining mode is :func:`pack_sequences_sharded`.  Documents longer
+    than ``context_len`` get a bin of their own with ``overflow`` = true —
+    surfaced, not silently dropped or truncated.
+
+    The per-shard scan is inherently sequential (each placement depends on
+    the previous bin's fill), so it runs as ONE Arrow ``applyInPandas``
+    pass per shard — a linear numpy-free loop over the shard's (draw, id)-
+    sorted rows; state is two ints.  100 TB shape: the same contract as
+    pack_sequences_sharded — one shuffle on the md5 shard key, shards
+    scale with the cluster, and no global order or driver state exists.
+    Zero/NULL-token documents are excluded (same contract, same reason).
+
+    Output per doc: (id, shard, bin_id, offset_in_bin, n_tokens, overflow).
+    Deterministic on any partitioning: order is (draw, id), a total order.
+    """
+    import pandas as pd
+
+    df = df.filter(F.col(token_col).cast("long") > 0)
+    draw = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(draw, 1, 6), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+        draw.alias("_draw"),
+    )
+    out_schema = (
+        f"{id_col} {dict(df.dtypes)[id_col]}, shard int, bin_id long, "
+        "offset_in_bin long, n_tokens long, overflow boolean"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_draw", id_col], kind="mergesort")
+        bin_id, used = 0, 0
+        bins, offsets, flags = [], [], []
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and used + n > context_len:
+                bin_id += 1
+                used = 0
+            first = False
+            bins.append(bin_id)
+            offsets.append(used)
+            flags.append(n > context_len)
+            used += n
+            if used >= context_len:  # full (or oversize) bin: start fresh
+                bin_id += 1
+                used = 0
+                first = True
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["shard"],
+                "bin_id": bins,
+                "offset_in_bin": offsets,
+                "n_tokens": pdf["n_tokens"],
+                "overflow": flags,
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(_pack, schema=out_schema)

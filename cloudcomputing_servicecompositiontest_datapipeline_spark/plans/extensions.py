@@ -3268,3 +3268,54 @@ def curation_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.batch_by_length(
         with_tokens, "n_tok", "doc_id", batch_size=16, n_shards=8
     )
+
+
+@query(
+    "pack_documents_nostraddle",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             cast(len(string_split({_NORM}, ' ')) AS bigint) AS n_tokens,
+             cast(cast(('0x' || substr(md5('p0:' || cast(doc_id AS varchar)), 1, 6)) AS bigint)
+                  % 8 AS int) AS shard,
+             md5('p0:' || cast(doc_id AS varchar)) AS draw
+      FROM documents
+      WHERE len(string_split({_NORM}, ' ')) > 0),
+    r AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) AS rn
+      FROM t),
+    rec AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             cast(0 AS bigint) AS bin_id, cast(0 AS bigint) AS offset_in_bin,
+             n_tokens AS used
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT x.shard, x.rn, x.doc_id, x.n_tokens,
+             CASE WHEN rec.used + x.n_tokens <= 64 THEN rec.bin_id ELSE rec.bin_id + 1 END,
+             CASE WHEN rec.used + x.n_tokens <= 64 THEN rec.used ELSE cast(0 AS bigint) END,
+             CASE WHEN rec.used + x.n_tokens <= 64 THEN rec.used + x.n_tokens ELSE x.n_tokens END
+      FROM rec JOIN r x ON x.shard = rec.shard AND x.rn = rec.rn + 1)
+    SELECT doc_id, shard, bin_id, offset_in_bin, n_tokens,
+           n_tokens > 64 AS overflow
+    FROM rec
+    """,
+)
+def pack_documents_nostraddle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 no-straddle greedy packing (next-fit) into 64-token bins, 8 md5
+    shards: documents never split across contexts — the SFT-exporter mode
+    (X52 concat-and-cut is the pretraining mode).  The inherently
+    sequential per-shard scan is one Arrow applyInPandas pass (state: two
+    ints); the oracle replays the exact recurrence as a per-shard
+    recursive CTE.  Docs longer than the context get their own bin with
+    overflow=true — surfaced, never dropped or truncated."""
+    from ..operators import curation as cu
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(dd.normalized_text(F.col("text")), " ")).alias("n_tok"),
+    )
+    return cu.pack_documents_nostraddle(
+        with_tokens, "n_tok", "doc_id", context_len=64, n_shards=8
+    )

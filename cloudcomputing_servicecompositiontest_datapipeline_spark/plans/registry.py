@@ -43,14 +43,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
     # r7 window (oldest-green-first, continuing the r5 rotation rule; the
-    # r6 window had 0 FAILs).  Leads with the 3 queries whose code is new
+    # r6 window had 0 FAILs).  Leads with the 10 queries whose code is new
     # or changed THIS round — the exact-percentile→per-value-count-
     # reduction rewrite of quantile_map/temporal_split (hash-identical by
-    # construction, but a plan rewrite needs a same-round driver row) and
-    # the new ANN parameter-sweep eval — then the 4 queries whose latest
-    # driver row is still r1 (deferred from r6 as promised), then all 40
-    # r2-vintage rows, then the 3 oldest r3 rows.  After this round no
-    # registered query's latest driver record is older than r3.
+    # construction, but a plan rewrite needs a same-round driver row), the
+    # new ANN parameter-sweep eval and bounded-list aggregate, and the six
+    # X84–X89 operators added mid-round — then the 4 queries whose latest
+    # driver row is still r1 (deferred from r6 as promised), then the
+    # r2-vintage rows.  Seven r3/r2-vintage greens spill to the r8 queue
+    # to pay for the new slots (all re-verified green locally today).
     # --- changed/new in r7
     "curation_quantile_map",
     "curation_temporal_split",
@@ -61,6 +62,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_span_coverage",
     "text_remove_boilerplate",
     "curation_batch_by_length",
+    "pack_documents_nostraddle",
     # --- latest driver row is r1 (the r6 deferrals)
     "tlq_decode_priority",
     "tlq_invalid_date",
@@ -103,17 +105,16 @@ DRIVER_WINDOW: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_balance_anti",
-    "subquery_cheapest_part",
-    # (the five X84-X88 queries added mid-r7 take the last five slots;
+    # (the six X84-X89 queries added mid-r7 take the last six slots;
     # sketch_distinct_rollup, report_linear_regression, incremental_agg_merge,
-    # unpivot_event_counts, percentile_stats and pivot_event_types are
-    # deferred to r8 — all six green in tools/check.py today and
-    # pytest-pinned)
+    # unpivot_event_counts, percentile_stats, pivot_event_types and
+    # subquery_cheapest_part are deferred to r8 — all seven green in
+    # tools/check.py today and pytest-pinned)
 ]
 # r8 queue: lead with any r7 FAILs, then queries added/changed in r8, then
-# the six r7 deferrals (sketch_distinct_rollup, report_linear_regression,
+# the seven r7 deferrals (sketch_distinct_rollup, report_linear_regression,
 # incremental_agg_merge, unpivot_event_counts, percentile_stats,
-# pivot_event_types), then the remaining
+# pivot_event_types, subquery_cheapest_part), then the remaining
 # r3-vintage rows (sketch_frequency_heavy_hitters,
 # events_cumulative_distinct_users, skew_key_report, the scalar-function
 # family, events_time_rollup, multimodal_features, text_redact_pii,

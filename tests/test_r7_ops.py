@@ -250,3 +250,60 @@ def test_batch_by_length_drops_tokenless_rows(spark):
     )
     out = cu.batch_by_length(df, "n_tok", "doc_id", batch_size=4, n_shards=2).collect()
     assert [r.doc_id for r in out] == [0]
+
+
+# ---------------------------------------------------------------- X89
+
+
+def test_nostraddle_packing_never_splits_and_flags_overflow(spark):
+    rows = [(i, n) for i, n in enumerate([30, 30, 30, 100, 10, 64, 5])]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = cu.pack_documents_nostraddle(
+        df, "n_tok", "doc_id", context_len=64, n_shards=1
+    ).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rows_in_bin in by_bin.values():
+        total = sum(r.n_tokens for r in rows_in_bin)
+        if len(rows_in_bin) > 1:
+            # multi-doc bins always fit; no document straddles a boundary
+            assert total <= 64
+    # the 100-token doc is alone in its bin and flagged
+    big = next(r for r in out if r.n_tokens == 100)
+    assert big.overflow and len(by_bin[big.bin_id]) == 1
+    assert big.offset_in_bin == 0
+    # nothing else is flagged
+    assert sum(1 for r in out if r.overflow) == 1
+
+
+def test_nostraddle_packing_matches_python_model(spark):
+    import hashlib
+
+    toks = [7, 64, 3, 65, 64, 1, 1, 62, 2, 2, 40, 25, 24, 10, 90]
+    rows = list(enumerate(toks))
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = {
+        r.doc_id: (r.shard, r.bin_id, r.offset_in_bin, r.overflow)
+        for r in cu.pack_documents_nostraddle(
+            df, "n_tok", "doc_id", context_len=64, n_shards=2
+        ).collect()
+    }
+
+    def draw(i):
+        return hashlib.md5(f"p0:{i}".encode()).hexdigest()
+
+    want = {}
+    for s in range(2):
+        members = sorted(
+            (i for i, _ in rows if int(draw(i)[:6], 16) % 2 == s),
+            key=lambda i: (draw(i), i),
+        )
+        bin_id, used = 0, 0
+        for j, i in enumerate(members):
+            n = toks[i]
+            if j > 0 and used + n > 64:
+                bin_id, used = bin_id + 1, 0
+            want[i] = (s, bin_id, used, n > 64)
+            used += n
+    assert out == want
