@@ -117,6 +117,19 @@ NEW_R5 = [
     "text_novelty_scores",
 ]
 
+#: Added in r7 (X84-X89 + the ANN sweep / bounded-list aggregate) — sixth
+#: table, vs_prev-tracked from r8 on.
+NEW_R7 = [
+    "similarity_ann_sweep",
+    "report_show_as_list_bounded",
+    "text_dup_line_fraction",
+    "split_kfold",
+    "dedup_span_coverage",
+    "text_remove_boilerplate",
+    "curation_batch_by_length",
+    "pack_documents_nostraddle",
+]
+
 #: Added after r1 — timed outside the headline total for bench continuity.
 EXTRA = [
     "overlap_global_binned",
@@ -146,7 +159,7 @@ def main() -> None:
     # timed pass measures steady-state execution, not first-run compilation.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
-        for name in HEADLINE + [n for n in EXTRA + NEW_R3 + NEW_R4 + NEW_R5 if n in qs]:
+        for name in HEADLINE + [n for n in EXTRA + NEW_R3 + NEW_R4 + NEW_R5 + NEW_R7 if n in qs]:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     else:
         qs["report_group_avg"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -223,6 +236,16 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             new_r5[name] = round(best, 3)
 
+    new_r7: dict[str, float] = {}
+    for name in NEW_R7:
+        if name in qs:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            new_r7[name] = round(best, 3)
+
     # Second scale factor: the same headline queries at SF2 (10x less data),
     # min-of-2.  sf_scaling_ratio = t(SF)/t(SF2) per query — for a 10x SF
     # step, a ratio well under 10 means fixed overhead still dominates at
@@ -242,7 +265,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             secondary[name] = round(best, 3)
         # scaling curvature for this round's additions too
-        for name in NEW_R4 + NEW_R5:
+        for name in NEW_R4 + NEW_R5 + NEW_R7:
             if name in qs:
                 t0 = time.time()
                 qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
@@ -257,6 +280,7 @@ def main() -> None:
         "new_queries": new_r3,
         "new_r4_queries": new_r4,
         "new_r5_queries": new_r5,
+        "new_r7_queries": new_r7,
         "sf": _sf(SF_DIR),
     }
     if secondary:
@@ -270,8 +294,8 @@ def main() -> None:
             },
             "new_r4_queries": secondary_new,
             "new_r4_scaling_ratio": {
-                n: round({**new_r4, **new_r5}[n] / secondary_new[n], 2)
-                if secondary_new[n] > 0 and n in {**new_r4, **new_r5}
+                n: round({**new_r4, **new_r5, **new_r7}[n] / secondary_new[n], 2)
+                if secondary_new[n] > 0 and n in {**new_r4, **new_r5, **new_r7}
                 else None
                 for n in secondary_new
             },
@@ -315,6 +339,11 @@ def main() -> None:
                     n: round(t - prev.get("new_r5_queries", {}).get(n), 3)
                     for n, t in new_r5.items()
                     if n in prev.get("new_r5_queries", {})
+                },
+                "new_r7_delta_sec": {
+                    n: round(t - prev.get("new_r7_queries", {}).get(n), 3)
+                    for n, t in new_r7.items()
+                    if n in prev.get("new_r7_queries", {})
                 },
             }
             break

@@ -3054,39 +3054,46 @@ def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Deterministic multi-line rendering of the (newline-free) test corpus so
-#: the structural-repetition query has real line/paragraph structure to
+#: the structural-repetition queries have real line/paragraph structure to
 #: judge: 3-token lines, 4 lines (12 tokens) per paragraph.  Both engines
 #: build the SAME string, so the operator's split/dup logic is what the
-#: hash compares.
+#: hash compares.  ONE indexed transform over the token array — every
+#: token is emitted with its following separator (space, newline every 3,
+#: double newline every 12; the last token's trailing separator is
+#: harmless because both operators trim segments and drop empties).  The
+#: first version of this rendering sliced a lines-array inside a
+#: paragraphs-transform: each lambda reference re-evaluated the whole
+#: captured subtree (split + regexp normalize), an O(paragraphs × lines ×
+#: tokens) per-row blowup that made the queries ~20x slower than the
+#: operator itself.
 _LINED = f"""
     array_to_string(
       list_transform(
-        range(0, cast(floor((len(string_split({_NORM}, ' ')) - 1) / 12) AS bigint) + 1),
-        q -> array_to_string(
-               list_transform(
-                 range(q * 4, least(q * 4 + 4,
-                       cast(floor((len(string_split({_NORM}, ' ')) - 1) / 3) AS bigint) + 1)),
-                 i -> array_to_string(string_split({_NORM}, ' ')[i * 3 + 1 : i * 3 + 3], ' ')),
-               chr(10))),
-      chr(10) || chr(10))
+        string_split({_NORM}, ' '),
+        (x, i) -> x || CASE WHEN i % 12 = 0 THEN chr(10) || chr(10)
+                            WHEN i % 3 = 0 THEN chr(10)
+                            ELSE ' ' END),
+      '')
 """
 
 
 def _lined_text(text_col: str) -> F.Column:
-    """Spark twin of ``_LINED``: 3-token lines, 12-token paragraphs."""
+    """Spark twin of ``_LINED``: 3-token lines, 12-token paragraphs, one
+    O(tokens) indexed transform (Spark's lambda index is 0-based where
+    DuckDB's is 1-based, hence ``i + 1``)."""
     toks = F.split(dd.normalized_text(F.col(text_col)), " ")
-    n_lines = F.floor((F.size(toks) - 1) / 3) + 1
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
-    )
-    paras = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 12).cast("int")),
-        lambda q: F.array_join(
-            F.slice(lines, q * 4 + 1, 4), "\n"
+    return F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.concat(
+                x,
+                F.when((i + 1) % 12 == 0, F.lit("\n\n"))
+                .when((i + 1) % 3 == 0, F.lit("\n"))
+                .otherwise(F.lit(" ")),
+            ),
         ),
+        "",
     )
-    return F.array_join(paras, "\n\n")
 
 
 @query(
