@@ -181,8 +181,19 @@ def repetition_scores(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> 
     """Within-document repetition: fraction of duplicate tokens and duplicate
     word n-grams — the classic boilerplate/spam signal (templated or
     looping text scores high; clean prose scores low).  Pure array
-    expressions per row: no explode, no shuffle."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
+    expressions per row: no explode, no shuffle.
+
+    The token array is STAGED through its own projection so the gram
+    lambda and the four ratio references capture an attribute, not the
+    split+normalize expression tree — a lambda-captured expression is
+    inlined per element, an O(grams × tokens) per-row re-evaluation
+    (measured 1.5x on this operator; see SCALING.md lambda-capture note).
+    """
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
@@ -194,7 +205,7 @@ def repetition_scores(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> 
         uniq = F.size(F.array_distinct(arr))
         return F.floor((total - uniq).cast("double") / total * mult + 0.5) / mult
 
-    return ensure_parallelism(df).select(
+    return staged.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         dup_ratio(toks).alias("dup_token_ratio"),
@@ -1499,26 +1510,42 @@ def structural_repetition(
     the caller's quality gate decides, matching quality_scores' stance).
 
     Scale: pure per-row array expressions — no explode, no shuffle, stays
-    inside whole-stage codegen; a 100 TB corpus is a map-only pass.
+    inside whole-stage codegen; a 100 TB corpus is a map-only pass.  The
+    segment and distinct-segment arrays are staged through their own
+    projections so each stats reference captures an attribute — an
+    expression referenced multiple times (or inside a lambda) is inlined
+    and re-evaluated per reference (SCALING.md lambda-capture note).
     Reference semantics: Rae et al. 2021 (Gopher) repetition filters; same
     rounding grid as repetition_scores so both engines agree bit-for-bit.
     """
     mult = float(10**round_scale)
 
-    def seg_stats(sep: str, prefix: str) -> list[F.Column]:
-        segs = F.filter(
+    def segs(sep: str) -> F.Column:
+        return F.filter(
             F.transform(F.split(F.col(text_col), sep), lambda s: F.trim(s)),
             lambda s: F.length(s) > 0,
         )
-        n = F.size(segs)
-        n_distinct = F.size(F.array_distinct(segs))
+
+    staged = df.select(
+        F.col(id_col),
+        segs(line_sep).alias("_ln"),
+        segs(para_sep).alias("_pa"),
+    ).select(
+        F.col(id_col),
+        "_ln",
+        "_pa",
+        F.array_distinct("_ln").alias("_lnd"),
+        F.array_distinct("_pa").alias("_pad"),
+    )
+
+    def seg_stats(col: str, dcol: str, prefix: str) -> list[F.Column]:
+        n = F.size(col)
+        n_distinct = F.size(dcol)
         chars = F.aggregate(
-            segs, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+            F.col(col), F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
         )
         distinct_chars = F.aggregate(
-            F.array_distinct(segs),
-            F.lit(0).cast("long"),
-            lambda acc, s: acc + F.length(s),
+            F.col(dcol), F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
         )
         grid = lambda x: F.floor(x * mult + 0.5) / mult  # noqa: E731
         return [
@@ -1532,10 +1559,10 @@ def structural_repetition(
             ).alias(f"dup_{prefix}_char_ratio"),
         ]
 
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        *seg_stats(line_sep, "line"),
-        *seg_stats(para_sep, "para"),
+        *seg_stats("_ln", "_lnd", "line"),
+        *seg_stats("_pa", "_pad", "para"),
     )
 
 
