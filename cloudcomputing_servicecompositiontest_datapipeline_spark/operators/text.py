@@ -49,9 +49,16 @@ def language_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Quality scoring: length, token stats, punctuation/stopword ratios —
-    the standard cheap pre-filters of an LLM data pipeline."""
+    the standard cheap pre-filters of an LLM data pipeline.  The token
+    array is staged as an attribute so its four references don't each
+    re-run the split+normalize (SCALING.md lambda-capture note)."""
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
     text = F.col(text_col)
-    toks = F.split(normalized_text(text), " ")
+    toks = F.col("_toks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
@@ -61,7 +68,7 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     avg_word_len = F.floor(
         (n_chars - n_tokens + 1).cast("double") / n_tokens * mult + 0.5
     ) / mult
-    return ensure_parallelism(df).select(
+    return staged.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -92,11 +99,18 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set (an
     order-independent content signature; near-dup docs with identical
     vocabulary collide — by design, like shingle fingerprinting)."""
-    toks = F.sort_array(F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")))
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
-        F.sha2(F.array_join(toks, " "), 256).alias("fingerprint_sha"),
+    joined = F.array_join(
+        F.sort_array(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))),
+        " ",
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), joined.alias("_fp"))
+        .select(
+            F.col(id_col),
+            F.md5("_fp").alias("fingerprint"),
+            F.sha2(F.col("_fp"), 256).alias("fingerprint_sha"),
+        )
     )
 
 
