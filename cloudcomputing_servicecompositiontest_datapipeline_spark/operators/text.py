@@ -272,22 +272,28 @@ def top_ngram_coverage(
     len(normalized_text).  Pure higher-order array expressions per row —
     sort + run-length fold, O(g log g) within one document, no explode, NO
     shuffle — the same zero-shuffle posture as :func:`repetition_scores`,
-    so at 100 TB this is a map-only pass fused into the scan."""
-    norm = normalized_text(F.col(text_col))
-    toks = F.split(norm, " ")
+    so at 100 TB this is a map-only pass fused into the scan.  The token
+    array and normalized length are staged as attributes: inlined into the
+    three gram lambdas they would re-run split+normalize once per gram
+    element per n (SCALING.md lambda-capture note)."""
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.length(normalized_text(F.col(text_col))).alias("_nlen"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
     mult = 1000000.0
     cols = [F.col(id_col)]
     for n in ns:
-        covered = modal_coverage_chars(gram_array(toks, n))
+        covered = modal_coverage_chars(gram_array(F.col("_toks"), n))
         # empty-text guard OUTSIDE the least(): ANSI makes x/0 a runtime
         # error, and least() SKIPS nulls, so a null-producing inner guard
         # would silently report 1.0 for an empty doc instead of NULL
         ratio = F.when(
-            F.length(norm) > 0,
-            F.least(covered.cast("double") / F.length(norm), F.lit(1.0)),
+            F.col("_nlen") > 0,
+            F.least(covered.cast("double") / F.col("_nlen"), F.lit(1.0)),
         )
         cols.append((F.floor(ratio * mult + 0.5) / mult).alias(f"top_{n}gram_char_ratio"))
-    return ensure_parallelism(df).select(*cols)
+    return staged.select(*cols)
 
 
 def token_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
