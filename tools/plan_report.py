@@ -45,6 +45,11 @@ SHOWCASE = [
     ("events_bootstrap_ci", "replicates exploded map-side from a literal sequence; shuffle carries groups x replicates partial sums"),
     ("text_strip_html", "chained regexp_replace entirely inside one whole-stage codegen span — zero joins, zero shuffles"),
     ("curation_quantile_map", "histogram-CDF on BOTH sides since r7: per-value partial-agg reduction, running sum over the reduced table, grid+1-point literal curve — no exact Percentile aggregate anywhere; rank join-back broadcast size-gated"),
+    ("text_dup_line_fraction", "map-only structural repetition: one indexed transform renders the lined text, staged array attributes feed the ratio math — zero joins, the only Exchange is ensure_parallelism"),
+    ("dedup_span_coverage", "ExactSubstr signal: gram-hash partial-agg count, co-partitioned join back (no corpus broadcast), interval-union distinct count per doc"),
+    ("text_remove_boilerplate", "corpus-wide line-frequency cut: line-hash count, under-threshold join, position-sorted per-doc rebuild; fully-boilerplate docs preserved by the left join-back"),
+    ("pack_documents_nostraddle", "one md5-shard Exchange feeding a single FlatMapGroupsInPandas — the sequential next-fit scan never leaves the shard"),
+    ("curation_batch_by_length", "per-shard length-sorted windows cut fixed batches; one shard Exchange, both windows reuse the same partitioning"),
 ]
 
 MAX_LINES = 60
