@@ -316,16 +316,39 @@ def minhash_near_dups(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    *,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """X2 variant: 64-bit SimHash per document, fully JVM-side and ROW-LOCAL:
     hash each distinct token once (``transform``), then per bit vote +1/-1
     over the document's own hash array (``aggregate``), sign → bit.  No
     explode, no groupBy, ZERO shuffle — a pure map stage at any scale.
     (The earlier explode→groupBy(64 sums) formulation computes identical
-    signatures but shuffles ~|tokens|× the row count.)"""
+    signatures but shuffles ~|tokens|× the row count.)
+
+    ``hash_fn`` picks the token hash: ``"xxhash64"`` (default — the fast
+    production path, 64 usable bits) or ``"md5_32"`` (first 8 hex chars of
+    md5 as a 32-bit int — engine-portable, so the signature is
+    DuckDB-oracle-checkable exactly like the winnowing fingerprints;
+    ``bits`` must be <= 32 in that mode)."""
+    if hash_fn == "xxhash64":
+        def tok_hash(t):
+            return F.xxhash64(t)
+    elif hash_fn == "md5_32":
+        if bits > 32:
+            raise ValueError(f"md5_32 provides 32 vote bits, got bits={bits}")
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     hashes = F.transform(
         F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")),
-        lambda t: F.xxhash64(t),
+        tok_hash,
     )
     votes = [
         F.aggregate(

@@ -146,10 +146,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")
+#: SimHash oracle: one +1/-1 vote sum per bit over md5-derived 32-bit token
+#: hashes (the winnowing-fingerprint portability trick), sign → bit.
+_SIMHASH_VOTES = ",\n      ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(32)
+)
+_SIMHASH_RECOMBINE = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN (cast(1 AS bigint) << {b}) ELSE 0 END)"
+    for b in range(32)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS tk
+      FROM documents WHERE text IS NOT NULL),
+    e AS (
+      SELECT doc_id, cast(('0x' || substr(md5(tok), 1, 8)) AS bigint) AS h
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM t)),
+    v AS (
+      SELECT doc_id,
+      {_SIMHASH_VOTES}
+      FROM e GROUP BY doc_id)
+    SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM v
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 variant: 64-bit SimHash signatures (JVM-side bit voting)."""
-    return dd.simhash(_docs(spark, sf_dir), "text", "doc_id")
+    """X2 variant: SimHash signatures (JVM-side bit voting; zero shuffle).
+    This declared query runs the md5_32 engine-portable mode so the
+    signature itself is DuckDB-oracle-checked bit for bit (upgraded from
+    rows-only in r7 — the sketch_quantile_rollup precedent); production
+    callers keep the default xxhash64/64-bit mode, pinned equivalent in
+    Hamming behavior by tests/test_extensions.py."""
+    return dd.simhash(_docs(spark, sf_dir), "text", "doc_id", bits=32, hash_fn="md5_32")
 
 
 @query(

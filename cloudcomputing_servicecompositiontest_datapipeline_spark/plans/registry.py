@@ -53,6 +53,7 @@ DRIVER_WINDOW: list[str] = [
     # r2-vintage rows.  Seven r3/r2-vintage greens spill to the r8 queue
     # to pay for the new slots (all re-verified green locally today).
     # --- changed/new in r7
+    "dedup_simhash",  # rows-only → md5_32 oracle upgrade (late r7)
     "curation_quantile_map",
     "curation_temporal_split",
     "similarity_ann_sweep",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "report_approx_stats",
     "inspector_nested_poll_agg",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "docs_join_embeddings",
     "similarity_ivf_topk",

@@ -61,6 +61,37 @@ def test_simhash_locality(docs):
     assert ham_near < ham_far  # near-dup closer than unrelated text
 
 
+def test_simhash_md5_mode_matches_python_reference(docs):
+    """The engine-portable md5_32 mode (the dedup_simhash oracle path) must
+    agree bit for bit with a direct Python model: distinct normalized
+    tokens → int(md5[:8], 16) → per-bit +1/-1 vote → sign."""
+    import hashlib
+    import re
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dd.simhash(docs, "text", "doc_id", bits=32, hash_fn="md5_32").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        toks = dict.fromkeys(re.sub(r"\s+", " ", r.text.strip().lower()).split(" "))
+        hashes = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        expect = 0
+        for b in range(32):
+            if sum(1 if (h >> b) & 1 else -1 for h in hashes) > 0:
+                expect |= 1 << b
+        assert sigs[r.doc_id] == expect
+    # locality holds in the portable mode too
+    assert sigs[0] == sigs[2]
+    assert bin(sigs[0] ^ sigs[1]).count("1") < bin(sigs[0] ^ sigs[3]).count("1")
+
+
+def test_simhash_md5_mode_rejects_over_32_bits(docs):
+    with pytest.raises(ValueError, match="32 vote bits"):
+        dd.simhash(docs, "text", "doc_id", bits=64, hash_fn="md5_32")
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        dd.simhash(docs, "text", "doc_id", hash_fn="sha1")
+
+
 def test_brute_force_topk_self_similarity_excluded_and_ranked(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

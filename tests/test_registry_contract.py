@@ -17,7 +17,8 @@ registry.load_all()
 ROWS_ONLY_ALLOWED = {
     "dedup_cluster_canonical_lsh",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # dedup_simhash left this set in r7: the declared query now runs the
+    # engine-portable md5_32 mode and is fully oracle-checked.
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "multimodal_decode",
