@@ -139,6 +139,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """X2: band the signatures and bucket the docs — docs sharing any band
     bucket become candidate pairs.  The shuffle key is (band, band_hash):
@@ -168,7 +169,21 @@ def lsh_candidate_pairs(
     full buffer just to throw it away.  The pre-filter join keys on
     (band, bucket), the same partitioning the collect uses.  Without a cap
     (None) the single-pass form runs — the caller is accepting unbounded
-    buckets explicitly."""
+    buckets explicitly.
+
+    ``bucket_hash`` picks the band-bucket key: ``"xxhash64"`` (default —
+    64-bit long, the fast production path) or ``"md5"`` (the md5 hex string
+    of the same joined slice — engine-portable, so an md5_32-signed LSH
+    pipeline is DuckDB-oracle-checkable end to end).  Bucket keys only need
+    EQUALITY semantics, so the swap changes nothing downstream."""
+    if bucket_hash == "xxhash64":
+        def bucket_fn(s):
+            return F.xxhash64(s)
+    elif bucket_hash == "md5":
+        def bucket_fn(s):
+            return F.md5(s)
+    else:
+        raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -176,7 +191,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        bucket_fn(
                             F.array_join(
                                 F.transform(
                                     F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
@@ -255,10 +270,17 @@ def minhash_near_dups(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates → exact Jaccard verification → pairs ≥
     threshold.  Candidates only are verified (bucket-bounded);
     ``max_bucket_size`` passes through as the degenerate-bucket skew guard.
+
+    ``hash_fn``: ``"xxhash64"`` (default, 64-bit salted production hashes)
+    or ``"md5_32"`` (salted md5-prefix 32-bit signature slots + md5 string
+    band buckets — engine-portable, so the WHOLE candidates→verify pipeline
+    is DuckDB-oracle-checkable; slightly higher band-collision rate from the
+    32-bit slots, which the exact-Jaccard verify step absorbs).
 
     Signature and verification share ONE item space — the ``shingle_n``-word
     shingle set — so the MinHash collision probability estimates exactly the
@@ -290,13 +312,58 @@ def minhash_near_dups(
         .select(F.col(id_col), items.alias("items"))
         .persist()
     )
-    mins = [
-        F.array_min(F.transform(F.col("items"), lambda s: F.xxhash64(F.lit(k), s)))
-        for k in range(num_hashes)
-    ]
-    sig = sets.select(F.col(id_col), F.array(*mins).alias("sig"))
+    if hash_fn == "xxhash64":
+        mins = [
+            F.array_min(F.transform(F.col("items"), lambda s: F.xxhash64(F.lit(k), s)))
+            for k in range(num_hashes)
+        ]
+        sig = sets.select(F.col(id_col), F.array(*mins).alias("sig"))
+        bucket_hash = "xxhash64"
+    elif hash_fn == "md5_32":
+        # one md5 digest yields FOUR independent 32-bit slots (substrings of
+        # the 32 hex chars) — ceil(num_hashes/4) digests per shingle instead
+        # of num_hashes, the dominant cost of the portable mode.  The nested
+        # transform stages each shingle's digest array ONCE (no CSE inside
+        # interpreted higher-order lambdas — the SCALING.md lambda-capture
+        # note), then fans the 8-hex-char windows out row-locally.
+        n_digests = (num_hashes + 3) // 4
+        slots = F.transform(
+            F.col("items"),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_digests - 1)),
+                lambda g: F.md5(F.concat(g.cast("string"), F.lit(":"), s)),
+            ),
+        )
+        def _slot_min(k: int):
+            # closure factory, NOT a default-arg lambda: a 2-param lambda is
+            # read by pyspark as (element, index)
+            return F.array_min(
+                F.transform(
+                    F.col("_digests"),
+                    lambda ds: F.conv(
+                        F.substring(
+                            F.element_at(ds, k // 4 + 1), 8 * (k % 4) + 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            )
+
+        mins = [_slot_min(k) for k in range(num_hashes)]
+        sig = sets.select(F.col(id_col), slots.alias("_digests")).select(
+            F.col(id_col), F.array(*mins).alias("sig")
+        )
+        bucket_hash = "md5"
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     cands = lsh_candidate_pairs(
-        sig, id_col, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+        sig,
+        id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+        bucket_hash=bucket_hash,
     )
     ta = sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("items", "items_a")
     tb = sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("items", "items_b")

@@ -135,14 +135,69 @@ def dedup_cluster_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cluster_canonical(docs, pairs, "doc_id")
 
 
-@query("dedup_minhash_lsh")
+#: MinHash oracle: 16 salted md5-derived 32-bit signature slots — slot k is
+#: hex window k%4 of digest md5("k//4:" || shingle) (four slots per digest,
+#: identical salting/windowing on both engines), min over each document's
+#: distinct 3-word shingle set.
+_MINHASH_SLOTS = ",\n        ".join(
+    "list_min(list_transform(items, x ->"
+    f" cast(('0x' || substr(md5('{k // 4}:' || x), {8 * (k % 4) + 1}, 8)) AS bigint)))"
+    for k in range(16)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT doc_id, list_distinct(
+        list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+      ) AS items FROM t),
+    sig AS (
+      SELECT doc_id, items, [
+        {_MINHASH_SLOTS}
+      ] AS sg FROM s),
+    bb AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(
+               list_transform(list_slice(sg, b.band * 4 + 1, b.band * 4 + 4),
+                              v -> cast(v AS varchar)), ',')) AS bucket
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    ok_buckets AS (
+      SELECT band, bucket FROM bb
+      GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 1000),
+    e AS (SELECT bb.doc_id, bb.band, bb.bucket
+          FROM bb JOIN ok_buckets USING (band, bucket)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    , j AS (
+      SELECT id_a, id_b,
+             floor(cast(len(list_intersect(sa.items, sb.items)) AS double)
+                   / len(list_distinct(sa.items || sb.items))
+                   * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM cand
+      JOIN s sa ON sa.doc_id = cand.id_a
+      JOIN s sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
-    verify).  Hash-function-dependent → rows-only; recall vs the exact
-    Jaccard query is asserted in tests/test_extensions.py."""
+    verify).  The declared query runs the engine-portable md5_32 mode so
+    the ENTIRE pipeline — signatures, banding, bucket cap, candidate pairs,
+    exact-Jaccard verify — is DuckDB-oracle-checked (upgraded from
+    rows-only in r7); production callers keep the default xxhash64 mode,
+    whose P/R vs exact-Jaccard truth is pinned by dedup_lsh_eval and
+    tests/test_extensions.py."""
     return dd.minhash_near_dups(
         _docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4,
-        threshold=0.5, max_bucket_size=1000,
+        threshold=0.5, max_bucket_size=1000, hash_fn="md5_32",
     )
 
 

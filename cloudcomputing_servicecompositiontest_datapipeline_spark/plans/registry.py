@@ -54,6 +54,7 @@ DRIVER_WINDOW: list[str] = [
     # to pay for the new slots (all re-verified green locally today).
     # --- changed/new in r7
     "dedup_simhash",  # rows-only → md5_32 oracle upgrade (late r7)
+    "dedup_minhash_lsh",  # rows-only → md5_32 end-to-end oracle (late r7)
     "curation_quantile_map",
     "curation_temporal_split",
     "similarity_ann_sweep",
@@ -73,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "report_full",
     "report_approx_stats",
     "inspector_nested_poll_agg",
-    "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "docs_join_embeddings",
     "similarity_ivf_topk",

@@ -53,6 +53,29 @@ def test_minhash_lsh_recalls_exact_and_near_dups(docs):
     assert (0, 2) in got  # exact dup always collides in every band
 
 
+def test_minhash_lsh_md5_mode_matches_xxhash_verified_pairs(docs):
+    """The engine-portable md5_32 mode (the dedup_minhash_lsh oracle path)
+    must behave like the production xxhash64 mode where behavior is
+    hash-independent: the exact dup collides in every band under ANY hash
+    family, verified Jaccard values are hash-independent, and both modes
+    agree on this corpus."""
+    kw = dict(num_hashes=16, bands=8, threshold=0.5, max_bucket_size=1000)
+    xx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_near_dups(docs, "text", "doc_id", **kw).collect()
+    }
+    md = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_near_dups(
+            docs, "text", "doc_id", hash_fn="md5_32", **kw
+        ).collect()
+    }
+    assert (0, 2) in md and md[(0, 2)] == 1.0
+    assert md == xx
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        dd.minhash_near_dups(docs, "text", "doc_id", hash_fn="crc32")
+
+
 def test_simhash_locality(docs):
     sigs = {r.doc_id: r.simhash for r in dd.simhash(docs, "text", "doc_id").collect()}
     assert sigs[0] == sigs[2]  # identical text → identical signature

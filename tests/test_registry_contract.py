@@ -16,9 +16,9 @@ registry.load_all()
 #: multimodal) whose correctness is pinned by pytest instead.
 ROWS_ONLY_ALLOWED = {
     "dedup_cluster_canonical_lsh",
-    "dedup_minhash_lsh",
-    # dedup_simhash left this set in r7: the declared query now runs the
-    # engine-portable md5_32 mode and is fully oracle-checked.
+    # dedup_simhash and dedup_minhash_lsh left this set in r7: both declared
+    # queries now run the engine-portable md5_32 mode and are fully
+    # oracle-checked (production xxhash64 modes stay pytest/eval-pinned).
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "multimodal_decode",
