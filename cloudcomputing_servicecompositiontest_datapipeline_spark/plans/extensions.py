@@ -73,6 +73,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MinHash oracle: 16 salted md5-derived 32-bit signature slots — slot k is
+#: hex window k%4 of digest md5("k//4:" || shingle) (four slots per digest,
+#: identical salting/windowing on both engines), min over each document's
+#: distinct 3-word shingle set.
+_MINHASH_SLOTS = ",\n        ".join(
+    "list_min(list_transform(items, x ->"
+    f" cast(('0x' || substr(md5('{k // 4}:' || x), {8 * (k % 4) + 1}, 8)) AS bigint)))"
+    for k in range(16)
+)
+
+
+#: The md5-LSH pair pipeline as a reusable CTE chain — ends at ``lsh_pairs``
+#: (id_a < id_b, verified jaccard >= 0.5).  Shared by the dedup_minhash_lsh
+#: oracle and (chained into a recursive reach CTE) dedup_cluster_canonical_lsh.
+_MD5_LSH_PAIR_CTES = f"""
+    t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT doc_id, list_distinct(
+        list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+      ) AS items FROM t),
+    sig AS (
+      SELECT doc_id, items, [
+        {_MINHASH_SLOTS}
+      ] AS sg FROM s),
+    bb AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(
+               list_transform(list_slice(sg, b.band * 4 + 1, b.band * 4 + 4),
+                              v -> cast(v AS varchar)), ',')) AS bucket
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    ok_buckets AS (
+      SELECT band, bucket FROM bb
+      GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 1000),
+    e AS (SELECT bb.doc_id, bb.band, bb.bucket
+          FROM bb JOIN ok_buckets USING (band, bucket)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT id_a, id_b,
+             floor(cast(len(list_intersect(sa.items, sb.items)) AS double)
+                   / len(list_distinct(sa.items || sb.items))
+                   * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM cand
+      JOIN s sa ON sa.doc_id = cand.id_a
+      JOIN s sb ON sb.doc_id = cand.id_b),
+    lsh_pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)
+"""
+
+
 @query(
     "dedup_cluster_canonical",
     oracle=f"""
@@ -115,7 +169,22 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cluster_canonical(docs, pairs, "doc_id")
 
 
-@query("dedup_cluster_canonical_lsh")
+@query(
+    "dedup_cluster_canonical_lsh",
+    oracle=f"""
+    WITH RECURSIVE {_MD5_LSH_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION SELECT id_b, id_a FROM lsh_pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+    """,
+)
 def dedup_cluster_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 at scale — the DEFAULT near-dup clustering path: MinHash-LSH
     candidate pairs (O(n·bands) bucket join) → exact-Jaccard verify on
@@ -124,67 +193,25 @@ def dedup_cluster_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-Jaccard variant (:func:`dedup_cluster_canonical`) self-joins
     within a language block, which is quadratic in block size — at 100 TB a
     single language is most of the corpus, so that form is the ORACLE TWIN
-    only, never the scale path.  Rows-only (MinHash is hash-function-
-    dependent); cluster-level agreement vs the exact form is asserted in
+    only, never the scale path.  Since late r7 THIS path is oracle-checked
+    too: the declared query runs the engine-portable md5_32 LSH mode, and
+    the oracle chains the shared md5-LSH pair CTEs into the same recursive
+    reach fixpoint the exact twin uses.  Cluster-level agreement of the
+    production xxhash64 mode vs the exact form stays asserted in
     tests/test_extensions.py::test_lsh_clustering_matches_exact."""
     docs = _docs(spark, sf_dir)
     pairs = dd.minhash_near_dups(
         docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5,
-        max_bucket_size=1000,
+        max_bucket_size=1000, hash_fn="md5_32",
     )
     return dd.cluster_canonical(docs, pairs, "doc_id")
-
-
-#: MinHash oracle: 16 salted md5-derived 32-bit signature slots — slot k is
-#: hex window k%4 of digest md5("k//4:" || shingle) (four slots per digest,
-#: identical salting/windowing on both engines), min over each document's
-#: distinct 3-word shingle set.
-_MINHASH_SLOTS = ",\n        ".join(
-    "list_min(list_transform(items, x ->"
-    f" cast(('0x' || substr(md5('{k // 4}:' || x), {8 * (k % 4) + 1}, 8)) AS bigint)))"
-    for k in range(16)
-)
 
 
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM}, ' ') AS tk
-      FROM documents WHERE text IS NOT NULL),
-    s AS (
-      SELECT doc_id, list_distinct(
-        list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
-                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
-      ) AS items FROM t),
-    sig AS (
-      SELECT doc_id, items, [
-        {_MINHASH_SLOTS}
-      ] AS sg FROM s),
-    bb AS (
-      SELECT doc_id, b.band,
-             md5(array_to_string(
-               list_transform(list_slice(sg, b.band * 4 + 1, b.band * 4 + 4),
-                              v -> cast(v AS varchar)), ',')) AS bucket
-      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
-    ok_buckets AS (
-      SELECT band, bucket FROM bb
-      GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 1000),
-    e AS (SELECT bb.doc_id, bb.band, bb.bucket
-          FROM bb JOIN ok_buckets USING (band, bucket)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM e a JOIN e b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-    , j AS (
-      SELECT id_a, id_b,
-             floor(cast(len(list_intersect(sa.items, sb.items)) AS double)
-                   / len(list_distinct(sa.items || sb.items))
-                   * 1000000 + 0.5) / 1000000 AS jaccard
-      FROM cand
-      JOIN s sa ON sa.doc_id = cand.id_a
-      JOIN s sb ON sb.doc_id = cand.id_b)
-    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+    WITH {_MD5_LSH_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM lsh_pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,6 +55,7 @@ DRIVER_WINDOW: list[str] = [
     # --- changed/new in r7
     "dedup_simhash",  # rows-only → md5_32 oracle upgrade (late r7)
     "dedup_minhash_lsh",  # rows-only → md5_32 end-to-end oracle (late r7)
+    "dedup_cluster_canonical_lsh",  # rows-only → md5-LSH + recursive-CTE oracle (late r7)
     "curation_quantile_map",
     "curation_temporal_split",
     "similarity_ann_sweep",
@@ -104,12 +105,12 @@ DRIVER_WINDOW: list[str] = [
     "q19_disjunctive_predicates",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
-    "q22_balance_anti",
-    # (the six X84-X89 queries added mid-r7 take the last six slots;
-    # sketch_distinct_rollup, report_linear_regression, incremental_agg_merge,
-    # unpivot_event_counts, percentile_stats, pivot_event_types and
-    # subquery_cheapest_part are deferred to r8 — all seven green in
-    # tools/check.py today and pytest-pinned)
+    # (the six X84-X89 queries and the three late md5_32 oracle upgrades
+    # take the newest slots; q22_balance_anti, sketch_distinct_rollup,
+    # report_linear_regression, incremental_agg_merge, unpivot_event_counts,
+    # percentile_stats, pivot_event_types and subquery_cheapest_part are
+    # deferred to r8 — all eight green in tools/check.py today and
+    # pytest-pinned)
 ]
 # r8 queue: lead with any r7 FAILs, then queries added/changed in r8, then
 # the seven r7 deferrals (sketch_distinct_rollup, report_linear_regression,

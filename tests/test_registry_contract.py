@@ -15,10 +15,10 @@ registry.load_all()
 #: ops (xxhash64 banding/bucketing, implementation-defined estimates, binary
 #: multimodal) whose correctness is pinned by pytest instead.
 ROWS_ONLY_ALLOWED = {
-    "dedup_cluster_canonical_lsh",
-    # dedup_simhash and dedup_minhash_lsh left this set in r7: both declared
-    # queries now run the engine-portable md5_32 mode and are fully
-    # oracle-checked (production xxhash64 modes stay pytest/eval-pinned).
+    # dedup_simhash, dedup_minhash_lsh and dedup_cluster_canonical_lsh left
+    # this set in r7: all three declared queries now run the engine-portable
+    # md5_32 mode and are fully oracle-checked (production xxhash64 modes
+    # stay pytest/eval-pinned).
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "multimodal_decode",
