@@ -50,8 +50,8 @@ DRIVER_WINDOW: list[str] = [
     # new ANN parameter-sweep eval and bounded-list aggregate, and the six
     # X84–X89 operators added mid-round — then the 4 queries whose latest
     # driver row is still r1 (deferred from r6 as promised), then the
-    # r2-vintage rows.  Seven r3/r2-vintage greens spill to the r8 queue
-    # to pay for the new slots (all re-verified green locally today).
+    # r2-vintage rows.  Eight greens (incl. q22_balance_anti) spill to the
+    # r8 queue to pay for the new slots (all re-verified green locally).
     # --- changed/new in r7
     "dedup_simhash",  # rows-only → md5_32 oracle upgrade (late r7)
     "dedup_minhash_lsh",  # rows-only → md5_32 end-to-end oracle (late r7)
@@ -113,9 +113,9 @@ DRIVER_WINDOW: list[str] = [
     # pytest-pinned)
 ]
 # r8 queue: lead with any r7 FAILs, then queries added/changed in r8, then
-# the seven r7 deferrals (sketch_distinct_rollup, report_linear_regression,
-# incremental_agg_merge, unpivot_event_counts, percentile_stats,
-# pivot_event_types, subquery_cheapest_part), then the remaining
+# the eight r7 deferrals (q22_balance_anti, sketch_distinct_rollup,
+# report_linear_regression, incremental_agg_merge, unpivot_event_counts,
+# percentile_stats, pivot_event_types, subquery_cheapest_part), then the remaining
 # r3-vintage rows (sketch_frequency_heavy_hitters,
 # events_cumulative_distinct_users, skew_key_report, the scalar-function
 # family, events_time_rollup, multimodal_features, text_redact_pii,

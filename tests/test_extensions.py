@@ -70,8 +70,19 @@ def test_minhash_lsh_md5_mode_matches_xxhash_verified_pairs(docs):
             docs, "text", "doc_id", hash_fn="md5_32", **kw
         ).collect()
     }
+    # Hash-independent invariants: the exact dup collides in every band
+    # under ANY hash family, and verified Jaccard is computed from the raw
+    # shingle sets, so it must agree on every pair BOTH modes surface.
     assert (0, 2) in md and md[(0, 2)] == 1.0
-    assert md == xx
+    assert (0, 2) in xx and xx[(0, 2)] == 1.0
+    for pair in md.keys() & xx.keys():
+        assert md[pair] == xx[pair]
+    # Candidate SETS are hash-dependent in general (different families bucket
+    # differently), so don't pin md == xx — require only that neither mode
+    # misses a pair the other verified at Jaccard >= the 0.5 threshold by a
+    # wide margin (recall-style, robust to fixture edits).
+    strong = {p for p, j in (md | xx).items() if j >= 0.9}
+    assert strong <= md.keys() and strong <= xx.keys()
     with pytest.raises(ValueError, match="unknown hash_fn"):
         dd.minhash_near_dups(docs, "text", "doc_id", hash_fn="crc32")
 
