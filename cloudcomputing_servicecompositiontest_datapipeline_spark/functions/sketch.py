@@ -51,6 +51,21 @@ def merged_estimate(df: DataFrame, sketch_col: str = "sketch") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _cm_bucket(item: F.Column, r: int, width: int, bucket_hash: str) -> F.Column:
+    """Row-``r`` bucket of ``item``: ``xxhash64`` (production, 64-bit avalanche)
+    or ``md5_32`` (first 8 hex chars of ``md5("r:item")`` as a 32-bit int —
+    engine-portable, so the whole sketch→merge→point-query pipeline can be
+    recomputed bit for bit by a SQL oracle; the dedup_simhash precedent)."""
+    if bucket_hash == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(r), item), F.lit(width))
+    if bucket_hash == "md5_32":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{r}:"), item.cast("string"))), 1, 8), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(width))
+    raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
+
+
 def cm_sketch(
     df: DataFrame,
     item_col: str,
@@ -58,6 +73,7 @@ def cm_sketch(
     *,
     depth: int = 4,
     width: int = 256,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """One Count-Min sketch per group: a flat ``depth*width`` LONG array
     in column ``cm``.
@@ -71,10 +87,9 @@ def cm_sketch(
         F.explode(
             F.array(
                 *[
-                    (
-                        F.lit(r * width)
-                        + F.pmod(F.xxhash64(F.lit(r), F.col(item_col)), F.lit(width))
-                    ).cast("int").alias("c")
+                    (F.lit(r * width) + _cm_bucket(F.col(item_col), r, width, bucket_hash))
+                    .cast("int")
+                    .alias("c")
                     for r in range(depth)
                 ]
             )
@@ -116,17 +131,23 @@ def cm_merge(df: DataFrame, group_cols: list[str] | None = None, sketch_col: str
     return gb.agg(merged.alias(sketch_col))
 
 
-def cm_query(df: DataFrame, item_col, *, depth: int = 4, width: int = 256, sketch_col: str = "cm") -> DataFrame:
+def cm_query(
+    df: DataFrame,
+    item_col,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    sketch_col: str = "cm",
+    bucket_hash: str = "xxhash64",
+) -> DataFrame:
     """Point-query: estimated frequency of ``item_col``'s value in each
-    row's sketch = min over the depth rows of that item's counter."""
+    row's sketch = min over the depth rows of that item's counter.
+    ``bucket_hash`` must match the one the sketch was built with."""
     est = F.least(
         *[
             F.element_at(
                 F.col(sketch_col),
-                (
-                    F.lit(r * width)
-                    + F.pmod(F.xxhash64(F.lit(r), item_col), F.lit(width))
-                ).cast("int")
+                (F.lit(r * width) + _cm_bucket(item_col, r, width, bucket_hash)).cast("int")
                 + 1,
             )
             for r in range(depth)

@@ -100,34 +100,66 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec: F.Column, plane: int, dim: int) -> F.Column:
-    """Sign of ``vec · r_plane`` for a deterministic pseudo-random hyperplane:
-    component j of plane p is ``(xxhash64(p:j) % 1000)/1000 - 0.5`` — seedable,
-    engine-independent, no stored model."""
-    comps = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.pmod(F.xxhash64(F.concat(F.lit(f"hp{plane}:"), j.cast("string"))), F.lit(1000)).cast(
-                "double"
-            )
-            / 1000.0
-            - 0.5
-        ),
-    )
-    dot = F.aggregate(
-        F.zip_with(vec, comps, lambda x, r: x.cast("double") * r),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+def _hyperplane_sign(vec: F.Column, plane: int, dim: int, hash_fn: str = "xxhash64") -> F.Column:
+    """Sign of ``vec · r_plane`` for a deterministic pseudo-random hyperplane.
+
+    ``hash_fn="xxhash64"`` (production): component j of plane p is
+    ``(xxhash64("hp{p}:{j}") % 1000)/1000 - 0.5``, generated JVM-side inside
+    the row expression and folded in double — seedable, no stored model.
+
+    ``hash_fn="md5_32"`` (engine-portable declared mode, the dedup_simhash
+    precedent): component j is the INTEGER ``(int(md5("hp{p}:{j}")[:8], 16)
+    % 1000) - 500`` — the same hyperplane scaled by the positive constant
+    1000, so the sign is unchanged within the family.  The components are
+    plane-constant, so they are baked as an array literal (Python hashlib
+    md5 == every engine's md5) instead of hashing per row, and the dot is
+    accumulated in decimal so the >= 0 test is bit-identical on any engine
+    and partition order — DuckDB can recompute the whole signature."""
+    if hash_fn == "xxhash64":
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(f"hp{plane}:"), j.cast("string"))), F.lit(1000)
+                ).cast("double")
+                / 1000.0
+                - 0.5
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, comps, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+    if hash_fn == "md5_32":
+        import hashlib
+
+        comps = F.array(
+            *[
+                F.lit(
+                    float(
+                        int(hashlib.md5(f"hp{plane}:{j}".encode()).hexdigest()[:8], 16) % 1000
+                        - 500
+                    )
+                )
+                for j in range(dim)
+            ]
+        )
+        return F.when(_dot_dec(vec, comps) >= 0, F.lit(1)).otherwise(F.lit(0))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-def lsh_bucket(vec: F.Column, *, planes: int, dim: int, plane_offset: int = 0) -> F.Column:
+def lsh_bucket(
+    vec: F.Column, *, planes: int, dim: int, plane_offset: int = 0, hash_fn: str = "xxhash64"
+) -> F.Column:
     """Sign-pattern bucket id from ``planes`` hyperplanes (random projection).
     ``plane_offset`` selects an independent hyperplane set per LSH table."""
     bucket = None
     for p in range(planes):
-        bit = F.shiftleft(_hyperplane_sign(vec, plane_offset + p, dim).cast("long"), p)
+        bit = F.shiftleft(
+            _hyperplane_sign(vec, plane_offset + p, dim, hash_fn).cast("long"), p
+        )
         bucket = bit if bucket is None else bucket.bitwiseOR(bit)
     return bucket
 
@@ -293,6 +325,7 @@ def lsh_topk(
     planes: int = 4,
     dim: int = 64,
     tables: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """X3 scale path: bucket both sides by hyperplane signs, score only
     same-bucket pairs.  At 100 TB the corpus is written bucketed/partitioned
@@ -303,7 +336,10 @@ def lsh_topk(
     missed only if it splits from the query in EVERY table
     (miss ≈ (1-p^planes)^tables), at L× bucket-join cost.  tables=1
     reproduces the single-table layout; the same pair surviving several
-    tables scores once (distinct before ranking)."""
+    tables scores once (distinct before ranking).
+
+    ``hash_fn`` selects the hyperplane family: ``xxhash64`` (production) or
+    ``md5_32`` (engine-portable — see :func:`_hyperplane_sign`)."""
     mult = 1000000.0
 
     def with_buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
@@ -314,7 +350,11 @@ def lsh_topk(
                     F.struct(
                         F.lit(t).alias("tbl"),
                         lsh_bucket(
-                            F.col(vec_out), planes=planes, dim=dim, plane_offset=t * planes
+                            F.col(vec_out),
+                            planes=planes,
+                            dim=dim,
+                            plane_offset=t * planes,
+                            hash_fn=hash_fn,
                         ).alias("bits"),
                     )
                     for t in range(tables)
@@ -822,6 +862,8 @@ def random_projection(
     vec_col: str = "embedding",
     out_dim: int = 16,
     seed: str = "jl0",
+    hash_fn: str = "xxhash64",
+    in_dim: int = 64,
 ) -> DataFrame:
     """X41 Johnson-Lindenstrauss random projection: project d-dim embeddings
     to ``out_dim`` with a deterministic hash-derived +-1 matrix (Achlioptas
@@ -833,8 +875,44 @@ def random_projection(
     sign(xxhash64(seed:i:j)), generated inside the row expression -- so the
     projection is row-local, shuffle-free, reproducible on any engine with
     xxhash64, and needs no stored model.  Distortion obeys the JL lemma in
-    expectation; measured bounds are pinned by the self-eval below."""
+    expectation; measured bounds are pinned by the self-eval below.
+
+    ``hash_fn="md5_32"`` is the engine-portable declared mode: sign (i, j)
+    is ``+1 if int(md5("{seed}:{i}:{j}")[:8], 16) % 2 == 0 else -1``.  The
+    signs are matrix-constant, so they bake as array literals (Python
+    hashlib md5 == every engine's md5), and each output component folds in
+    DECIMAL so the projected vector is bit-identical on any engine and
+    partition order -- DuckDB can recompute the projection exactly.
+    Literal sign rows need a STATIC input width (array expressions can't be
+    sized from a runtime column), so md5 mode takes it as ``in_dim``."""
     dim = F.size(F.col(vec_col))
+    inv = 1.0 / float(out_dim) ** 0.5
+
+    if hash_fn == "md5_32":
+        import hashlib
+
+        def sign_row(i: int) -> F.Column:
+            return F.array(
+                *[
+                    F.lit(
+                        1.0
+                        if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16) % 2
+                        == 0
+                        else -1.0
+                    )
+                    for j in range(in_dim)
+                ]
+            )
+
+        comps = [
+            (_dot_dec(F.col(vec_col), sign_row(i)).cast("double") * inv) for i in range(out_dim)
+        ]
+        return ensure_parallelism(emb).select(
+            F.col(id_col),
+            F.array(*comps).alias("projected"),
+        )
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
     # factory keeps the row index i a PLAIN INT inside a true 1-arg lambda —
     # `lambda j, i=i` would make PySpark pick transform's (element, index)
@@ -861,7 +939,6 @@ def random_projection(
         )
 
     comps = [component(i) for i in range(out_dim)]
-    inv = 1.0 / float(out_dim) ** 0.5
     return ensure_parallelism(emb).select(
         F.col(id_col),
         F.array(*[(c * inv) for c in comps]).alias("projected"),

@@ -604,19 +604,50 @@ def drift_documents_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_jl_projection")
+@query(
+    "similarity_jl_projection",
+    # md5_32 signs are exactly recomputable in SQL; each projected component
+    # is a decimal-accumulated ±1 dot (order-insensitive, engine-exact)
+    # scaled by 1/sqrt(16) = 0.25 (exact in binary), and the norm² folds the
+    # 16 squared components in decimal again before the final rounding.
+    oracle="""
+    WITH signs AS (
+      SELECT i.range AS i,
+             list(CASE WHEN cast(('0x' || substr(md5('jl0:' || i.range || ':' || j.range), 1, 8)) AS bigint) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END ORDER BY j.range) AS sv
+      FROM range(16) i, range(64) j GROUP BY i.range),
+    comps AS (
+      SELECT e.vec_id, s.i,
+             cast(list_sum(list_transform(e.embedding, (x, k) -> cast(cast(x AS double) * sv[k] AS decimal(28,12)))) AS double) * 0.25 AS c
+      FROM embeddings e CROSS JOIN signs s)
+    SELECT vec_id,
+           floor(cast(sum(cast(c * c AS decimal(28,12))) AS double) * 1000000 + 0.5) / 1000000 AS proj_norm2
+    FROM comps GROUP BY vec_id
+    """,
+)
 def similarity_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X41 Johnson-Lindenstrauss random projection to 16 dims: the matrix is
     hash-derived signs generated inside the row expression (no stored
-    model), so projection is row-local and shuffle-free.  Rows-only (DuckDB
-    has no xxhash64); distortion bounds pinned by the eval twin + tests."""
+    model), so projection is row-local and shuffle-free.
+
+    This declared query runs the md5_32 engine-portable sign family with
+    decimal-folded dots, so the projection itself (via the norm² digest) is
+    DuckDB-oracle-checked (upgraded from rows-only in r8); production
+    callers keep the default xxhash64 family, distortion bounds pinned by
+    the eval twin + a mode-agreement test."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    proj = sim.random_projection(emb, out_dim=16)
+    proj = sim.random_projection(emb, out_dim=16, hash_fn="md5_32", in_dim=64)
     mult = 1000000.0
+    dec = "decimal(28,12)"
+    norm2 = F.aggregate(
+        F.col("projected"),
+        F.lit(0).cast(dec),
+        lambda a, x: (a + (x * x).cast(dec)).cast(dec),
+    ).cast("double")
     return proj.select(
         "vec_id",
-        (F.floor(F.aggregate(F.col("projected"), F.lit(0.0), lambda a, x: a + x * x) * mult + 0.5) / mult).alias("proj_norm2"),
+        (F.floor(norm2 * mult + 0.5) / mult).alias("proj_norm2"),
     )
 
 

@@ -438,18 +438,70 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_lsh_topk")
+@query(
+    "similarity_lsh_topk",
+    # The md5_32 hyperplane family is exactly recomputable in SQL: component
+    # j of plane p is the integer md5_32("hp{p}:{j}") % 1000 - 500, the sign
+    # dot is decimal-accumulated (order-insensitive, engine-exact), bucket
+    # bits recombine per table (p // planes), and the cosine/rank tail is the
+    # similarity_bruteforce_topk fragment restricted to same-bucket pairs.
+    oracle="""
+    WITH planes AS (
+      SELECT p.range AS p,
+             list(cast(cast(('0x' || substr(md5('hp' || p.range || ':' || j.range), 1, 8)) AS bigint) % 1000 - 500 AS double) ORDER BY j.range) AS cv
+      FROM range(16) p, range(64) j GROUP BY p.range),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             list_sum(list_transform(e.embedding, (x, i) -> cast(cast(x AS double) * pl.cv[i] AS decimal(28,12)))) AS dot
+      FROM embeddings e CROSS JOIN planes pl),
+    sigs AS (
+      SELECT vec_id, cast(p // 4 AS int) AS tbl,
+             sum(CASE WHEN dot >= 0 THEN cast(1 AS bigint) << cast(p % 4 AS int) ELSE cast(0 AS bigint) END) AS bits
+      FROM dots GROUP BY 1, 2),
+    norms AS (
+      SELECT vec_id, sqrt(cast(list_sum(list_transform(embedding, x -> cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)) AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+        CASE WHEN nq.nrm * nc.nrm > 0 THEN
+          floor(cast(list_sum(list_transform(eq.embedding, (x, i) -> cast(cast(x AS double) * cast(ec.embedding[i] AS double) AS decimal(28,12)))) AS double)
+                / (nq.nrm * nc.nrm) * 1000000 + 0.5) / 1000000 END AS cosine
+      FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bits = c.bits AND q.vec_id != c.vec_id
+      JOIN embeddings eq ON eq.vec_id = q.vec_id
+      JOIN embeddings ec ON ec.vec_id = c.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+      FROM pairs WHERE cosine IS NOT NULL)
+    SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: hyperplane-LSH bucketed top-k.  Recall-vs-cost is
     traded by plane count (bucket granularity) AND table count (multi-table
     LSH: candidates unioned over independent hyperplane sets — miss rate
-    falls exponentially in tables at linear bucket-join cost).  Rows-only;
-    the recall curve (0.28 → 0.98 over 1 → 8 tables on the fixture) is
-    measured by similarity_ann_eval and pinned in tests."""
+    falls exponentially in tables at linear bucket-join cost).
+
+    This declared query runs the md5_32 engine-portable hyperplane family so
+    buckets, candidate pairs, cosines AND ranks are DuckDB-oracle-checked
+    end-to-end (upgraded from rows-only in r8 — the dedup_minhash_lsh
+    precedent).  Production callers keep the default xxhash64 family, whose
+    recall curve (0.28 → 0.98 over 1 → 8 tables on the fixture) is measured
+    by similarity_ann_eval and pinned in tests along with a md5/xxhash
+    mode-agreement check."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
     return sim.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, planes=4, dim=64, tables=4
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        planes=4,
+        dim=64,
+        tables=4,
+        hash_fn="md5_32",
     )
 
 

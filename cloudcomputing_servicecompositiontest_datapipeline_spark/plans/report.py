@@ -624,7 +624,30 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_frequency_heavy_hitters")
+@query(
+    "sketch_frequency_heavy_hitters",
+    # The CM pipeline is exactly recomputable in SQL under the md5_32 bucket
+    # hash: merge is an element-wise sum, so the merged sketch's cell
+    # (r, b) equals the GLOBAL count of events whose row-r bucket is b, and
+    # the point query is min over r of the queried item's cell.  The oracle
+    # skips the array materialization and reads those cell counts directly —
+    # same numbers, the estimate≥truth bound and collision overcounts
+    # included.
+    oracle="""
+    WITH cells AS (
+      SELECT r.range AS r,
+             cast(('0x' || substr(md5(r.range || ':' || event_type), 1, 8)) AS bigint) % 256 AS b,
+             count(*) AS n
+      FROM events, range(4) r GROUP BY 1, 2),
+    probes AS (
+      SELECT t.event_type, r.range AS r,
+             cast(('0x' || substr(md5(r.range || ':' || t.event_type), 1, 8)) AS bigint) % 256 AS b
+      FROM (SELECT DISTINCT event_type FROM events) t, range(4) r)
+    SELECT p.event_type, min(coalesce(c.n, 0)) AS cm_estimate
+    FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.event_type ORDER BY p.event_type
+    """,
+)
 def sketch_frequency_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency rollup (functions/sketch.py:cm_sketch) — the
     frequency twin of sketch_distinct_rollup: one CM counter array per day
@@ -632,9 +655,14 @@ def sketch_frequency_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     re-touching raw rows, then point-queried for each event type's
     estimated total.  The merge law (sum of shard sketches == sketch of
     union, element-wise) and the never-undercount bound are pinned in
-    tests/test_report_ops.py::test_cm_sketch_frequency_bounds_and_merge_law;
-    xxhash64 buckets have no cross-engine twin → rows-only check.  Output:
-    (event_type, cm_estimate) — deterministic, estimate >= true count.
+    tests/test_report_ops.py::test_cm_sketch_frequency_bounds_and_merge_law.
+    Output: (event_type, cm_estimate) — deterministic, estimate >= truth.
+
+    This declared query runs the engine-portable md5_32 bucket mode so the
+    whole sketch→merge→point-query pipeline is DuckDB-oracle-checked
+    (upgraded from rows-only in r8); production callers keep the default
+    xxhash64 buckets, pinned equivalent in bound/merge behavior by
+    tests/test_report_ops.py::test_cm_sketch_md5_mode_matches_xxhash_bounds.
 
     Plan note: the probe crossJoin plans as a BroadcastNestedLoopJoin whose
     broadcast side is the ONE merged-sketch row — a kilobyte fanned out to
@@ -642,11 +670,11 @@ def sketch_frequency_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     from ..functions.sketch import cm_merge, cm_query, cm_sketch
 
     ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
-    daily = cm_sketch(ev, "event_type", ["day"])
+    daily = cm_sketch(ev, "event_type", ["day"], bucket_hash="md5_32")
     merged = cm_merge(daily)
     types = ev.select("event_type").distinct()
     return (
-        cm_query(types.crossJoin(merged), F.col("event_type"))
+        cm_query(types.crossJoin(merged), F.col("event_type"), bucket_hash="md5_32")
         .select("event_type", "cm_estimate")
         .orderBy("event_type")
     )

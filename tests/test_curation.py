@@ -636,6 +636,35 @@ def test_jl_projection_deterministic_and_seeded(spark, sf_dir):
     assert a != c  # seed re-deals the matrix
 
 
+def test_jl_projection_md5_mode_matches_python_model(spark):
+    """The engine-portable md5_32 sign family (the similarity_jl_projection
+    oracle path) must agree with a direct Python model — sign(i, j) =
+    +1 iff int(md5(f"jl0:{i}:{j}")[:8], 16) is even, dot scaled by
+    1/sqrt(out_dim) — and preserve norms the way JL promises."""
+    import hashlib
+    import math
+
+    vec = [float(j % 7) - 3.0 for j in range(64)]
+    emb = spark.createDataFrame([(0, vec)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = sim.random_projection(emb, out_dim=16, hash_fn="md5_32", in_dim=64).first()
+    for i, got in enumerate(out.projected):
+        signs = [
+            1.0 if int(hashlib.md5(f"jl0:{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+            for j in range(64)
+        ]
+        want = sum(x * s for x, s in zip(vec, signs)) * 0.25
+        assert abs(got - want) < 1e-9
+    # md5 and xxhash modes draw different matrices but both concentrate the
+    # norm (JL): projected norm within a loose band of the input norm
+    n_in = math.sqrt(sum(x * x for x in vec))
+    n_out = math.sqrt(sum(c * c for c in out.projected))
+    assert 0.3 * n_in < n_out < 3.0 * n_in
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        sim.random_projection(emb, out_dim=4, hash_fn="crc32")
+
+
 
 # -------------------------------------------------- X42 perplexity scoring
 

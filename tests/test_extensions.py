@@ -154,6 +154,37 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
             assert abs(brute_scores[(r.query_id, r.cand_id)] - r.cosine) < 1e-9
 
 
+def test_lsh_topk_md5_mode_matches_xxhash_scores(spark, sf_dir):
+    """The engine-portable md5_32 hyperplane family (the similarity_lsh_topk
+    oracle path) must behave like the production xxhash64 family where
+    behavior is hash-independent: cosine scores are computed from the raw
+    vectors, so every (query, cand) pair BOTH modes surface must carry the
+    same score; identical vectors always share every bucket, so each mode's
+    hit set is a subset of brute force with identical scores."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=3, planes=4, dim=64, tables=4)
+    xx = {(r.query_id, r.cand_id): r.cosine for r in sim.lsh_topk(emb, q, **kw).collect()}
+    md = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in sim.lsh_topk(emb, q, hash_fn="md5_32", **kw).collect()
+    }
+    assert md and xx
+    for pair in md.keys() & xx.keys():
+        assert abs(md[pair] - xx[pair]) < 1e-9
+    brute = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+    for pair, cos in md.items():
+        if pair in brute:
+            assert abs(brute[pair] - cos) < 1e-9
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        sim.lsh_topk(emb, q, hash_fn="crc32", **kw)
+
+
 def test_ann_sweep_recall_monotone(spark, sf_dir):
     """similarity_ann_sweep's law: recall@5 is non-decreasing in LSH table
     count and IVF probe count (candidate SUPERSETS can only gain truth

@@ -16,17 +16,16 @@ registry.load_all()
 #: multimodal) whose correctness is pinned by pytest instead.
 ROWS_ONLY_ALLOWED = {
     # dedup_simhash, dedup_minhash_lsh and dedup_cluster_canonical_lsh left
-    # this set in r7: all three declared queries now run the engine-portable
-    # md5_32 mode and are fully oracle-checked (production xxhash64 modes
-    # stay pytest/eval-pinned).
+    # this set in r7; similarity_lsh_topk, similarity_jl_projection and
+    # sketch_frequency_heavy_hitters left it in r8: those declared queries
+    # now run the engine-portable md5_32 mode and are fully oracle-checked
+    # (production xxhash64 modes stay pytest/eval-pinned).
     "similarity_ivf_topk",
-    "similarity_lsh_topk",
     "multimodal_decode",
     # r3 window additions: sketch estimates + binary features are
     # implementation-defined; the two *_eval queries are quality self-evals
     # whose metrics (P/R, recall@k) depend on xxhash64 banding.
     "sketch_distinct_rollup",
-    "sketch_frequency_heavy_hitters",
     "sketch_quantile_rollup",
     "multimodal_features",
     "dedup_lsh_eval",
@@ -46,7 +45,6 @@ ROWS_ONLY_ALLOWED = {
     "similarity_quantized_recall",
     "similarity_pq_encode",
     "similarity_pq_eval",
-    "similarity_jl_projection",
     "similarity_jl_eval",
     "text_bpe_merges",
     "text_bpe_encode",

@@ -330,6 +330,48 @@ def test_cm_sketch_frequency_bounds_and_merge_law(spark):
         assert est[k] == n  # 3 items in 4x256 cells: collision-free
 
 
+def test_cm_sketch_md5_mode_matches_xxhash_bounds(spark):
+    """The engine-portable md5_32 bucket mode (the
+    sketch_frequency_heavy_hitters oracle path) must satisfy the SAME CM
+    guarantees as the production xxhash64 mode: never undercounts, exact at
+    low collision rates, merge law holds, and a Python md5 model reproduces
+    the bucket placement bit for bit."""
+    import hashlib
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.sketch import (
+        cm_merge,
+        cm_query,
+        cm_sketch,
+    )
+
+    rows = [("a",)] * 100 + [("b",)] * 30 + [("c",)] * 7
+    df = spark.createDataFrame(rows, "item STRING").withColumn(
+        "shard", (F.monotonically_increasing_id() % 2).cast("int")
+    )
+    exact = {"a": 100, "b": 30, "c": 7}
+    whole = cm_sketch(df, "item", [], bucket_hash="md5_32")
+    merged = cm_merge(cm_sketch(df, "item", ["shard"], bucket_hash="md5_32"))
+    w = whole.collect()[0].cm
+    assert w == merged.collect()[0].cm  # merge law is hash-independent
+    assert sum(w) == 4 * 137
+    # bucket placement agrees with the portable md5 definition exactly
+    for item, n in exact.items():
+        for r in range(4):
+            b = int(hashlib.md5(f"{r}:{item}".encode()).hexdigest()[:8], 16) % 256
+            assert w[r * 256 + b] >= n
+    items = spark.createDataFrame([(k,) for k in exact], "item STRING")
+    est = {
+        r.item: r.cm_estimate
+        for r in cm_query(
+            items.crossJoin(whole), F.col("item"), bucket_hash="md5_32"
+        ).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] == n  # 3 items in 4x256 cells: collision-free
+    with pytest.raises(ValueError, match="unknown bucket_hash"):
+        cm_sketch(df, "item", [], bucket_hash="crc32")
+
+
 def test_hist_sketch_merge_law_and_quantile_bound(spark):
     """Histogram sketch: shard-merge equals whole-data histogram exactly;
     quantile estimates land within one bin width of the true quantile."""
