@@ -161,15 +161,21 @@ def lsh_candidate_pairs(
     candidate generation (the standard production-LSH move: their members
     are wholesale near-identical and belong to exact dedup / passage dedup,
     which handle them linearly) — set it for any unbounded corpus.  With a
-    cap the guard is enforced BEFORE the list ever materializes (the
-    winnow_candidates shape): a count aggregate keeps only buckets with
-    2..cap members — count state is one long per bucket — and the
-    collect_list then buffers at most ``cap`` ids; a post-collect
-    ``size(ids) <= cap`` filter would have already paid the hot bucket's
-    full buffer just to throw it away.  The pre-filter join keys on
-    (band, bucket), the same partitioning the collect uses.  Without a cap
-    (None) the single-pass form runs — the caller is accepting unbounded
-    buckets explicitly.
+    cap the guard is enforced BEFORE the list ever materializes: a
+    ``count(*) OVER (PARTITION BY band, bucket)`` sizes every bucket, the
+    2..cap filter drops over-cap members as plain rows, and only then does
+    the collect_list run — so its aggregation buffer holds at most ``cap``
+    ids.  The window and the collect share the (band, bucket) hash
+    partitioning, so the whole capped pipeline costs ONE exchange (the
+    r7 form — a count pre-pass + broadcast anti-join — paid a second
+    aggregation, a join, and a localCheckpoint of the banded rows for the
+    same semantics; at sf0.1 that was +0.6 s on the headline).  A
+    degenerate bucket's rows pass through WindowExec's spill-safe external
+    row buffer (disk-backed), never an agg hash-map entry — the OOM class
+    this cap exists to kill.  A post-collect ``size(ids) <= cap`` filter
+    would instead have paid the hot bucket's full buffer just to throw it
+    away.  Without a cap (None) the single-pass form runs — the caller is
+    accepting unbounded buckets explicitly.
 
     ``bucket_hash`` picks the band-bucket key: ``"xxhash64"`` (default —
     64-bit long, the fast production path) or ``"md5"`` (the md5 hex string
@@ -207,29 +213,17 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        # checkpoint the NARROW (id, band, bucket) rows: the size pre-pass
-        # and the collect pass both read them, and without the checkpoint
-        # each would recompute the whole shingle→minhash→band pipeline;
-        # lazy, so it materializes on the first action
-        banded = banded.localCheckpoint(eager=False)
-        # anti-join against the OVER-CAP buckets only — that list is tiny
-        # by construction (degenerate boilerplate cells), so AQE converts
-        # the anti-join to broadcast and the big frame still shuffles
-        # exactly ONCE (the collect groupBy); a semi-join against the
-        # in-range buckets would carry the near-total bucket list instead.
-        # Singleton buckets stay: their collect buffer is one id, and the
-        # >= 2 filter after the collect is free.
-        overcap = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band", "bucket")
+        # one exchange for the whole capped pipeline: the bucket-size window
+        # and the collect groupBy share hash(band, bucket) partitioning, so
+        # Catalyst plans Exchange → Sort → Window → Filter → ObjectHashAgg
+        # with no second shuffle; over-cap (and singleton) members die as
+        # plain rows before any list buffers
+        w = Window.partitionBy("band", "bucket")
+        pruned = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
         )
-        pruned = banded.join(overcap, ["band", "bucket"], "left_anti")
-        grouped = (
-            pruned.groupBy("band", "bucket")
-            .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-            .filter(F.size("ids") >= 2)
+        grouped = pruned.groupBy("band", "bucket").agg(
+            F.array_sort(F.collect_list(id_col)).alias("ids")
         )
     else:
         grouped = (
@@ -336,19 +330,23 @@ def minhash_near_dups(
         )
         def _slot_min(k: int):
             # closure factory, NOT a default-arg lambda: a 2-param lambda is
-            # read by pyspark as (element, index)
-            return F.array_min(
-                F.transform(
-                    F.col("_digests"),
-                    lambda ds: F.conv(
-                        F.substring(
+            # read by pyspark as (element, index).  Fixed-width lowercase
+            # hex sorts like its numeric value, so take the min over the
+            # 8-hex-char windows and parse ONE winner per (doc, slot) —
+            # not one conv per shingle (16×|shingles| string-parses saved;
+            # values identical by monotonicity of conv on fixed-width hex).
+            return F.conv(
+                F.array_min(
+                    F.transform(
+                        F.col("_digests"),
+                        lambda ds: F.substring(
                             F.element_at(ds, k // 4 + 1), 8 * (k % 4) + 1, 8
                         ),
-                        16,
-                        10,
-                    ).cast("long"),
-                )
-            )
+                    )
+                ),
+                16,
+                10,
+            ).cast("long")
 
         mins = [_slot_min(k) for k in range(num_hashes)]
         sig = sets.select(F.col(id_col), slots.alias("_digests")).select(
