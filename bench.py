@@ -130,6 +130,26 @@ NEW_R7 = [
     "pack_documents_nostraddle",
 ]
 
+#: Tier-2 headline (r8+): the 10 most expensive LONG-TAIL queries by the r7
+#: BENCH_DETAIL ranking, promoted into the committed per-round record so a
+#: regression in the r3–r7 operator families moves a tracked number (the r7
+#: verdict's bench-blind-spot item).  Names stay FROZEN like the r1 headline
+#: — the point is round-over-round comparability, not covering whatever is
+#: expensive this round (BENCH_DETAIL still records everything).  These are
+#: timed inside their NEW_R* groups; tier2 just re-reports them on stdout.
+TIER2 = [
+    "similarity_ann_sweep",
+    "dedup_semantic_centroids",
+    "dedup_winnow_clusters",
+    "split_leakage_safe",
+    "dedup_bloom_ingest",
+    "search_hybrid_rrf",
+    "text_perplexity_scores",
+    "dedup_winnow_containment",
+    "curation_quantile_map",
+    "streaming_burst_monitor",
+]
+
 #: Added after r1 — timed outside the headline total for bench continuity.
 EXTRA = [
     "overlap_global_binned",
@@ -349,6 +369,12 @@ def main() -> None:
             break
         except (OSError, ValueError):
             continue
+    # Tier-2: re-report the frozen expensive-long-tail slice from the group
+    # timings already collected above (no extra executions).
+    all_groups = {**extra, **new_r3, **new_r4, **new_r5, **new_r7}
+    tier2 = {n: all_groups[n] for n in TIER2 if n in all_groups}
+    out["tier2_queries"] = tier2
+    out["tier2_total"] = round(sum(tier2.values()), 3)
     # The driver's stdout-tail capture is 2000 bytes and json-parses what it
     # caught: the r3 full record outgrew it (parsed: null).  So the FULL
     # record goes to the committed sidecar BENCH_DETAIL.json, and stdout
@@ -366,6 +392,8 @@ def main() -> None:
         "unit": "sec",
         "sf": out["sf"],
         "queries": timings,
+        "tier2_total": out["tier2_total"],
+        "tier2": tier2,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact))
