@@ -230,6 +230,35 @@ def _argmin_centroids(vec: F.Column, centers, n_pick: int = 1) -> F.Column:
     return F.transform(ranked, lambda s: s["c"])
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+):
+    """Train the IVF coarse quantizer from a bounded, deterministic sample
+    WITHOUT a count job: take the ``200 * n_centroids`` lowest salted-hash
+    ids (TakeOrdered = per-partition heap, linear scan, no full sort) — a
+    uniform pseudo-random spread that is a pure function of (seed, id) —
+    and fit plain Lloyd's iterations driver-side (the FAISS shape: a
+    distributed ML fit would pay per-iteration job overhead to cluster
+    kilobytes).  Exposed so ``n_probe`` sweeps train once."""
+    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).where(
+        F.col("cand_vec").isNotNull()
+    )
+    target = 200 * n_centroids
+    sample = [
+        [float(x) for x in r.cand_vec]
+        for r in c.select("cand_id", "cand_vec")
+        .orderBy(F.xxhash64(F.lit(seed), F.col("cand_id").cast("string")), "cand_id")
+        .limit(target)
+        .collect()
+    ]
+    return _train_centroids(sample, n_centroids)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,9 +269,15 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centers=None,
 ) -> DataFrame:
     """X3 IVF variant: k-means coarse quantizer → inverted lists by centroid →
     each query probes its ``n_probe`` nearest lists only.
+
+    ``centers`` (optional) injects a pre-trained centroid list — callers
+    sweeping ``n_probe`` (which only changes query-time probing, never the
+    index) train ONCE via :func:`train_ivf_centroids` instead of paying the
+    bounded sample collect + Lloyd's fit per sweep point.
 
     At 100 TB the corpus is written partitioned by ``centroid`` (the inverted
     index IS the partitioning), so a query touches n_probe/n_centroids of the
@@ -260,19 +295,10 @@ def ivf_topk(
     c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).where(
         F.col("cand_vec").isNotNull()
     )
-    # Bounded, deterministic training sample WITHOUT a count job: take the
-    # `target` lowest salted-hash ids (TakeOrdered = per-partition heap,
-    # linear scan, no full sort) — a uniform pseudo-random spread that is a
-    # pure function of (seed, id).
-    target = 200 * n_centroids
-    sample = [
-        [float(x) for x in r.cand_vec]
-        for r in c.select("cand_id", "cand_vec")
-        .orderBy(F.xxhash64(F.lit(seed), F.col("cand_id").cast("string")), "cand_id")
-        .limit(target)
-        .collect()
-    ]
-    centers = _train_centroids(sample, n_centroids)
+    if centers is None:
+        centers = train_ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
     dim = len(centers[0]) if len(centers) and len(centers[0]) else None
 
     assigned = c.withColumn(
@@ -387,6 +413,169 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def lsh_topk_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    planes: int = 4,
+    dim: int = 64,
+    tables_list=(1, 2, 4),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Multi-setting LSH top-k in ONE retrieval: result-identical to running
+    :func:`lsh_topk` once per value in ``tables_list``, at the cost of a
+    single bucket join at ``max(tables_list)`` tables.
+
+    The trick: table t's hyperplanes don't depend on the table count
+    (plane_offset = t·planes), so the candidate set at ``tables=t`` is
+    exactly the pairs whose FIRST shared bucket lies in a table < t.  Bucket
+    once at the max, keep ``min(tbl)`` per pair, explode each pair into the
+    settings it belongs to, and rank per (setting, query) — N sweep points
+    for one scoring pass instead of re-bucketing and re-scoring the corpus
+    per point (the ann-sweep eval went ~2× faster at sf0.1)."""
+    tmax = max(tables_list)
+    mult = 1000000.0
+
+    def with_buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        base = _with_norm(df, id_out, vec_out, id_col, vec_col)
+        tb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(
+                            F.col(vec_out),
+                            planes=planes,
+                            dim=dim,
+                            plane_offset=t * planes,
+                            hash_fn=hash_fn,
+                        ).alias("bits"),
+                    )
+                    for t in range(tmax)
+                ]
+            )
+        ).alias("bk")
+        return base.select("*", tb).select(
+            base["*"], F.col("bk.tbl").alias("tbl"), F.col("bk.bits").alias("bits")
+        )
+
+    q = with_buckets(queries, "query_id", "query_vec")
+    c = with_buckets(corpus, "cand_id", "cand_vec")
+    dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+    scored = (
+        F.broadcast(q)
+        .join(c, ["tbl", "bits"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "tbl",
+            _cosine_rounded(
+                dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    # min(cosine) over per-table duplicates of one pair: all equal (cosine is
+    # a function of the pair), min just picks deterministically
+    agg = scored.groupBy("query_id", "cand_id").agg(
+        F.min("tbl").alias("_first_tbl"), F.min("cosine").alias("cosine")
+    )
+    sets_arr = F.array(*[F.lit(int(t)) for t in sorted(set(tables_list))])
+    ex = agg.select(
+        "query_id",
+        "cand_id",
+        "cosine",
+        F.explode(F.filter(sets_arr, lambda s: s > F.col("_first_tbl"))).alias("setting"),
+    )
+    w = Window.partitionBy("setting", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        ex.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("setting", "query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def ivf_topk_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe_list=(1, 2, 4),
+    seed: int = 42,
+    centers=None,
+) -> DataFrame:
+    """Multi-setting IVF top-k in ONE retrieval: result-identical to running
+    :func:`ivf_topk` once per value in ``n_probe_list``.  ``n_probe`` only
+    widens the query's probe list (the index never changes), and each
+    (query, cand) pair is reachable through exactly ONE probe position (the
+    candidate's assigned centroid), so candidates at ``n_probe=p`` are the
+    pairs whose probe position < p: posexplode the max-width probe list,
+    score once, explode per setting, rank per (setting, query)."""
+    pmax = max(n_probe_list)
+    mult = 1000000.0
+    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).where(
+        F.col("cand_vec").isNotNull()
+    )
+    if centers is None:
+        centers = train_ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
+    dim = len(centers[0]) if len(centers) and len(centers[0]) else None
+    assigned = c.withColumn(
+        "centroid", _argmin_centroids(F.col("cand_vec"), centers, 1)[0]
+    )
+    if dim is not None:
+        assigned = assigned.where(F.size("cand_vec") == dim)
+    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    probes = q.select(
+        "query_id",
+        "query_vec",
+        "query_vec_norm",
+        F.posexplode(
+            _argmin_centroids(F.col("query_vec"), centers, pmax)
+        ).alias("_pos", "centroid"),
+    )
+    dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "centroid")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "_pos",
+            _cosine_rounded(
+                dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    sets_arr = F.array(*[F.lit(int(p)) for p in sorted(set(n_probe_list))])
+    ex = scored.select(
+        "query_id",
+        "cand_id",
+        "cosine",
+        F.explode(F.filter(sets_arr, lambda s: s > F.col("_pos"))).alias("setting"),
+    )
+    w = Window.partitionBy("setting", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        ex.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("setting", "query_id", "cand_id", "cosine", "rnk")
     )
 
 

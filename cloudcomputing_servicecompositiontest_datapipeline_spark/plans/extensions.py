@@ -1565,24 +1565,54 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = star.table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     k = 5
+    lsh_settings, ivf_settings = (1, 4, 8), (1, 2, 4)
     truth = sim.brute_force_topk(emb, q, k=k).select("query_id", "cand_id")
-    rows = []
-    for tables in (1, 4, 8):
-        rows.append(
-            _ann_recall(
-                truth, "lsh", sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=tables)
-            ).select(F.col("method"), F.lit(tables).alias("setting"), "n_truth", "n_hit", "recall")
+    # one retrieval per METHOD, not per sweep point: the *_sweep operators
+    # bucket/probe once at the widest setting and explode each pair into
+    # the settings that reach it (result-identical to per-point runs; the
+    # n_probe axis also shares ONE trained quantizer by construction)
+    preds = (
+        sim.lsh_topk_sweep(emb, q, k=k, planes=2, dim=64, tables_list=lsh_settings)
+        .select(F.lit("lsh").alias("method"), "setting", "query_id", "cand_id")
+        .unionByName(
+            sim.ivf_topk_sweep(
+                emb, q, k=k, n_centroids=8, n_probe_list=ivf_settings
+            ).select(F.lit("ivf").alias("method"), "setting", "query_id", "cand_id")
         )
-    for n_probe in (1, 2, 4):
-        rows.append(
-            _ann_recall(
-                truth, "ivf", sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=n_probe)
-            ).select(F.col("method"), F.lit(n_probe).alias("setting"), "n_truth", "n_hit", "recall")
+    )
+    # every sweep point gets a row even when its candidate set is EMPTY
+    # (degenerate corpora at small tables/probes) — build the grid
+    # explicitly instead of grouping whatever predictions survived
+    grid = spark.createDataFrame(
+        [("lsh", t) for t in lsh_settings] + [("ivf", p) for p in ivf_settings],
+        "method STRING, setting INT",
+    )
+    hits = (
+        truth.join(preds, ["query_id", "cand_id"], "inner")
+        .groupBy("method", "setting")
+        .agg(F.count(F.lit(1)).cast("long").alias("_hits"))
+    )
+    totals = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    mult = 1000000.0
+    return (
+        grid.crossJoin(F.broadcast(totals))
+        .join(hits, ["method", "setting"], "left")
+        .select(
+            "method",
+            "setting",
+            "n_truth",
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.floor(
+                    F.try_divide(F.coalesce(F.col("_hits"), F.lit(0)), F.col("n_truth"))
+                    * mult
+                    + 0.5
+                )
+                / mult
+            ).alias("recall"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method", "setting")
+        .orderBy("method", "setting")
+    )
 
 
 _WINNOW_CTE = f"""

@@ -185,6 +185,41 @@ def test_lsh_topk_md5_mode_matches_xxhash_scores(spark, sf_dir):
         sim.lsh_topk(emb, q, hash_fn="crc32", **kw)
 
 
+def test_topk_sweep_equals_per_point_runs(spark, sf_dir):
+    """The single-retrieval sweep operators must be RESULT-IDENTICAL to
+    running the per-point operators once per setting — the claim that makes
+    the ann-sweep speedup safe."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    sweep = sim.lsh_topk_sweep(emb, q, k=3, planes=2, dim=64, tables_list=(1, 4)).collect()
+    for t in (1, 4):
+        point = {
+            (r.query_id, r.cand_id, r.cosine, r.rnk)
+            for r in sim.lsh_topk(emb, q, k=3, planes=2, dim=64, tables=t).collect()
+        }
+        got = {
+            (r.query_id, r.cand_id, r.cosine, r.rnk) for r in sweep if r.setting == t
+        }
+        assert got == point
+    centers = sim.train_ivf_centroids(emb, n_centroids=4)
+    isweep = sim.ivf_topk_sweep(
+        emb, q, k=3, n_centroids=4, n_probe_list=(1, 2), centers=centers
+    ).collect()
+    for p in (1, 2):
+        point = {
+            (r.query_id, r.cand_id, r.cosine, r.rnk)
+            for r in sim.ivf_topk(
+                emb, q, k=3, n_centroids=4, n_probe=p, centers=centers
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.cand_id, r.cosine, r.rnk) for r in isweep if r.setting == p
+        }
+        assert got == point
+
+
 def test_ann_sweep_recall_monotone(spark, sf_dir):
     """similarity_ann_sweep's law: recall@5 is non-decreasing in LSH table
     count and IVF probe count (candidate SUPERSETS can only gain truth

@@ -129,7 +129,7 @@ COLLECT_ALLOWLIST = {
     ("operators/quality_checks.py", "psi_drift"): "single bin-bounds row",
     ("operators/similarity.py", "normalize_embeddings_zscore"): "D per-dimension stats rows (D = embedding dim)",
     ("operators/similarity.py", "semantic_dedup"): "TakeOrdered-bounded k-means training sample",
-    ("operators/similarity.py", "ivf_topk"): "TakeOrdered-bounded IVF training sample",
+    ("operators/similarity.py", "train_ivf_centroids"): "TakeOrdered-bounded IVF training sample",
     ("operators/similarity.py", "pq_train"): "TakeOrdered-bounded PQ training sample",
     ("operators/text.py", "train_bigram_lm"): "top_k-capped LM tables (no-collect join twin exists)",
     ("sources/io.py", "zorder_key"): "single per-column min/max bounds row",
