@@ -103,14 +103,23 @@ def group_section(df: DataFrame, key: str, cfg: ReportConfig) -> DataFrame:
     """One per-category section (report_generator.py:261-384): group by ``key``,
     emit ``uses`` count (A3), ``avg_X`` for every numeric column (A1),
     ``sum_X`` for showAsSum (A2), ``X_list`` sorted-distinct for showAsList
-    (A5), ordered by the group key (O1)."""
+    (A5), ordered by the group key (O1).
+
+    Column semantics are reference-exact (r8): the group key is NOT
+    auto-dropped from aggregates — the reference only drops explicit ignore
+    entries, so its own golden artifact carries ``sum_newcontainer`` inside
+    the newcontainer section and ``vmuptime_list`` inside the vmuptime
+    section — and a showAsSum/showAsList column gets its sum/list INSTEAD
+    of an avg (report_generator.py:297-326 emits exactly one header cell
+    per attribute)."""
     dropped = set(
         cfg.ignore_from_all + cfg.ignore_from_groups + cfg.ignore_by_group.get(key, [])
-    ) | {key}
+    )
     # df[c] (not F.col) so names containing brackets — zTenancy[vmID],
     # tenants[vmID] — resolve as plain columns, not extraction expressions
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("uses")]
-    for c in numeric_columns(df, exclude=dropped):
+    replaced = set(cfg.show_as_sum) | set(cfg.show_as_list)
+    for c in numeric_columns(df, exclude=dropped | replaced):
         aggs.append(davg(df[c], f"avg_{c}", cfg.round_scale))
     for c in cfg.show_as_sum:
         if c in df.columns and c not in dropped:

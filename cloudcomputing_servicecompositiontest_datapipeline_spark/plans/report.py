@@ -428,8 +428,6 @@ def report_tenancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type, count(*) AS uses,
            {sql_davg("event_id", "avg_event_id")},
-           {sql_davg("user_id", "avg_user_id")},
-           {sql_davg("value", "avg_value")},
            {sql_dsum("value", "sum_value")},
            array_to_string(list_sort(list_distinct(list(user_id))), ',') AS user_id_list
     FROM events
@@ -443,7 +441,10 @@ def report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (report_generator.py:21-431): invalidators → per-category section with
     uses / avg-of-every-numeric / showAsSum / showAsList.  The showAsList
     column is emitted comma-joined (the reference's CSV cell form,
-    report_generator.py:359-362) so the declared result is all-scalar."""
+    report_generator.py:359-362) so the declared result is all-scalar.
+    Since r8 the section column set is reference-exact: a showAsSum /
+    showAsList attribute carries its sum/list INSTEAD of an avg
+    (report_generator.py:297-326), so avg_user_id / avg_value are gone."""
     ev = _events(spark, sf_dir)
     cfg = ReportConfig(
         output_groups=["event_type"],

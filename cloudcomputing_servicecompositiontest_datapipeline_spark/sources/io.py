@@ -104,6 +104,117 @@ def write_report_csv_compat(
     return path
 
 
+def render_report_compat(
+    raw: DataFrame,
+    sections: dict[str, DataFrame],
+    *,
+    timestamp: str,
+    setup_line: str,
+    list_runs_of_category: tuple[str, ...] = (),
+    ignore_from_groups: tuple[str, ...] = (),
+    ignore_by_group: dict[str, list[str]] | None = None,
+    max_rows: int = 100_000,
+) -> str:
+    """S9 layout-compat mode: render the report as ONE text blob in the
+    reference's EXACT section layout (`report_generator.py:170-198` header +
+    raw block + ``Successful Runs:``; ``:283-384`` per-category blocks with
+    the interleaved sorted-attribute header and ``Total number of unique
+    Xs:`` scalar lines; ``:386-430`` the ``--- Runs of Group X ---``
+    sub-blocks) — byte-for-byte against ``test/history/exampleOutput.csv``
+    given the same input (pinned by tests/test_golden_layout.py).
+
+    Driver-side assembly bounded by ``max_rows`` (same contract as
+    :func:`write_report_csv_compat`): a single text artifact is a
+    REPORTING surface, not a data interchange — the scale path stays
+    :func:`write_report_csv`.
+
+    Formatting contract (mirroring the reference's Python semantics):
+    numeric aggregates print with 2 decimals (``str(round(Decimal, 2))``),
+    sums of integral columns print as plain ints (``str(Decimal('0'))``),
+    list cells are the repr of the sorted distinct values with commas
+    CSV-escaped to semicolons (``str(list).replace(',', ';')``), and NULL
+    raw cells print ``NONE``.  One divergence kept deliberately: rows
+    within a category are ordered by the group key on BOTH sides here
+    (the reference sorts sub-keys too, ``:333``)."""
+    ignore_by_group = ignore_by_group or {}
+    raw_rows = raw.limit(max_rows + 1).collect()
+    if len(raw_rows) > max_rows:
+        raise ValueError(
+            f"raw section exceeds compat max_rows={max_rows}; "
+            "use write_report_csv (per-section directories) at scale"
+        )
+    integral = {
+        f.name
+        for f in raw.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+
+    def cell(v) -> str:
+        if v is None:
+            return "NONE"
+        if isinstance(v, list):
+            return str([x for x in v]).replace(",", ";")
+        return str(v)
+
+    out: list[str] = [f"{timestamp} - Python Partest Version 0.5\n", setup_line + "\n"]
+    raw_cols = sorted(raw.columns)
+    out.append("\nRaw results of each run:\n")
+    out.append(",".join(raw_cols) + "\n")
+    for r in raw_rows:
+        d = r.asDict()
+        out.append(",".join(cell(d.get(c)) for c in raw_cols) + "\n")
+    out.append(f"Successful Runs: {len(raw_rows)}\n")
+
+    def base_attr(col: str) -> str:
+        if col.startswith(("avg_", "sum_")):
+            return col[4:]
+        if col.endswith("_list"):
+            return col[: -len("_list")]
+        return col
+
+    for key in sorted(k for k in sections if k != "raw" and not k.startswith("raw:")):
+        sec = sections[key]
+        rows = sec.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(f"section {key!r} exceeds compat max_rows={max_rows}")
+        # the reference interleaves avg_/sum_/X_list columns in sorted order
+        # of the UNDERLYING attribute name (report_generator.py:297-326)
+        value_cols = sorted(
+            (c for c in sec.columns if c not in (key, "uses")), key=base_attr
+        )
+        out.append(f"\nCategory {key}:\n")
+        out.append(",".join([key, "uses", *value_cols]) + "\n")
+        for r in rows:
+            d = r.asDict()
+            line = [cell(d[key]), str(d["uses"])]
+            for c in value_cols:
+                v = d[c]
+                if v is None:
+                    line.append("NONE")
+                elif isinstance(v, list):
+                    line.append(cell(v))
+                elif c.startswith("sum_") and base_attr(c) in integral:
+                    line.append(str(int(v)))
+                else:
+                    line.append(f"{float(v):.2f}")
+            out.append(",".join(line) + "\n")
+        out.append(f"Total number of unique {key}s: {len(rows)}\n")
+
+        if key in list_runs_of_category:
+            out.append(f"\n--- Runs of Group {key} ---\n")
+            dropped = set(ignore_from_groups) | set(ignore_by_group.get(key, []))
+            sub_cols = [c for c in raw_cols if c not in dropped]
+            for r in rows:
+                v = r.asDict()[key]
+                out.append(f"\nCategory {key} with {v}:\n")
+                out.append(",".join(sub_cols) + "\n")
+                for rr in raw_rows:
+                    d = rr.asDict()
+                    if d.get(key) == v:
+                        out.append(",".join(cell(d.get(c)) for c in sub_cols) + "\n")
+    return "".join(out)
+
+
 def write_split_by_group(df: DataFrame, key: str, out_dir: str) -> None:
     """S10: report splitter — per-group files via partitionBy (sections become
     hive-style partitions instead of blank-line-delimited CSV chunks)."""
