@@ -144,7 +144,12 @@ def container_lifetimes_tws(events: DataFrame, key: str = "uuid") -> DataFrame:
     form on large keyspaces.
     """
     if not HAS_TRANSFORM_WITH_STATE:
-        raise NotImplementedError("transformWithStateInPandas requires pyspark >= 4.0")
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0 AND a "
+            "google.protobuf runtime (the Python runner speaks protobuf to "
+            "the JVM state server); use container_lifetimes (the "
+            "applyInPandasWithState form, identical semantics) instead"
+        )
     return events.groupBy(key).transformWithStateInPandas(
         statefulProcessor=ContainerLifetimeProcessor(),
         outputStructType=OUTPUT_SCHEMA,
