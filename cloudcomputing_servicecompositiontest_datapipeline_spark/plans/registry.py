@@ -42,86 +42,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r7 window (oldest-green-first, continuing the r5 rotation rule; the
-    # r6 window had 0 FAILs).  Leads with the 10 queries whose code is new
-    # or changed THIS round — the exact-percentile→per-value-count-
-    # reduction rewrite of quantile_map/temporal_split (hash-identical by
-    # construction, but a plan rewrite needs a same-round driver row), the
-    # new ANN parameter-sweep eval and bounded-list aggregate, and the six
-    # X84–X89 operators added mid-round — then the 4 queries whose latest
-    # driver row is still r1 (deferred from r6 as promised), then the
-    # r2-vintage rows.  Eight greens (incl. q22_balance_anti) spill to the
-    # r8 queue to pay for the new slots (all re-verified green locally).
-    # --- changed/new in r7
-    "dedup_simhash",  # rows-only → md5_32 oracle upgrade (late r7)
-    "dedup_minhash_lsh",  # rows-only → md5_32 end-to-end oracle (late r7)
-    "dedup_cluster_canonical_lsh",  # rows-only → md5-LSH + recursive-CTE oracle (late r7)
-    "curation_quantile_map",
-    "curation_temporal_split",
-    "similarity_ann_sweep",
-    "report_show_as_list_bounded",
-    "text_dup_line_fraction",
-    "split_kfold",
-    "dedup_span_coverage",
-    "text_remove_boilerplate",
-    "curation_batch_by_length",
-    "pack_documents_nostraddle",
-    # --- latest driver row is r1 (the r6 deferrals)
-    "tlq_decode_priority",
-    "tlq_invalid_date",
-    "tlq_typed_cast",
-    "report_global_zall",
-    # --- latest driver row is r2: full refresh
+    # r8 window (oldest-green-first, continuing the rotation rule; the r7
+    # window had 0 FAILs).  Leads with the 8 queries whose code or declared
+    # schema changed THIS round — report_full (reference-exact section
+    # columns: showAsSum/showAsList now REPLACE the avg, so avg_user_id /
+    # avg_value are gone), the three new md5_32 oracle upgrades
+    # (similarity_lsh_topk, similarity_jl_projection,
+    # sketch_frequency_heavy_hitters), the single-shuffle LSH bucket-cap
+    # rewrite (dedup_minhash_lsh + its cluster_canonical consumer), and the
+    # one-retrieval ANN sweep rewrite (similarity_ann_sweep + the ivf
+    # trainer refactor behind similarity_ivf_topk) — then the eight r7
+    # deferrals, then 34 of the 43 remaining r3-vintage rows.  Nine
+    # r3-vintage greens spill to the r9 queue (all re-verified green
+    # locally today).
+    # --- changed/new in r8
     "report_full",
-    "report_approx_stats",
-    "inspector_nested_poll_agg",
-    "dedup_embedding_cosine",
-    "docs_join_embeddings",
-    "similarity_ivf_topk",
     "similarity_lsh_topk",
-    "text_language_id",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_decode",
-    "text_quality_cutoff",
-    "sample_stratified_systematic",
-    "text_chunk_documents",
-    "corpus_curation_pipeline",
-    "dedup_passages",
-    "dedup_against_corpus",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_case_agg",
-    "q13_order_distribution",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    # (the six X84-X89 queries and the three late md5_32 oracle upgrades
-    # take the newest slots; q22_balance_anti, sketch_distinct_rollup,
-    # report_linear_regression, incremental_agg_merge, unpivot_event_counts,
-    # percentile_stats, pivot_event_types and subquery_cheapest_part are
-    # deferred to r8 — all eight green in tools/check.py today and
-    # pytest-pinned)
+    "similarity_jl_projection",
+    "sketch_frequency_heavy_hitters",
+    "dedup_minhash_lsh",
+    "dedup_cluster_canonical_lsh",
+    "similarity_ann_sweep",
+    "similarity_ivf_topk",
+    # --- the eight r7 deferrals (r2/r3-vintage)
+    "q22_balance_anti",
+    "subquery_cheapest_part",
+    "percentile_stats",
+    "pivot_event_types",
+    "unpivot_event_counts",
+    "sketch_distinct_rollup",
+    "report_linear_regression",
+    "incremental_agg_merge",
+    # --- latest driver record is r3: full refresh
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "scalar_map_struct_funcs",
+    "scalar_variant_ingest",
+    "scalar_fuzzy_funcs",
+    "conditional_funcs",
+    "json_struct_roundtrip",
+    "explode_posexplode",
+    "io_csv_roundtrip",
+    "io_json_runs_roundtrip",
+    "udf_user_function",
+    "udf_sql_registered",
+    "udaf_grouped_custom",
+    "rename_transitions",
+    "payload_merge_defaults",
+    "payload_cycling",
+    "cdc_snapshot_diff",
+    "cdc_apply_delta",
+    "quality_constraint_report",
+    "profile_documents",
+    "skew_key_report",
+    "text_redact_pii",
+    "text_repetition_score",
+    "text_decontaminate",
+    "text_tfidf_top_terms",
+    "text_vocabulary_topk",
+    "text_quality_percentile",
+    "events_time_rollup",
+    "events_cumulative_distinct_users",
+    "window_distribution_funcs",
+    "events_tumbling_window",
+    "events_sliding_window",
 ]
-# r8 queue: lead with any r7 FAILs, then queries added/changed in r8, then
-# the eight r7 deferrals (q22_balance_anti, sketch_distinct_rollup,
-# report_linear_regression, incremental_agg_merge, unpivot_event_counts,
-# percentile_stats, pivot_event_types, subquery_cheapest_part), then the remaining
-# r3-vintage rows (sketch_frequency_heavy_hitters,
-# events_cumulative_distinct_users, skew_key_report, the scalar-function
-# family, events_time_rollup, multimodal_features, text_redact_pii,
-# text_repetition_score, the sampler/packing block, cdc/profile/quality,
-# dedup_lsh_eval, similarity_ann_eval, streaming batch-twins, io/udf
-# roundtrips, rename/payload ops), then start on the r4 vintage.
+# r9 queue: lead with any r8 FAILs, then queries added/changed in r9, then
+# the nine r8 deferrals (multimodal_features, dedup_lsh_eval,
+# similarity_ann_eval, text_length_histogram, sample_global_shuffle,
+# sample_domain_mix, sample_weighted_hash, pack_chunks_token_budget,
+# embedding_centroid_by_label — all r3-vintage greens), then start on the
+# r4-vintage rows (38 queries whose latest driver record is r4).
 
 
 def ordered_queries() -> dict[str, QueryFn]:
