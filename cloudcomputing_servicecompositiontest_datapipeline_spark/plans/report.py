@@ -429,7 +429,7 @@ def report_tenancy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, count(*) AS uses,
            {sql_davg("event_id", "avg_event_id")},
            {sql_dsum("value", "sum_value")},
-           array_to_string(list_sort(list_distinct(list(user_id))), ',') AS user_id_list
+           array_to_string(list_slice(list_sort(list_distinct(list(user_id))), 1, 10000), ',') AS user_id_list
     FROM events
     WHERE NOT coalesce(cast(event_type AS varchar) = 'error', false)
     GROUP BY event_type
@@ -444,7 +444,10 @@ def report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     report_generator.py:359-362) so the declared result is all-scalar.
     Since r8 the section column set is reference-exact: a showAsSum /
     showAsList attribute carries its sum/list INSTEAD of an avg
-    (report_generator.py:297-326), so avg_user_id / avg_value are gone."""
+    (report_generator.py:297-326), so avg_user_id / avg_value are gone.
+    The oracle mirrors the engine's ``list_cap`` scale guard (sorted list
+    sliced to 10,000 entries) — found by the sf1.0 run, where 15k distinct
+    users per type crossed the cap and the unsliced oracle diverged."""
     ev = _events(spark, sf_dir)
     cfg = ReportConfig(
         output_groups=["event_type"],
