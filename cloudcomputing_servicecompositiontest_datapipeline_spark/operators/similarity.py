@@ -1142,6 +1142,8 @@ def projection_distortion_eval(
     out_dim: int = 16,
     n_pairs_side: int = 40,
     seed: str = "jl0",
+    hash_fn: str = "xxhash64",
+    in_dim: int = 64,
 ) -> DataFrame:
     """X41 self-eval: pairwise-distance distortion of the projection over a
     bounded id-slice pair panel -- reports mean/min/max of
@@ -1154,8 +1156,22 @@ def projection_distortion_eval(
     from the panel and counted separately as ``n_zero_pairs``, so n_pairs,
     mean/min/max and frac_in_band all share one denominator — on a dedup
     corpus full of duplicate embeddings the band fraction is otherwise
-    biased low by pairs that say nothing about distortion."""
-    proj = random_projection(emb, id_col=id_col, vec_col=vec_col, out_dim=out_dim, seed=seed)
+    biased low by pairs that say nothing about distortion.
+
+    All statistics are engine-exact (r8): squared-diff sums fold in
+    decimal, the mean accumulates decimal-cast ratios, and every output is
+    floor-rounded to 1e-6 — so under ``hash_fn="md5_32"`` the whole eval is
+    DuckDB-oracle-checkable, and under xxhash64 it is bit-stable across
+    partitionings."""
+    proj = random_projection(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        out_dim=out_dim,
+        seed=seed,
+        hash_fn=hash_fn,
+        in_dim=in_dim,
+    )
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).join(
         proj.select(F.col(id_col).alias("_id"), "projected"), "_id"
     ).filter(F.col("_id") < n_pairs_side)
@@ -1166,13 +1182,22 @@ def projection_distortion_eval(
         F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("projected").alias("pb")
     )
 
+    dec = "decimal(28,12)"
+
     def dist(x, y):
+        # per-element squared diff is exact IEEE on any engine; the SUM
+        # accumulates in decimal so the value is partition- and
+        # engine-order-insensitive (the _dot_dec pattern)
         return F.sqrt(
             F.aggregate(
-                F.zip_with(x, y, lambda p, q: (p.cast("double") - q.cast("double")) ** 2),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+                F.zip_with(
+                    x,
+                    y,
+                    lambda p, q: ((p.cast("double") - q.cast("double")) ** 2).cast(dec),
+                ),
+                F.lit(0).cast(dec),
+                lambda acc, v: (acc + v).cast(dec),
+            ).cast("double")
         )
 
     pairs = (
@@ -1187,16 +1212,27 @@ def projection_distortion_eval(
             F.when(F.col("_base") > 0.0, F.col("_proj") / F.col("_base")).alias("ratio"),
         )
     )
+    mult = 1000000.0
+
+    def r6(c: F.Column) -> F.Column:
+        return F.floor(c * mult + 0.5) / mult
+
     return pairs.agg(
         F.count(F.col("ratio")).alias("n_pairs"),
         F.sum(F.col("_zero").cast("long")).alias("n_zero_pairs"),
-        F.avg("ratio").alias("mean_ratio"),
-        F.min("ratio").alias("min_ratio"),
-        F.max("ratio").alias("max_ratio"),
-        F.avg(
-            F.when(F.col("ratio").isNull(), None)
-            .when((F.col("ratio") > 0.5) & (F.col("ratio") < 2.0), 1.0)
-            .otherwise(0.0)
+        r6(
+            F.try_divide(
+                F.sum(F.col("ratio").cast(dec)).cast("double"), F.count("ratio")
+            )
+        ).alias("mean_ratio"),
+        r6(F.min("ratio")).alias("min_ratio"),
+        r6(F.max("ratio")).alias("max_ratio"),
+        r6(
+            F.avg(
+                F.when(F.col("ratio").isNull(), None)
+                .when((F.col("ratio") > 0.5) & (F.col("ratio") < 2.0), 1.0)
+                .otherwise(0.0)
+            )
         ).alias("frac_in_band"),
     )
 

@@ -651,14 +651,60 @@ def similarity_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_jl_eval")
+@query(
+    "similarity_jl_eval",
+    # md5_32 signs + decimal-folded dists/means make the whole eval exactly
+    # recomputable: the signs CTE is the similarity_jl_projection oracle's,
+    # squared-diff sums accumulate in decimal, ratios are IEEE divisions,
+    # the mean folds decimal-cast ratios, everything floor-rounds to 1e-6.
+    oracle="""
+    WITH signs AS (
+      SELECT i.range AS i,
+             list(CASE WHEN cast(('0x' || substr(md5('jl0:' || i.range || ':' || j.range), 1, 8)) AS bigint) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END ORDER BY j.range) AS sv
+      FROM range(16) i, range(64) j GROUP BY i.range),
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+    comps AS (
+      SELECT b.vec_id, s.i,
+             cast(list_sum(list_transform(b.embedding, (x, k) -> cast(cast(x AS double) * sv[k] AS decimal(28,12)))) AS double) * 0.25 AS c
+      FROM base b CROSS JOIN signs s),
+    proj AS (SELECT vec_id, list(c ORDER BY i) AS pv FROM comps GROUP BY vec_id),
+    pairs AS (
+      SELECT
+        sqrt(cast(list_sum(list_transform(a.embedding, (x, k) ->
+          cast((cast(x AS double) - cast(b.embedding[k] AS double)) * (cast(x AS double) - cast(b.embedding[k] AS double)) AS decimal(28,12)))) AS double)) AS base_d,
+        sqrt(cast(list_sum(list_transform(pa.pv, (x, k) ->
+          cast((x - pb.pv[k]) * (x - pb.pv[k]) AS decimal(28,12)))) AS double)) AS proj_d
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      JOIN proj pa ON pa.vec_id = a.vec_id
+      JOIN proj pb ON pb.vec_id = b.vec_id),
+    rts AS (
+      SELECT (base_d = 0.0) AS zero,
+             CASE WHEN base_d > 0.0 THEN proj_d / base_d END AS ratio
+      FROM pairs)
+    SELECT cast(count(ratio) AS bigint) AS n_pairs,
+           cast(sum(CASE WHEN zero THEN 1 ELSE 0 END) AS bigint) AS n_zero_pairs,
+           floor(cast(sum(cast(ratio AS decimal(28,12))) AS double) / count(ratio) * 1000000 + 0.5) / 1000000 AS mean_ratio,
+           floor(min(ratio) * 1000000 + 0.5) / 1000000 AS min_ratio,
+           floor(max(ratio) * 1000000 + 0.5) / 1000000 AS max_ratio,
+           floor(avg(CASE WHEN ratio IS NULL THEN NULL
+                          WHEN ratio > 0.5 AND ratio < 2.0 THEN 1.0 ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS frac_in_band
+    FROM rts
+    """,
+)
 def similarity_jl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X41 self-eval: pairwise-distance distortion of the 16-dim projection
     over a bounded pair panel (mean/min/max ratio + fraction inside the
-    (0.5, 2) band) -- the JL-lemma concentration made measurable."""
+    (0.5, 2) band) -- the JL-lemma concentration made measurable.
+
+    This declared query runs the md5_32 engine-portable sign family with
+    decimal-exact statistics, so the whole distortion eval is
+    DuckDB-oracle-checked (upgraded from rows-only in r8); production
+    callers keep the default xxhash64 family, distortion floors pinned in
+    tests either way."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    return sim.projection_distortion_eval(emb, out_dim=16)
+    return sim.projection_distortion_eval(emb, out_dim=16, hash_fn="md5_32", in_dim=64)
 
 
 @query(

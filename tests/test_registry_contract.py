@@ -45,7 +45,8 @@ ROWS_ONLY_ALLOWED = {
     "similarity_quantized_recall",
     "similarity_pq_encode",
     "similarity_pq_eval",
-    "similarity_jl_eval",
+    # similarity_jl_eval left this set in r8: md5_32 signs + decimal-exact
+    # statistics made the whole distortion eval oracle-checkable.
     "text_bpe_merges",
     "text_bpe_encode",
     # r5 window: the compression-ratio signal's deflate byte counts are
