@@ -636,9 +636,9 @@ def semantic_dedup(
     k-means over a frozen encoder's embeddings.)
 
     Output: (id, canonical_id, is_kept) for every input row — near-identical
-    groups collapse to their minimum id, singletons keep themselves."""
-    from .dedup import cluster_canonical
-
+    groups collapse to their minimum id, singletons keep themselves.
+    (``max_iterations`` is kept for API stability; since r8 the CC step is
+    the per-block union-find below, which needs no iteration cap.)"""
     if block_col is not None:
         blocked = _with_norm(emb, "_id", "_vec", id_col, vec_col).join(
             emb.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_block")),
@@ -732,6 +732,7 @@ def semantic_dedup(
         a.join(b, ["_block"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
+            "_block",
             "id_a",
             "id_b",
             _cosine_rounded(dot, F.col("na"), F.col("nb"), mult).alias("cosine"),
@@ -740,13 +741,71 @@ def semantic_dedup(
         # survive as singleton components, they never pair
         .filter(F.col("cosine") >= threshold)
     )
-    canon = cluster_canonical(
-        emb.select(id_col), pairs, id_col, max_iterations=max_iterations
+    # Blocked CC shortcut: every edge lives INSIDE one block (pairs are
+    # scored within blocks only), so components can never span blocks and
+    # connected components decompose into independent per-block problems —
+    # one shuffle on _block + a row-local union-find per block replaces the
+    # generic iterative min-label loop (job count: ~3 vs 2-3 jobs x rounds).
+    # Per-group state is bounded by the block's edge count, and block size
+    # is exactly what the sqrt-rule n_centroids controls; unblocked pair
+    # sets (LSH dedup) keep the iterative cluster_canonical.
+    id_type = dict(zip(emb.schema.names, emb.schema.fields))[id_col].dataType.simpleString()
+    canon_edges = _blocked_components(
+        pairs.select("_block", "id_a", "id_b"), id_type
+    )
+    canon = (
+        emb.select(F.col(id_col))
+        .join(canon_edges, F.col(id_col) == F.col("_node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_canon"), F.col(id_col)).alias("canonical_id"),
+        )
     )
     return canon.select(
         F.col(id_col),
         "canonical_id",
         (F.col("canonical_id") == F.col(id_col)).alias("is_kept"),
+    )
+
+
+def _blocked_components(edges: DataFrame, id_type: str) -> DataFrame:
+    """Connected components of an edge set whose every edge lies inside one
+    ``_block``: groupBy(_block) + per-block union-find in an Arrow batch.
+    Output: one (_node, _canon) row per TOUCHED node (canonical = component
+    minimum); untouched ids are the caller's singletons.  Correct ONLY when
+    edges never cross blocks — the k-means/attribute blocking guarantee."""
+    import pandas as pd
+
+    def uf(pdf: pd.DataFrame):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(pdf["id_a"], pdf["id_b"]):
+            for v in (x, y):
+                if v not in parent:
+                    parent[v] = v
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[ry] = rx
+        roots: dict = {}
+        for v in parent:
+            r = find(v)
+            m = roots.get(r)
+            if m is None or v < m:
+                roots[r] = v
+        return pd.DataFrame(
+            {"_node": list(parent), "_canon": [roots[find(v)] for v in parent]}
+        )
+
+    return edges.groupBy("_block").applyInPandas(
+        uf, schema=f"_node {id_type}, _canon {id_type}"
     )
 
 
