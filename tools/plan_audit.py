@@ -134,6 +134,7 @@ COLLECT_ALLOWLIST = {
     ("operators/text.py", "train_bigram_lm"): "top_k-capped LM tables (no-collect join twin exists)",
     ("sources/io.py", "zorder_key"): "single per-column min/max bounds row",
     ("sources/io.py", "write_report_csv_compat"): "reference-compat single-file sink; write_report_csv is the scale path",
+    ("sources/io.py", "render_report_compat"): "reference-layout single-file report; max_rows-bounded, write_report_csv is the scale path",
 }
 
 #: Aggregation-BUFFER allowlist: every ``collect_set``/``collect_list``
