@@ -158,6 +158,111 @@ def chunk_documents(
     )
 
 
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 3,
+    mask: int = 16,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """X90 content-defined chunking (the CDC idea behind FastCDC/rsync,
+    applied at token level): cut AFTER token i whenever the hash of the
+    last ``window`` tokens lands in the boundary class (``md5_32 % mask ==
+    0``), then hard-split any span longer than ``max_tokens``.  Unlike
+    fixed-stride chunking, boundaries are a function of LOCAL CONTENT, so
+    inserting or deleting a sentence re-aligns every later chunk instead of
+    shifting all of them — downstream exact/near dedup of chunks then still
+    matches the unchanged regions (the dedup-stable chunking a crawl
+    re-scrape pipeline needs; expected chunk length ≈ ``mask`` tokens).
+
+    Row-local end-to-end: boundary hashing, cut assembly and span splitting
+    are array expressions per document — no UDF, no shuffle, output
+    partitioning follows input partitioning at any corpus size.  The md5_32
+    boundary hash makes the whole operator engine-portable (DuckDB oracle
+    recomputes every boundary bit for bit).
+
+    Staging note: each derived array (tokens → boundary cuts → sub-starts)
+    is materialized behind a select boundary before a lambda references it —
+    a lambda capturing an unstaged EXPRESSION re-evaluates it per element
+    (the SCALING.md lambda-capture class)."""
+    if window < 1 or mask < 1 or max_tokens < 1:
+        raise ValueError("window, mask and max_tokens must be >= 1")
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    staged = (
+        ensure_parallelism(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"))
+    )
+    n = F.size("_toks")
+    # candidate boundary positions i (0-based, cut goes AFTER token i):
+    # i >= window-1 so a full window exists, i <= n-2 so no empty last chunk
+    cand = F.when(
+        n - 2 >= window - 1, F.sequence(F.lit(window - 1), n - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    bpos = F.filter(
+        cand,
+        lambda i: F.pmod(
+            h32(F.array_join(F.slice(F.col("_toks"), i - (window - 2), window), " ")),
+            F.lit(mask),
+        )
+        == 0,
+    )
+    with_cuts = staged.select(
+        F.col(id_col),
+        "_toks",
+        n.alias("_n"),
+        F.concat(
+            F.array(F.lit(0).cast("int")),
+            F.transform(bpos, lambda i: (i + 1).cast("int")),
+        ).alias("_cuts"),
+    )
+    # spans between consecutive cuts, each hard-split at max_tokens strides
+    ncuts = F.size("_cuts")
+    sub_starts = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), ncuts - 1),
+            lambda idx: F.transform(
+                F.sequence(
+                    F.element_at(F.col("_cuts"), idx + 1),
+                    F.when(idx + 1 < ncuts, F.element_at(F.col("_cuts"), idx + 2))
+                    .otherwise(F.col("_n"))
+                    - 1,
+                    F.lit(max_tokens),
+                ),
+                lambda s: F.struct(
+                    s.alias("st"),
+                    F.least(
+                        F.when(idx + 1 < ncuts, F.element_at(F.col("_cuts"), idx + 2))
+                        .otherwise(F.col("_n")),
+                        s + max_tokens,
+                    ).alias("en"),
+                ),
+            ),
+        )
+    )
+    return (
+        with_cuts.where(F.col("_n") >= 1)
+        .select(F.col(id_col), "_toks", sub_starts.alias("_spans"))
+        .select(F.col(id_col), "_toks", F.posexplode("_spans").alias("chunk_idx", "_sp"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    F.col("_sp.st") + 1,
+                    F.col("_sp.en") - F.col("_sp.st"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            (F.col("_sp.en") - F.col("_sp.st")).cast("int").alias("n_tokens"),
+        )
+    )
+
+
 #: PII patterns scrubbed by :func:`redact_pii` — email, E.164-ish / US phone,
 #: IPv4, and 13-16-digit card-like numbers.  Deliberately conservative regexes
 #: (high precision) — a production pipeline layers a learned NER pass on top;

@@ -385,6 +385,69 @@ def test_chunk_documents_overlap_and_tail(spark):
         chunk_documents(docs, "text", "doc_id", chunk_size=5, overlap=5)
 
 
+def test_content_defined_chunks_reconstruct_and_bound(spark):
+    """CDC invariants: chunks concatenate back to the normalized text in
+    chunk_idx order, every chunk is 1..max_tokens tokens, n_tokens matches
+    the text, and boundaries agree with a direct Python md5 model."""
+    import hashlib
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.text import content_defined_chunks
+
+    words = " ".join(f"w{i % 23}x{i % 7}" for i in range(300))
+    docs = spark.createDataFrame([(1, words), (2, "solo")], ["doc_id", "text"])
+    out = content_defined_chunks(docs, "text", "doc_id", window=3, mask=4, max_tokens=20)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert " ".join(r.chunk_text for r in d1) == words  # lossless cover
+    assert all(1 <= r.n_tokens <= 20 for r in d1)
+    assert all(r.n_tokens == len(r.chunk_text.split()) for r in d1)
+    # Python model of the cut set (before the max_tokens hard split): every
+    # model cut must appear as some chunk start
+    tk = words.split()
+    cuts = {0} | {
+        i + 1
+        for i in range(2, len(tk) - 1)
+        if int(hashlib.md5(" ".join(tk[i - 2 : i + 1]).encode()).hexdigest()[:8], 16) % 4
+        == 0
+    }
+    starts = set()
+    pos = 0
+    for r in d1:
+        starts.add(pos)
+        pos += r.n_tokens
+    assert cuts <= starts
+    assert [(r.chunk_text, r.n_tokens) for r in rows if r.doc_id == 2] == [("solo", 1)]
+    with pytest.raises(ValueError):
+        content_defined_chunks(docs, "text", "doc_id", mask=0)
+
+
+def test_content_defined_chunks_realign_after_insertion(spark):
+    """The CDC property (the reason this beats fixed-stride chunking for
+    dedup): prepending a sentence re-aligns later boundaries, so chunks of
+    the UNCHANGED region are shared between old and new versions — a
+    fixed-stride chunker shifts every chunk and shares (almost) none."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.text import (
+        chunk_documents,
+        content_defined_chunks,
+    )
+
+    base = " ".join(f"tok{(i * 7) % 31}v{i % 13}" for i in range(400))
+    edited = "brand new inserted sentence here " + base
+    docs = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    cdc = content_defined_chunks(docs, "text", "doc_id", window=3, mask=8, max_tokens=32)
+    by_doc: dict[int, set[str]] = {1: set(), 2: set()}
+    for r in cdc.collect():
+        by_doc[r.doc_id].add(r.chunk_text)
+    shared_cdc = len(by_doc[1] & by_doc[2])
+    assert shared_cdc >= 3  # the unchanged tail re-aligns into shared chunks
+    fixed = chunk_documents(docs, "text", "doc_id", chunk_size=32, overlap=0)
+    by_doc_f: dict[int, set[str]] = {1: set(), 2: set()}
+    for r in fixed.collect():
+        by_doc_f[r.doc_id].add(r.chunk_text)
+    shared_fixed = len(by_doc_f[1] & by_doc_f[2])
+    assert shared_cdc > shared_fixed  # CDC strictly beats fixed-stride here
+
+
 def test_lsh_clustering_matches_exact(docs):
     """dedup_cluster_canonical_lsh contract: clustering over MinHash-LSH
     candidate pairs (the scale path) recovers the same canonical assignment
