@@ -51,11 +51,12 @@ DRIVER_WINDOW: list[str] = [
     # sketch_frequency_heavy_hitters), the single-shuffle LSH bucket-cap
     # rewrite (dedup_minhash_lsh + its cluster_canonical consumer), and the
     # one-retrieval ANN sweep rewrite (similarity_ann_sweep + the ivf
-    # trainer refactor behind similarity_ivf_topk) — then the eight r7
-    # deferrals, then 34 of the 43 remaining r3-vintage rows.  Nine
-    # r3-vintage greens spill to the r9 queue (all re-verified green
-    # locally today).
+    # trainer refactor behind similarity_ivf_topk) plus the new X90
+    # content-defined-chunking operator — then the eight r7 deferrals,
+    # then 33 of the 43 remaining r3-vintage rows.  Ten r3-vintage greens
+    # spill to the r9 queue (all re-verified green locally today).
     # --- changed/new in r8
+    "text_chunk_content_defined",  # X90, new operator this round
     "report_full",
     "similarity_lsh_topk",
     "similarity_jl_projection",
@@ -107,14 +108,14 @@ DRIVER_WINDOW: list[str] = [
     "events_cumulative_distinct_users",
     "window_distribution_funcs",
     "events_tumbling_window",
-    "events_sliding_window",
 ]
 # r9 queue: lead with any r8 FAILs, then queries added/changed in r9, then
-# the nine r8 deferrals (multimodal_features, dedup_lsh_eval,
+# the ten r8 deferrals (multimodal_features, dedup_lsh_eval,
 # similarity_ann_eval, text_length_histogram, sample_global_shuffle,
 # sample_domain_mix, sample_weighted_hash, pack_chunks_token_budget,
-# embedding_centroid_by_label — all r3-vintage greens), then start on the
-# r4-vintage rows (38 queries whose latest driver record is r4).
+# embedding_centroid_by_label, events_sliding_window — all r3-vintage
+# greens), then start on the r4-vintage rows (38 queries whose latest
+# driver record is r4).
 
 
 def ordered_queries() -> dict[str, QueryFn]:
