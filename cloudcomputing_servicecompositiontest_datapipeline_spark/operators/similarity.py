@@ -776,7 +776,7 @@ def _blocked_components(edges: DataFrame, id_type: str) -> DataFrame:
     edges never cross blocks — the k-means/attribute blocking guarantee."""
     import pandas as pd
 
-    def uf(pdf: pd.DataFrame):
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
         parent: dict = {}
 
         def find(x):
