@@ -243,3 +243,132 @@ def hist_quantile(
     width = (hi - lo) / 1.0
     edge = F.lit(lo) + (below + 1).cast("double") * (F.lit(width) / n_bins.cast("double"))
     return df.withColumn("quantile_est", F.least(F.lit(float(hi)), edge))
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL — a hand-rolled HyperLogLog in the engine-portable md5_32
+# hash mode (the dedup_simhash / cm_sketch precedent), so the whole
+# registers→max-merge→estimate pipeline is recomputable bit for bit by a
+# SQL oracle.  Production one-shot / store-and-merge callers keep the
+# DataSketches ``hll_*`` path above (better constants, dense/sparse modes);
+# this twin exists so the DISTINCT member of the sketch trio is
+# hash-gate-checked like the frequency (CM) and quantile (hist) members.
+#
+# Layout (Flajolet et al. 2007): 32-bit hash = md5 first 8 hex chars;
+# register index = top ``HLL_P`` bits, rank = leading-zero count of the
+# remaining ``32-HLL_P`` bits + 1 (all-zero window → W+1).  Merge is
+# element-wise max (associative ⇒ merged shards ≡ sketch of the union —
+# the law that makes the artifact storable).  The raw estimate
+# alpha_m·m²/Z is computed with Z as an EXACT decimal sum (2^-rank is a
+# finite decimal), so both engines floor the same double — no float-sum
+# order dependence.  The declared estimate is the RAW one (no linear-
+# counting branch: m·ln(m/V) pulls in libm, whose last-ulp behaviour is
+# the one thing Spark's JVM and DuckDB's C runtime don't share).
+# ---------------------------------------------------------------------------
+
+import decimal as _decimal
+
+HLL_P = 9  #: register-index bits → m = 512 registers (σ ≈ 1.04/√m ≈ 4.6%)
+HLL_M = 1 << HLL_P
+_HLL_W = 32 - HLL_P  #: rank window bits
+_HLL_RMAX = _HLL_W + 1  #: rank of the all-zero window
+#: alpha_m · m² for m ≥ 128 (the standard bias constant), baked as the SAME
+#: double literal into the Spark plan and the oracle SQL.
+HLL_ALPHA_MM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+#: exact decimal literals of 2^-r, r = 0.._HLL_RMAX (plain notation, scale 24)
+HLL_POW2 = [format(_decimal.Decimal(1) / (_decimal.Decimal(2) ** r), "f") for r in range(_HLL_RMAX + 1)]
+_ZDEC = "decimal(38,24)"
+
+
+def _hll_hash_cols(item: F.Column) -> tuple[F.Column, F.Column]:
+    """(register index, rank) of one item under the md5_32 layout."""
+    h = F.conv(F.substring(F.md5(item.cast("string")), 1, 8), 16, 10).cast("long")
+    idx = F.shiftright(h, _HLL_W).cast("int")
+    w = h.bitwiseAND(F.lit((1 << _HLL_W) - 1))
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rank = F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(F.lit(_HLL_RMAX) - bitlen)
+    return idx, rank.cast("int")
+
+
+def hll_portable_registers(df: DataFrame, item_col: str, group_cols: list[str]) -> DataFrame:
+    """One portable-HLL register array (``hll``, int[HLL_M]) per group —
+    the storable kilobyte artifact.  NULL items are skipped like the
+    DataSketches path skips them.  Build shape mirrors cm_sketch: one
+    groupBy collapses (group, idx) → max rank (map-side partial max), then
+    an O(m) map lookup assembles the array — raw rows shuffle once as
+    (group, idx, rank) triples."""
+    it = F.col(item_col)
+    idx, rank = _hll_hash_cols(it)
+    regs = (
+        df.where(it.isNotNull())
+        .select(*group_cols, idx.alias("_idx"), rank.alias("_rank"))
+        .groupBy(*group_cols, "_idx")
+        .agg(F.max("_rank").alias("_reg"))
+    )
+    reg_map = F.map_from_entries(F.collect_list(F.struct("_idx", "_reg")))
+    return regs.groupBy(*group_cols).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+            lambda i: F.coalesce(F.element_at(reg_map, i.cast("int")), F.lit(0)),
+        ).alias("hll")
+    )
+
+
+def hll_portable_merge(
+    df: DataFrame, group_cols: list[str] | None = None, sketch_col: str = "hll"
+) -> DataFrame:
+    """Element-wise-MAX register arrays (optionally per coarser group) —
+    the rollup step; same width-bounded posexplode shape as cm_merge
+    (reduce state is one int per register, never ∝ stored partials)."""
+    gcols = list(group_cols) if group_cols else []
+    ex = df.select(*gcols, F.posexplode(sketch_col).alias("_pos", "_v"))
+    mx = ex.groupBy(*gcols, "_pos").agg(F.max("_v").alias("_m"))
+    arr = F.transform(F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"])
+    gb = mx.groupBy(*gcols) if gcols else mx.groupBy()
+    return gb.agg(arr.alias(sketch_col))
+
+
+def hll_portable_estimate(
+    df: DataFrame, group_cols: list[str], sketch_col: str = "hll"
+) -> DataFrame:
+    """Raw HLL estimate per group from a register-array column: explode the
+    m registers, Z = Σ 2^-reg as an EXACT decimal (order-independent), then
+    ``est = floor(alpha_m·m² / double(Z))``.  Adds ``zero_registers``
+    (linear-counting diagnostic) and ``z`` (the exact decimal) alongside
+    ``estimate`` — callers wanting the small-range linear-counting branch
+    apply it on those columns (floats are fine outside the oracle gate)."""
+    pow2 = F.array(*[F.lit(s).cast(_ZDEC) for s in HLL_POW2])
+    ex = df.select(*group_cols, F.explode(sketch_col).alias("_reg"))
+    agg = ex.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_reg") == 0, 1).otherwise(0)).cast("long").alias("zero_registers"),
+        F.sum(F.element_at(pow2, F.col("_reg") + 1)).cast(_ZDEC).alias("z"),
+    )
+    return agg.withColumn(
+        "estimate", F.floor(F.lit(HLL_ALPHA_MM) / F.col("z").cast("double")).cast("long")
+    )
+
+
+def hll_portable_rollup(
+    df: DataFrame, group_cols: list[str], sketch_col: str = "hll"
+) -> DataFrame:
+    """Fused max-merge + estimate + shard count per coarser group, ONE pass
+    over the stored register arrays (a separate count aggregation would
+    re-derive — and re-scan — the shard build lineage).  posexplode each
+    array, per (group, position) take max register AND the row count (every
+    position sees every shard, so the count at any position == n shards),
+    then one m-bounded aggregation computes zeros, exact-decimal Z, and the
+    floored raw estimate.  Output: group cols + n_sketches, zero_registers,
+    z, estimate."""
+    pow2 = F.array(*[F.lit(s).cast(_ZDEC) for s in HLL_POW2])
+    ex = df.select(*group_cols, F.posexplode(sketch_col).alias("_pos", "_v"))
+    mx = ex.groupBy(*group_cols, "_pos").agg(
+        F.max("_v").alias("_m"), F.count(F.lit(1)).alias("_n")
+    )
+    agg = mx.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("n_sketches"),
+        F.sum(F.when(F.col("_m") == 0, 1).otherwise(0)).cast("long").alias("zero_registers"),
+        F.sum(F.element_at(pow2, F.col("_m") + 1)).cast(_ZDEC).alias("z"),
+    )
+    return agg.withColumn(
+        "estimate", F.floor(F.lit(HLL_ALPHA_MM) / F.col("z").cast("double")).cast("long")
+    )

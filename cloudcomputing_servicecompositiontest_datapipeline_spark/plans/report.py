@@ -602,30 +602,81 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_distinct_rollup")
+def _hll_oracle_sql() -> str:
+    """DuckDB recomputation of the portable-HLL pipeline (built from the
+    SAME constants as functions/sketch.py, so the two can't drift): 32-bit
+    md5 hash → register index (top p bits, integer division) / rank
+    (bit-length of the low window via ``bin()``, no float log), max-merge
+    per (event_type, register), Z as an exact decimal sum, floored raw
+    estimate under the identical alpha_m·m² double literal."""
+    from ..functions.sketch import HLL_ALPHA_MM, HLL_M, HLL_POW2, _HLL_RMAX, _HLL_W
+
+    win = 1 << _HLL_W
+    pow2_values = ", ".join(f"({r}, {v})" for r, v in enumerate(HLL_POW2))
+    return f"""
+    WITH src AS (
+      SELECT event_type, cast(ts AS date) AS day,
+             cast(('0x' || substr(md5(cast(user_id AS varchar)), 1, 8)) AS bigint) AS h
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    regs AS (
+      SELECT event_type, h // {win} AS idx,
+             max(CASE WHEN h % {win} = 0 THEN {_HLL_RMAX}
+                      ELSE {_HLL_RMAX} - length(bin(h % {win})) END) AS reg
+      FROM src GROUP BY 1, 2),
+    p2(r, v) AS (VALUES {pow2_values}),
+    days AS (SELECT event_type, count(DISTINCT day) AS n_sketches FROM src GROUP BY 1),
+    agg AS (
+      SELECT regs.event_type,
+             {HLL_M} - count(*) AS zero_registers,
+             cast({HLL_M} - count(*) AS decimal(38,24))
+               + sum(cast(p2.v AS decimal(38,24))) AS z
+      FROM regs JOIN p2 ON p2.r = regs.reg GROUP BY 1)
+    SELECT a.event_type,
+           cast(d.n_sketches AS bigint) AS n_sketches,
+           cast(a.zero_registers AS bigint) AS zero_registers,
+           cast(a.z AS decimal(38,24)) AS z,
+           cast(floor({HLL_ALPHA_MM!r} / cast(a.z AS double)) AS bigint) AS est_users
+    FROM agg a JOIN days d ON d.event_type = a.event_type
+    ORDER BY a.event_type
+    """
+
+
+@query("sketch_distinct_rollup", oracle=_hll_oracle_sql())
 def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-HLL rollup (A4 as a stored artifact): one DataSketches HLL
-    sketch per (event_type, day) over ``user_id`` — kilobytes each — then a
-    union-merge per event_type that estimates distinct users WITHOUT
-    re-touching raw rows.  This is the store-and-merge architecture the
-    reference's report engine lacks (it recounts distinct from raw on every
-    report compile, report_generator.py:384); at 100 TB only the sketch
-    column moves through the rollup shuffle.  Estimates are
-    implementation-defined (no cross-engine oracle → rows-only check);
-    accuracy vs exact distinct counts is asserted in
-    tests/test_report_ops.py::test_hll_sketch_store_and_merge."""
+    """Mergeable-HLL rollup (A4 as a stored artifact): one HLL register
+    array per (event_type, day) over ``user_id`` — kilobytes each — then an
+    element-wise-max merge per event_type that estimates distinct users
+    WITHOUT re-touching raw rows.  This is the store-and-merge architecture
+    the reference's report engine lacks (it recounts distinct from raw on
+    every report compile, report_generator.py:384); at 100 TB only the
+    register column moves through the rollup shuffle.
+
+    This declared query runs the engine-portable md5_32 HLL twin
+    (functions/sketch.py:hll_portable_registers) so the whole
+    registers→max-merge→estimate pipeline is DuckDB-oracle-checked —
+    upgraded from rows-only in r8, completing the sketch trio (CM =
+    frequency, hist = quantile, HLL = distinct) under the hash gate.
+    Production store-and-merge callers keep the DataSketches ``hll_*``
+    path (group_sketches/merged_estimate), whose accuracy vs exact counts
+    and agreement with this twin are pinned in tests/test_report_ops.py.
+    Rows with NULL user_id or NULL ts are excluded (a dated sketch store
+    needs both); the estimate is the RAW alpha_m·m²/Z — the linear-counting
+    small-range branch needs libm's ln, the one step the two engines don't
+    share bit-for-bit, so it lives in hll_portable_estimate's callers."""
     from ..functions import sketch
 
-    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
-    daily = sketch.group_sketches(ev, "user_id", ["event_type", "day"])
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_sketches"),
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("est_users"),
-        )
-        .orderBy("event_type")
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("day", F.to_date("ts"))
     )
+    daily = sketch.hll_portable_registers(ev, "user_id", ["event_type", "day"])
+    est = sketch.hll_portable_rollup(daily, ["event_type"]).withColumnRenamed(
+        "estimate", "est_users"
+    )
+    return est.select(
+        "event_type", "n_sketches", "zero_registers", "z", "est_users"
+    ).orderBy("event_type")
 
 
 @query(

@@ -285,11 +285,28 @@ def test_incremental_merge_two_stage_aggregate(spark):
 
 
 def test_sketch_rollup_moves_sketches_not_rows(spark):
-    """sketch_distinct_rollup: the rollup shuffle carries (event_type, day,
-    sketch) partial rows, with user_id pruned after the sketch build."""
+    """sketch_distinct_rollup (portable md5_32 mode since r8): raw rows are
+    scanned ONCE — the fused rollup (hll_portable_rollup) derives shard
+    count, merge, and estimate from a single stored-register lineage, so
+    the plan has exactly one parquet scan of events — and user_id is
+    pruned after the register build (only register triples and kilobyte
+    arrays move through the rollup shuffles)."""
     phys = _plan(spark, "sketch_distinct_rollup").split("== Physical Plan ==")[-1]
-    assert "hll_sketch_agg" in phys.lower() or "hllsketchagg" in phys.lower()
-    assert phys.count("Exchange hashpartitioning") == 2  # (type,day) build + type rollup
+    assert phys.count("Scan parquet") == 1  # no re-scan for the shard count
+    # 4 grain changes: (type,day,idx) build, (type,day) array assembly,
+    # (type,pos) max-merge, (type) estimate — each a hash exchange
+    assert phys.count("Exchange hashpartitioning") == 4
+    # column pruning: the scan reads only the three columns the sketch
+    # build needs — user_id never survives past the register build because
+    # the first aggregate's grouping keys are (event_type, day, idx)
+    read = phys.split("ReadSchema: ")[-1].split("\n")[0]
+    assert set(read.split("<")[1].split(">")[0].split(",")) <= {
+        "event_type:string",
+        "ts:bigint",  # driver fixture stores TIMESTAMP(NANOS) read as long
+        "ts:timestamp_ntz",
+        "user_id:bigint",
+    }, read
+    assert "hashpartitioning(event_type" in phys  # rollup keyed on the group
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):

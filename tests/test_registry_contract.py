@@ -17,15 +17,16 @@ registry.load_all()
 ROWS_ONLY_ALLOWED = {
     # dedup_simhash, dedup_minhash_lsh and dedup_cluster_canonical_lsh left
     # this set in r7; similarity_lsh_topk, similarity_jl_projection and
-    # sketch_frequency_heavy_hitters left it in r8: those declared queries
-    # now run the engine-portable md5_32 mode and are fully oracle-checked
-    # (production xxhash64 modes stay pytest/eval-pinned).
+    # sketch_frequency_heavy_hitters left it in r8, then sketch_distinct_
+    # rollup (portable-HLL registers→max-merge→decimal-exact estimate):
+    # those declared queries now run the engine-portable md5_32 mode and
+    # are fully oracle-checked (production xxhash64/DataSketches modes stay
+    # pytest/eval-pinned).
     "similarity_ivf_topk",
     "multimodal_decode",
     # r3 window additions: sketch estimates + binary features are
     # implementation-defined; the two *_eval queries are quality self-evals
     # whose metrics (P/R, recall@k) depend on xxhash64 banding.
-    "sketch_distinct_rollup",
     "sketch_quantile_rollup",
     "multimodal_features",
     "dedup_lsh_eval",

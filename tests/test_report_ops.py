@@ -238,6 +238,45 @@ def test_hll_sketch_store_and_merge(spark, sf_dir):
     assert abs(merged - global_exact) / global_exact < 0.05
 
 
+def test_hll_portable_merge_law_and_accuracy(spark, sf_dir):
+    """The md5_32 portable-HLL twin (the oracle-checked declared mode of
+    sketch_distinct_rollup): (a) element-wise-max merge of per-day shards
+    equals the direct whole-data register array — the law that makes the
+    artifact storable; (b) the linear-counting-corrected estimate (the
+    production small-range branch, applied here on the exported
+    zero_registers diagnostic) lands within HLL tolerance of the exact
+    distinct count, keeping it honest vs the DataSketches path."""
+    import math
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions import sketch
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    ev = star.table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ev = ev.withColumn("day", F.to_date("ts"))
+
+    daily = sketch.hll_portable_registers(ev, "user_id", ["event_type", "day"])
+    merged = sketch.hll_portable_merge(daily, ["event_type"])
+    direct = sketch.hll_portable_registers(ev, "user_id", ["event_type"])
+    m_rows = {r.event_type: r.hll for r in merged.collect()}
+    d_rows = {r.event_type: r.hll for r in direct.collect()}
+    assert m_rows == d_rows  # max-merge ≡ sketch of the union, exactly
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in sketch.hll_portable_estimate(merged, ["event_type"]).collect():
+        est = r.estimate
+        # linear counting in the small range (raw <= 2.5m, zeros present) —
+        # the correction the declared query leaves to callers
+        if est <= 2.5 * sketch.HLL_M and r.zero_registers > 0:
+            est = sketch.HLL_M * math.log(sketch.HLL_M / r.zero_registers)
+        n = exact[r.event_type]
+        assert abs(est - n) / n < 0.15, (r.event_type, est, n)
+
+
 def test_asof_backward_join_semantics(spark):
     """<= tie inclusion, strictly-later exclusion, and null when no match."""
     from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.joins import asof_backward_join

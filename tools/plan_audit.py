@@ -147,6 +147,8 @@ AGG_BUFFER_ALLOWLIST = {
     ("functions/sketch.py", "cm_sketch"): "one (cell,count) entry per sketch cell — depth*width bounded",
     ("functions/sketch.py", "cm_merge"): "one (pos,sum) entry per position after the element-wise sum — width bounded",
     ("functions/sketch.py", "hist_sketch"): "one (bin,count) entry per histogram bin — n_bins bounded",
+    ("functions/sketch.py", "hll_portable_registers"): "one (idx,rank) entry per register — HLL_M bounded",
+    ("functions/sketch.py", "hll_portable_merge"): "one (pos,max) entry per register after the element-wise max — HLL_M bounded",
     ("operators/dedup.py", "lsh_candidate_pairs"): "bucket ids <= max_bucket_size via count pre-filter; uncapped only by explicit None",
     ("operators/dedup.py", "passage_dedup"): "per-document passages — bounded by the document itself",
     ("operators/text.py", "remove_boilerplate_lines"): "per-document surviving lines — bounded by the document itself",
