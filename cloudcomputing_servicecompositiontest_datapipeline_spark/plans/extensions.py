@@ -73,42 +73,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MinHash oracle: 16 salted md5-derived 32-bit signature slots — slot k is
-#: hex window k%4 of digest md5("k//4:" || shingle) (four slots per digest,
-#: identical salting/windowing on both engines), min over each document's
-#: distinct 3-word shingle set.
-_MINHASH_SLOTS = ",\n        ".join(
-    "list_min(list_transform(items, x ->"
-    f" cast(('0x' || substr(md5('{k // 4}:' || x), {8 * (k % 4) + 1}, 8)) AS bigint)))"
-    for k in range(16)
-)
-
-
-#: The md5-LSH pair pipeline as a reusable CTE chain — ends at ``lsh_pairs``
-#: (id_a < id_b, verified jaccard >= 0.5).  Shared by the dedup_minhash_lsh
-#: oracle and (chained into a recursive reach CTE) dedup_cluster_canonical_lsh.
-_MD5_LSH_PAIR_CTES = f"""
+def _md5_lsh_pair_ctes(
+    *,
+    where: str = "text IS NOT NULL",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    threshold: float = 0.5,
+) -> str:
+    """The md5-LSH pair pipeline as a reusable, PARAMETERIZED CTE chain —
+    ends at ``lsh_pairs`` (id_a < id_b, verified jaccard >= threshold),
+    with the normalized shingle sets available as ``s(doc_id, items)``.
+    Mirrors operators/dedup.py:minhash_near_dups in md5_32 mode exactly:
+    slot k is hex window k%4 of digest md5("k//4:" || shingle) (four
+    32-bit slots per digest), band b's bucket is md5 of the comma-joined
+    decimal slot values, buckets outside [2, max_bucket] are dropped.
+    Shared by the dedup_minhash_lsh oracle, (chained into a recursive
+    reach CTE) dedup_cluster_canonical_lsh, and — at shingle_n=1/bands=8
+    on the eval slice — dedup_lsh_eval's truth-vs-candidates P/R."""
+    slots = ",\n        ".join(
+        "list_min(list_transform(items, x ->"
+        f" cast(('0x' || substr(md5('{k // 4}:' || x), {8 * (k % 4) + 1}, 8)) AS bigint)))"
+        for k in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""
     t AS (
       SELECT doc_id, string_split({_NORM}, ' ') AS tk
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents WHERE {where}),
     s AS (
       SELECT doc_id, list_distinct(
-        list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
-                       i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        list_transform(range(1, greatest(len(tk) - {shingle_n}, 0) + 2),
+                       i -> array_to_string(list_slice(tk, i, i + {shingle_n - 1}), ' '))
       ) AS items FROM t),
     sig AS (
       SELECT doc_id, items, [
-        {_MINHASH_SLOTS}
+        {slots}
       ] AS sg FROM s),
     bb AS (
       SELECT doc_id, b.band,
              md5(array_to_string(
-               list_transform(list_slice(sg, b.band * 4 + 1, b.band * 4 + 4),
+               list_transform(list_slice(sg, b.band * {rpb} + 1, b.band * {rpb} + {rpb}),
                               v -> cast(v AS varchar)), ',')) AS bucket
-      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      FROM sig, (SELECT unnest([{band_list}]) AS band) b),
     ok_buckets AS (
       SELECT band, bucket FROM bb
-      GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 1000),
+      GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND {max_bucket}),
     e AS (SELECT bb.doc_id, bb.band, bb.bucket
           FROM bb JOIN ok_buckets USING (band, bucket)),
     cand AS (
@@ -123,8 +135,11 @@ _MD5_LSH_PAIR_CTES = f"""
       FROM cand
       JOIN s sa ON sa.doc_id = cand.id_a
       JOIN s sb ON sb.doc_id = cand.id_b),
-    lsh_pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)
+    lsh_pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold})
 """
+
+
+_MD5_LSH_PAIR_CTES = _md5_lsh_pair_ctes()
 
 
 @query(
@@ -1493,15 +1508,45 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_lsh_eval")
+@query(
+    "dedup_lsh_eval",
+    # Truth = all-pairs exact word-set Jaccard on the slice; pred = the
+    # shared md5-LSH CTE chain at the eval's parameters (unigram items,
+    # 8 bands of 2 slots).  P/R round through the same floor(x*1e6+0.5)/1e6
+    # double arithmetic as the Spark side.
+    oracle=f"""
+    WITH {_md5_lsh_pair_ctes(where="text IS NOT NULL AND doc_id < 300", shingle_n=1, bands=8)},
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE floor(cast(len(list_intersect(a.items, b.items)) AS double)
+                  / len(list_distinct(a.items || b.items)) * 1000000 + 0.5) / 1000000
+            >= 0.5),
+    m AS (
+      SELECT CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS p,
+             CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END AS t
+      FROM lsh_pairs p FULL OUTER JOIN truth t
+        ON p.id_a = t.id_a AND p.id_b = t.id_b)
+    SELECT cast(coalesce(sum(t), 0) AS bigint) AS n_truth,
+           cast(coalesce(sum(p), 0) AS bigint) AS n_pred,
+           cast(coalesce(sum(p * t), 0) AS bigint) AS n_true_positive,
+           floor(cast(coalesce(sum(p * t), 0) AS double)
+                 / greatest(coalesce(sum(p), 0), 1) * 1000000 + 0.5) / 1000000 AS precision,
+           floor(cast(coalesce(sum(p * t), 0) AS double)
+                 / greatest(coalesce(sum(t), 0), 1) * 1000000 + 0.5) / 1000000 AS recall
+    FROM m
+    """,
+)
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluation of the LSH scale path: precision/recall of MinHash-LSH
     candidate pairs against the exact n-gram-Jaccard truth set on the same
     corpus slice — the measurement a dedup pipeline runs when tuning
-    (num_hashes, bands) before trusting LSH at full scale.  Both pair sets
-    are deterministic (salted xxhash64 / exact Jaccard), so the single
-    output row is stable; xxhash64 has no DuckDB twin → rows-only check,
-    with the recall floor additionally pinned in
+    (num_hashes, bands) before trusting LSH at full scale.
+
+    This declared query runs the engine-portable md5_32 LSH mode, so the
+    whole eval — truth set, candidate pipeline, P/R arithmetic — is
+    DuckDB-oracle-checked (upgraded from rows-only in r8); the xxhash64
+    production mode's recall floor stays pinned in
     tests/test_extensions.py::test_lsh_eval_reports_sane_metrics.
 
     Scale shape: truth is the quadratic exact form, so the eval runs on a
@@ -1517,7 +1562,7 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     pred = dd.minhash_near_dups(
         docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5,
-        shingle_n=1, max_bucket_size=1000,
+        shingle_n=1, max_bucket_size=1000, hash_fn="md5_32",
     ).select("id_a", "id_b")
     both = pred.withColumn("p", F.lit(1)).join(
         truth.withColumn("t", F.lit(1)), ["id_a", "id_b"], "full_outer"

@@ -837,15 +837,36 @@ def test_lsh_max_bucket_size_drops_degenerate_buckets(spark):
 
 
 def test_lsh_eval_reports_sane_metrics(spark, sf_check_dir):
-    """dedup_lsh_eval: consistent counts (tp <= both sides) and the
-    16-hash/8-band recall floor on the sf0.01 fixture slice (the floors
-    were measured there; the sf0.001 smoke slice is too small for them)."""
-    from cloudcomputing_servicecompositiontest_datapipeline_spark.plans.extensions import dedup_lsh_eval
+    """dedup_lsh_eval (md5_32 declared mode since r8): consistent counts
+    (tp <= both sides) and the 16-hash/8-band recall floor on the sf0.01
+    fixture slice (the floors were measured there; the sf0.001 smoke slice
+    is too small for them).  The xxhash64 PRODUCTION mode keeps its own
+    eval pin here: the same P/R computed over the operator's default-mode
+    pairs must clear the same floors — the declared query's oracle gate
+    never sees xxhash64 bits, so this is that mode's quality record."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.plans.extensions import _docs, dedup_lsh_eval
 
     r = dedup_lsh_eval(spark, sf_check_dir).collect()[0]
     assert r.n_true_positive <= min(r.n_pred, r.n_truth)
     assert r.precision == 1.0  # every emitted pair is exact-verified in-space
     assert r.recall >= 0.9  # J>=0.5 band-collides w.p. >=0.92 at 8x2
+
+    docs = _docs(spark, sf_check_dir).where(F.col("doc_id") < 300)
+    truth = {
+        (p.id_a, p.id_b)
+        for p in dd.ngram_jaccard_pairs(
+            docs, "text", "doc_id", block_col=None, threshold=0.5
+        ).collect()
+    }
+    pred = {
+        (p.id_a, p.id_b)
+        for p in dd.minhash_near_dups(
+            docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5,
+            shingle_n=1, max_bucket_size=1000,  # default hash_fn: xxhash64
+        ).collect()
+    }
+    assert pred <= truth  # precision 1.0: every pair exact-verified in-space
+    assert truth and len(pred & truth) / len(truth) >= 0.9
 
 
 def test_multi_table_lsh_improves_recall(spark, sf_dir):

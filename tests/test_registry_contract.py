@@ -25,11 +25,12 @@ ROWS_ONLY_ALLOWED = {
     "similarity_ivf_topk",
     "multimodal_decode",
     # r3 window additions: sketch estimates + binary features are
-    # implementation-defined; the two *_eval queries are quality self-evals
-    # whose metrics (P/R, recall@k) depend on xxhash64 banding.
+    # implementation-defined; similarity_ann_eval is a quality self-eval
+    # whose recall@k depends on xxhash64 banding / k-means codebooks.
+    # (dedup_lsh_eval left this set in r8: its declared mode now runs the
+    # shared md5-LSH CTEs end to end, truth + P/R oracle-checked.)
     "sketch_quantile_rollup",
     "multimodal_features",
-    "dedup_lsh_eval",
     "similarity_ann_eval",
     # r4 window: finishing the never-checked sweep pulls in the remaining
     # rows-only-by-design queries — streaming batch-twins (incremental
