@@ -207,6 +207,69 @@ def _train_centroids(sample_vecs: list[list[float]], n_centroids: int, n_iters: 
     return C
 
 
+def _argmin_centroids_exact(vec: F.Column, centers, n_pick: int = 1) -> F.Column:
+    """Engine-portable twin of :func:`_argmin_centroids`: the full squared
+    distance ``Σ (x_i − c_i)²`` per centroid, each term an IEEE-double
+    subtract/square cast to decimal, folded in fixed order — so a SQL
+    oracle recomputing the same centers gets bit-identical distances and
+    therefore the identical argmin (ties broken by centroid index, exact
+    under decimals).  Float mode drops the per-row ``||x||²`` term as a
+    rank-invariant; here it must stay, because the ORACLE computes the full
+    distance and decimal equality is what makes the tie-break portable."""
+    entries = []
+    for j, c in enumerate(centers):
+        c_list = [float(x) for x in c]
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.lit(c_list),
+                lambda x, r: ((x.cast("double") - r) * (x.cast("double") - r)).cast(_ACC_DEC),
+            ),
+            F.lit(0).cast(_ACC_DEC),
+            lambda acc, t: (acc + t).cast(_ACC_DEC),
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_pick)
+    return F.transform(ranked, lambda s: s["c"])
+
+
+def ivf_seed_centers(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 42,
+):
+    """Sampled-centroid coarse quantizer in the engine-portable md5_32 mode:
+    centers are the embeddings of the ``n_centroids`` ids with the smallest
+    ``(md5_32("seed:" || id), id)`` — a deterministic pseudo-random draw
+    BOTH engines can recompute, so an IVF pipeline seeded this way is
+    DuckDB-oracle-checkable end to end (assignment → inverted lists →
+    probing → cosine → rank).  Centroid index = rank in that order.
+
+    This is the zero-refinement member of the IVF family (the classic
+    random-sample quantizer baseline); the production path refines with
+    Lloyd's iterations (:func:`train_ivf_centroids`), which are numpy-side
+    and therefore rows-only — recall deltas between the two are pinned in
+    tests/test_extensions.py::test_ivf_seed_centers_portable."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"), h.alias("_h"))
+        .orderBy("_h", "_cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r._cv] for r in rows]
+
+
 def _argmin_centroids(vec: F.Column, centers, n_pick: int = 1) -> F.Column:
     """Row-local nearest-centroid expression: for each centroid j,
     ``||x−c_j||² = ||c_j||² − 2·x·c_j + ||x||²`` (the ``||x||²`` term is
@@ -270,6 +333,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     centers=None,
+    exact_assign: bool = False,
 ) -> DataFrame:
     """X3 IVF variant: k-means coarse quantizer → inverted lists by centroid →
     each query probes its ``n_probe`` nearest lists only.
@@ -278,6 +342,12 @@ def ivf_topk(
     sweeping ``n_probe`` (which only changes query-time probing, never the
     index) train ONCE via :func:`train_ivf_centroids` instead of paying the
     bounded sample collect + Lloyd's fit per sweep point.
+
+    ``exact_assign`` switches nearest-centroid selection to the decimal-
+    exact full-distance form (:func:`_argmin_centroids_exact`) — pair it
+    with :func:`ivf_seed_centers` for the engine-portable, oracle-checkable
+    IVF mode (same inverted-list/probing shape, cross-engine-identical
+    assignments).
 
     At 100 TB the corpus is written partitioned by ``centroid`` (the inverted
     index IS the partitioning), so a query touches n_probe/n_centroids of the
@@ -300,21 +370,24 @@ def ivf_topk(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, seed=seed
         )
     dim = len(centers[0]) if len(centers) and len(centers[0]) else None
+    argmin = _argmin_centroids_exact if exact_assign else _argmin_centroids
 
     assigned = c.withColumn(
-        "centroid", _argmin_centroids(F.col("cand_vec"), centers, 1)[0]
+        "centroid", argmin(F.col("cand_vec"), centers, 1)[0]
     )
     if dim is not None:
         # a wrong-dimension vector would poison the zip_with distance fold
         # (silently short-zips) — exclude it like a NULL
         assigned = assigned.where(F.size("cand_vec") == dim)
     q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    if dim is not None:
+        q = q.where(F.size("query_vec") == dim)
     probes = q.select(
         "query_id",
         "query_vec",
         "query_vec_norm",
         F.explode(
-            _argmin_centroids(F.col("query_vec"), centers, n_probe)
+            argmin(F.col("query_vec"), centers, n_probe)
         ).alias("centroid"),
     )
 

@@ -441,15 +441,85 @@ def docs_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf_topk")
+@query(
+    "similarity_ivf_topk",
+    # The seed-vector IVF mode is exactly recomputable in SQL: centers are
+    # the 8 embeddings with the smallest (md5_32("42:" || vec_id), vec_id),
+    # assignment is the decimal-exact full squared distance (argmin tie →
+    # lower centroid index), queries probe their 3 nearest lists, and the
+    # cosine/rank tail is the similarity_bruteforce_topk fragment restricted
+    # to probed-list pairs.
+    oracle="""
+    WITH seedrank AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY cast(('0x' || substr(md5('42:' || cast(vec_id AS varchar)), 1, 8)) AS bigint), vec_id
+             ) AS rn
+      FROM embeddings WHERE embedding IS NOT NULL),
+    centers AS (SELECT rn - 1 AS cid, embedding AS cv FROM seedrank WHERE rn <= 8),
+    dim AS (SELECT len(cv) AS d FROM centers WHERE cid = 0),
+    cand AS (
+      SELECT vec_id, embedding FROM embeddings, dim
+      WHERE embedding IS NOT NULL AND len(embedding) = dim.d),
+    adist AS (
+      SELECT c.vec_id, ct.cid,
+             list_sum(list_transform(c.embedding, (x, i) ->
+               cast((cast(x AS double) - cast(ct.cv[i] AS double))
+                    * (cast(x AS double) - cast(ct.cv[i] AS double)) AS decimal(28,12)))) AS d
+      FROM cand c CROSS JOIN centers ct),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+        FROM adist) WHERE rr = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+        FROM adist WHERE vec_id < 10) WHERE rr <= 3),
+    norms AS (
+      SELECT vec_id, sqrt(cast(list_sum(list_transform(embedding, x ->
+               cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)) AS nrm
+      FROM cand),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS cand_id,
+        CASE WHEN nq.nrm * nc.nrm > 0 THEN
+          floor(cast(list_sum(list_transform(eq.embedding, (x, i) ->
+                  cast(cast(x AS double) * cast(ec.embedding[i] AS double) AS decimal(28,12)))) AS double)
+                / (nq.nrm * nc.nrm) * 1000000 + 0.5) / 1000000 END AS cosine
+      FROM probes p
+      JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id
+      JOIN cand eq ON eq.vec_id = p.query_id
+      JOIN cand ec ON ec.vec_id = a.vec_id
+      JOIN norms nq ON nq.vec_id = p.query_id
+      JOIN norms nc ON nc.vec_id = a.vec_id),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+      FROM pairs WHERE cosine IS NOT NULL)
+    SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 IVF variant: k-means inverted lists, n_probe nearest lists per
-    query (the partition-pruned ANN layout at scale).  Rows-only (k-means
-    training is engine-specific); recall vs brute force asserted in tests."""
+    """X3 IVF variant: coarse quantizer → inverted lists by centroid →
+    each query probes its n_probe nearest lists only (the partition-pruned
+    ANN layout at scale — at 100 TB the corpus is WRITTEN partitioned by
+    centroid and a query touches n_probe/n_centroids of it).
+
+    This declared query runs the engine-portable seed-vector quantizer
+    (ivf_seed_centers: centers drawn by md5_32 rank — the zero-refinement
+    member of the IVF family) with decimal-exact assignment distances, so
+    the ENTIRE pipeline — center selection, inverted lists, multi-probe,
+    cosine scoring, ranks — is DuckDB-oracle-checked (upgraded from
+    rows-only in r8).  The production quantizer keeps Lloyd's refinement
+    (train_ivf_centroids, numpy-side → rows-only), whose recall vs this
+    seeded baseline and vs brute force is pinned in
+    tests/test_extensions.py::test_ivf_seed_centers_portable and the
+    ann-eval floors."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
+    centers = sim.ivf_seed_centers(emb, n_centroids=8, seed=42)
     return sim.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, n_centroids=8, n_probe=3
+        emb, emb.filter(F.col("vec_id") < 10), k=3, n_centroids=8, n_probe=3,
+        centers=centers, exact_assign=True,
     )
 
 

@@ -254,6 +254,38 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(1 <= r.rnk <= 3 for r in got)
 
 
+def test_ivf_seed_centers_portable(spark, sf_dir):
+    """The portable IVF mode (similarity_ivf_topk's declared form):
+    (a) decimal-exact assignment agrees with the float production
+    assignment on the same seeded centers — the rank-invariant ||x||² drop
+    and the decimal fold must pick the same argmin; (b) the zero-refinement
+    seed quantizer still clears a recall floor vs brute force (it's a real
+    index, not a token gesture); (c) Lloyd's refinement is pinned as
+    at-least-comparable on the fixture (the reason it's the production
+    default)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    emb = star.table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    centers = sim.ivf_seed_centers(emb, n_centroids=8, seed=42)
+
+    exact = sim.ivf_topk(emb, q, k=3, n_probe=3, centers=centers, exact_assign=True)
+    flt = sim.ivf_topk(emb, q, k=3, n_probe=3, centers=centers, exact_assign=False)
+    res_exact = {(r.query_id, r.cand_id, r.cosine, r.rnk) for r in exact.collect()}
+    res_float = {(r.query_id, r.cand_id, r.cosine, r.rnk) for r in flt.collect()}
+    assert res_exact == res_float  # assignment-mode agreement
+
+    brute = {(r.query_id, r.cand_id) for r in sim.brute_force_topk(emb, q, k=3).collect()}
+    seeded_recall = len({(a, b) for a, b, _, _ in res_exact} & brute) / len(brute)
+    assert seeded_recall >= 0.4  # 3/8 lists probed, unrefined centers
+
+    lloyd = sim.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3)
+    lloyd_recall = len(
+        {(r.query_id, r.cand_id) for r in lloyd.collect()} & brute
+    ) / len(brute)
+    assert lloyd_recall >= seeded_recall - 0.2  # refinement not degenerate
+
+
 def test_multimodal_decode_schema_and_determinism(docs):
     carrier = mm.attach_binary(docs, "text", "doc_id")
     out1 = {r.doc_id: (r.width, r.height, r.channels, r.content_sha) for r in mm.decode_media(carrier).collect()}

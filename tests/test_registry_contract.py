@@ -18,11 +18,11 @@ ROWS_ONLY_ALLOWED = {
     # dedup_simhash, dedup_minhash_lsh and dedup_cluster_canonical_lsh left
     # this set in r7; similarity_lsh_topk, similarity_jl_projection and
     # sketch_frequency_heavy_hitters left it in r8, then sketch_distinct_
-    # rollup (portable-HLL registers→max-merge→decimal-exact estimate):
-    # those declared queries now run the engine-portable md5_32 mode and
-    # are fully oracle-checked (production xxhash64/DataSketches modes stay
-    # pytest/eval-pinned).
-    "similarity_ivf_topk",
+    # rollup (portable-HLL registers→max-merge→decimal-exact estimate) and
+    # similarity_ivf_topk (seed-vector quantizer by md5 rank + decimal-exact
+    # assignment): those declared queries now run engine-portable modes and
+    # are fully oracle-checked (production xxhash64/DataSketches/Lloyd's
+    # modes stay pytest/eval-pinned).
     "multimodal_decode",
     # r3 window additions: sketch estimates + binary features are
     # implementation-defined; similarity_ann_eval is a quality self-eval

@@ -130,6 +130,7 @@ COLLECT_ALLOWLIST = {
     ("operators/similarity.py", "normalize_embeddings_zscore"): "D per-dimension stats rows (D = embedding dim)",
     ("operators/similarity.py", "semantic_dedup"): "TakeOrdered-bounded k-means training sample",
     ("operators/similarity.py", "train_ivf_centroids"): "TakeOrdered-bounded IVF training sample",
+    ("operators/similarity.py", "ivf_seed_centers"): "n_centroids rows by md5-rank TakeOrdered — the portable quantizer draw",
     ("operators/similarity.py", "pq_train"): "TakeOrdered-bounded PQ training sample",
     ("operators/text.py", "train_bigram_lm"): "top_k-capped LM tables (no-collect join twin exists)",
     ("sources/io.py", "zorder_key"): "single per-column min/max bounds row",
