@@ -1013,11 +1013,14 @@ def quantized_topk_recall(
                 F.when((F.col("r_exact") <= k) & (F.col("r_quant") <= k), 1).otherwise(0)
             ).alias("n_hit")
         )
-        .select("q_id", (F.col("n_hit").cast("double") / k).alias("recall_at_k"))
+        .select("q_id", "n_hit", (F.col("n_hit").cast("double") / k).alias("recall_at_k"))
     )
+    # mean as Σn_hit / (k·n) — ONE double division off integer sums, not an
+    # avg() over binary-inexact per-query doubles whose accumulation order
+    # differs engine to engine (what makes this eval oracle-checkable)
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.avg("recall_at_k").alias("mean_recall"),
+        (F.sum("n_hit").cast("double") / (F.lit(k) * F.count(F.lit(1)))).alias("mean_recall"),
         F.min("recall_at_k").alias("min_recall"),
     )
 

@@ -175,11 +175,64 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantization_error_report(emb)
 
 
-@query("similarity_quantized_recall")
+@query(
+    "similarity_quantized_recall",
+    # Every step is engine-portable arithmetic: absmax/127 scales and
+    # floor(x/scale+0.5) codes (IEEE doubles), integer quantized dots,
+    # decimal-fold exact dots, sqrt norms, raw-double cosine ORDERING (the
+    # unrounded quotients are bit-identical because every operand is), and
+    # a Σn_hit/(k·n) mean off integer sums.  NULLS LAST pins the rank
+    # windows to Spark's desc() null placement.
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM base),
+    qv AS (
+      SELECT vec_id, v,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> cast(0 AS bigint))
+                  ELSE list_transform(v, x -> cast(floor(x / scale + 0.5) AS bigint))
+             END AS qvec
+      FROM qz),
+    sides AS (
+      SELECT vec_id, v, qvec,
+             sqrt(cast(list_sum(list_transform(v, x -> cast(x * x AS decimal(28,12)))) AS double)) AS n_exact,
+             sqrt(cast(list_sum(list_transform(qvec, x -> x * x)) AS double)) AS n_quant
+      FROM qv),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             CASE WHEN q.n_exact * c.n_exact > 0 THEN
+               cast(list_sum(list_transform(q.v, (x, i) -> cast(x * c.v[i] AS decimal(28,12)))) AS double)
+               / (q.n_exact * c.n_exact) END AS exact_cos,
+             CASE WHEN q.n_quant * c.n_quant > 0 THEN
+               cast(list_sum(list_transform(q.qvec, (x, i) -> x * c.qvec[i])) AS double)
+               / (q.n_quant * c.n_quant) END AS quant_cos
+      FROM sides q JOIN sides c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT q_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY exact_cos DESC NULLS LAST, c_id) AS r_exact,
+             row_number() OVER (PARTITION BY q_id ORDER BY quant_cos DESC NULLS LAST, c_id) AS r_quant
+      FROM pairs),
+    per_q AS (
+      SELECT q_id, sum(CASE WHEN r_exact <= 5 AND r_quant <= 5 THEN 1 ELSE 0 END) AS n_hit
+      FROM ranked GROUP BY q_id)
+    SELECT cast(count(*) AS bigint) AS n_queries,
+           cast(sum(n_hit) AS double) / (5 * count(*)) AS mean_recall,
+           min(cast(n_hit AS double) / 5) AS min_recall
+    FROM per_q
+    """,
+)
 def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X30 self-eval: recall@5 of int8-quantized cosine ranking vs exact
-    cosine ranking over a 10-query broadcast panel (rows-only — the metric
-    IS the approximation gap; floor pinned in tests/test_curation.py)."""
+    cosine ranking over a 10-query broadcast panel.  DuckDB-oracle-checked
+    since r8 — the whole eval (quantization, both rankings, the recall
+    aggregate) is engine-portable arithmetic, with the mean recomposed as
+    Σn_hit/(k·n) so no float accumulation order leaks into the hash; the
+    quantitative floor stays pinned in tests/test_curation.py."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

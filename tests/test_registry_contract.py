@@ -44,11 +44,12 @@ ROWS_ONLY_ALLOWED = {
     "streaming_stateful_lifetimes",
     "streaming_source_quota",
     "dedup_semantic_centroids",
-    "similarity_quantized_recall",
     "similarity_pq_encode",
     "similarity_pq_eval",
     # similarity_jl_eval left this set in r8: md5_32 signs + decimal-exact
-    # statistics made the whole distortion eval oracle-checkable.
+    # statistics made the whole distortion eval oracle-checkable; then
+    # similarity_quantized_recall (integer-sum mean, NULLS LAST rank
+    # windows — every other step was already portable arithmetic).
     "text_bpe_merges",
     "text_bpe_encode",
     # r5 window: the compression-ratio signal's deflate byte counts are
