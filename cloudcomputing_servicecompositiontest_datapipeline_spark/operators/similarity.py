@@ -1070,23 +1070,56 @@ def pq_train(
     ]
 
 
+def pq_seed_codebooks(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    k: int = 16,
+    seed: int = 42,
+) -> list:
+    """Engine-portable PQ codebooks (the zero-refinement twin of
+    :func:`pq_train`, same posture as :func:`ivf_seed_centers`): the k
+    seed vectors drawn by md5_32 rank supply EVERY subspace's codebook —
+    codebook j is their j-th sub-slices.  A SQL oracle recomputes the draw
+    and the slices, so pq_encode over these codebooks (with exact_assign)
+    is hash-checkable end to end.  Lloyd's-refined :func:`pq_train` stays
+    the production path (ADC recall floors pinned in tests)."""
+    seeds = ivf_seed_centers(
+        emb, id_col=id_col, vec_col=vec_col, n_centroids=k, seed=seed
+    )
+    if not seeds:
+        raise ValueError("empty embedding table")
+    d = len(seeds[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [[row[j * sub : (j + 1) * sub] for row in seeds] for j in range(m)]
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_assign: bool = False,
 ) -> DataFrame:
     """Encode every vector to its m-byte PQ code array — codebooks are plan
     LITERALS, so encoding is row-local narrow compute (zero shuffle, the
     same no-join assignment story as IVF).  Output (id, codes:array<int>,
-    original vector for downstream rescoring)."""
+    original vector for downstream rescoring).  ``exact_assign`` switches
+    per-subspace nearest-code selection to the decimal-exact full-distance
+    form (pair with :func:`pq_seed_codebooks` for the oracle-checkable
+    mode)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    argmin = _argmin_centroids_exact if exact_assign else _argmin_centroids
     codes = []
     for j, cb in enumerate(codebooks):
         subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
-        codes.append(_argmin_centroids(subvec, cb, 1)[0])
+        codes.append(argmin(subvec, cb, 1)[0])
     return ensure_parallelism(emb).select(
         F.col(id_col), F.array(*codes).alias("codes"), F.col(vec_col)
     )

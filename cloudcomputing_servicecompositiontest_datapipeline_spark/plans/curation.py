@@ -485,19 +485,62 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_pq_encode")
+@query(
+    "similarity_pq_encode",
+    # Seed-codebook PQ is exactly recomputable: the 16 seed vectors by
+    # (md5_32('42:'||vec_id), vec_id) rank supply every subspace's codebook
+    # (codebook j = their j-th 4-element slices), per-subspace assignment is
+    # the decimal-exact squared distance with (d, code) tie-break, and the
+    # digests are plain md5/sums over the code array.
+    oracle="""
+    WITH seedrank AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY cast(('0x' || substr(md5('42:' || cast(vec_id AS varchar)), 1, 8)) AS bigint), vec_id
+             ) AS rn
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cb AS (SELECT rn - 1 AS code, embedding AS cv FROM seedrank WHERE rn <= 16),
+    dim AS (SELECT len(cv) AS d FROM cb WHERE code = 0),
+    cand AS (
+      SELECT vec_id, embedding FROM embeddings, dim
+      WHERE embedding IS NOT NULL AND len(embedding) = dim.d),
+    dists AS (
+      SELECT e.vec_id, s.j, c.code,
+             list_sum(list_transform(list_slice(e.embedding, s.j * 4 + 1, s.j * 4 + 4), (x, i) ->
+               cast((cast(x AS double) - cast(c.cv[s.j * 4 + i] AS double))
+                    * (cast(x AS double) - cast(c.cv[s.j * 4 + i] AS double)) AS decimal(28,12)))) AS d
+      FROM cand e, (SELECT cast(range AS int) AS j FROM range(16)) s, cb c),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rr
+        FROM dists) WHERE rr = 1)
+    SELECT vec_id,
+           md5(array_to_string(list(cast(code AS varchar) ORDER BY j), '-')) AS code_digest,
+           cast(sum(code) AS bigint) AS code_sum
+    FROM codes GROUP BY vec_id
+    """,
+)
 def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X37 product quantization (Jégou et al. 2011): encode every embedding
     to a 16-subvector PQ code — the representation that shrinks a
     billion-vector ANN working set by ~2 orders of magnitude.  Codebooks
-    train on a bounded seeded sample (driver Lloyd's, the IVF recipe);
-    encoding bakes them into the plan as literals, so it is row-local and
-    shuffle-free.  Rows-only (k-means is engine-specific); code digests and
-    determinism pinned in tests/test_curation.py."""
+    bake into the plan as literals, so encoding is row-local and
+    shuffle-free.
+
+    This declared query runs the engine-portable seed-codebook mode
+    (pq_seed_codebooks: the md5_32-rank seed draw supplies every subspace's
+    codebook) with decimal-exact assignment, so the full encode — draw,
+    slicing, per-subspace argmin, digests — is DuckDB-oracle-checked
+    (upgraded from rows-only in r8, completing the IVF precedent).
+    Production codebooks keep Lloyd's refinement (pq_train); ADC recall
+    floors and encode determinism stay pinned in tests/test_curation.py."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    cbs = sim.pq_train(emb, m=16, k=16)
-    return sim.pq_encode(emb, cbs).select(
+    cbs = sim.pq_seed_codebooks(emb, m=16, k=16, seed=42)
+    d = 16 * len(cbs[0][0])
+    usable = emb.where(F.col("embedding").isNotNull() & (F.size("embedding") == d))
+    return sim.pq_encode(usable, cbs, exact_assign=True).select(
         "vec_id",
         F.md5(F.array_join(F.transform(F.col("codes"), lambda c: c.cast("string")), "-")).alias(
             "code_digest"

@@ -406,6 +406,15 @@ def test_pq_encode_deterministic_and_in_range(spark, sf_dir):
     assert a == b  # codes independent of partitioning
     assert all(0 <= c < 16 for codes in a.values() for c in codes)
 
+    # the portable seed-codebook mode (similarity_pq_encode's declared
+    # form): decimal-exact assignment agrees with the float production
+    # assignment on the same codebooks, and the codebooks slice correctly
+    scbs = sim.pq_seed_codebooks(emb, m=16, k=16, seed=42)
+    assert len(scbs) == 16 and len(scbs[0]) == 16 and len(scbs[0][0]) == 4
+    ex = {r.vec_id: r.codes for r in sim.pq_encode(emb, scbs, exact_assign=True).collect()}
+    fl = {r.vec_id: r.codes for r in sim.pq_encode(emb, scbs, exact_assign=False).collect()}
+    assert ex == fl
+
 
 def test_pq_rerank_recovers_recall(spark, sf_check_dir):
     """Two-stage (ADC shortlist -> exact re-rank) must dominate raw ADC
