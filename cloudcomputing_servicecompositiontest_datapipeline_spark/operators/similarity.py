@@ -267,6 +267,10 @@ def ivf_seed_centers(
         .limit(n_centroids)
         .collect()
     )
+    if not rows:
+        # mirrors pq_train / train_ivf_centroids: an all-NULL corpus must
+        # fail loudly, not surface later as an empty-literal argmin plan
+        raise ValueError("empty embedding table")
     return [[float(x) for x in r._cv] for r in rows]
 
 
@@ -588,6 +592,7 @@ def ivf_topk_sweep(
     n_probe_list=(1, 2, 4),
     seed: int = 42,
     centers=None,
+    exact_assign: bool = False,
 ) -> DataFrame:
     """Multi-setting IVF top-k in ONE retrieval: result-identical to running
     :func:`ivf_topk` once per value in ``n_probe_list``.  ``n_probe`` only
@@ -595,7 +600,11 @@ def ivf_topk_sweep(
     (query, cand) pair is reachable through exactly ONE probe position (the
     candidate's assigned centroid), so candidates at ``n_probe=p`` are the
     pairs whose probe position < p: posexplode the max-width probe list,
-    score once, explode per setting, rank per (setting, query)."""
+    score once, explode per setting, rank per (setting, query).
+
+    ``exact_assign`` mirrors :func:`ivf_topk`: decimal-exact full-distance
+    assignment/probing — pair with :func:`ivf_seed_centers` for the
+    engine-portable, oracle-checkable sweep mode."""
     pmax = max(n_probe_list)
     mult = 1000000.0
     c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).where(
@@ -606,18 +615,23 @@ def ivf_topk_sweep(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, seed=seed
         )
     dim = len(centers[0]) if len(centers) and len(centers[0]) else None
+    argmin = _argmin_centroids_exact if exact_assign else _argmin_centroids
     assigned = c.withColumn(
-        "centroid", _argmin_centroids(F.col("cand_vec"), centers, 1)[0]
+        "centroid", argmin(F.col("cand_vec"), centers, 1)[0]
     )
     if dim is not None:
         assigned = assigned.where(F.size("cand_vec") == dim)
     q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    if dim is not None:
+        # same wrong-dimension exclusion as ivf_topk: a short-zipped probe
+        # distance would silently mis-rank the probe list
+        q = q.where(F.size("query_vec") == dim)
     probes = q.select(
         "query_id",
         "query_vec",
         "query_vec_norm",
         F.posexplode(
-            _argmin_centroids(F.col("query_vec"), centers, pmax)
+            argmin(F.col("query_vec"), centers, pmax)
         ).alias("_pos", "centroid"),
     )
     dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")

@@ -1650,17 +1650,130 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_eval")
+def _ann_eval_cte(n_planes: int, planes_per_table: int) -> str:
+    """Shared DuckDB CTE prefix for the ANN eval/sweep oracles: per-vector
+    norms, the full brute-force pair scores for the 20-query panel (`bf` —
+    every ANN candidate set is a subset of these pairs, so preds re-join it
+    instead of re-deriving cosines), the exact top-5 `truth`, the md5_32
+    hyperplane signatures (`sigs`, table = plane // planes_per_table — the
+    similarity_lsh_topk fragment), and the seed-vector IVF quantizer
+    (`centers`/`assigned`/`adist` — the similarity_ivf_topk fragment)."""
+    return f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt(cast(list_sum(list_transform(embedding, x ->
+               cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)) AS nrm
+      FROM embeddings),
+    bf AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        CASE WHEN q.nrm * c.nrm > 0 THEN
+          floor(cast(list_sum(list_transform(q.embedding, (x, i) ->
+            cast(cast(x AS double) * cast(c.embedding[i] AS double) AS decimal(28,12)))) AS double)
+            / (q.nrm * c.nrm) * 1000000 + 0.5) / 1000000 END AS cosine
+      FROM norms q JOIN norms c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 20),
+    truth AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        FROM bf WHERE cosine IS NOT NULL) WHERE rnk <= 5),
+    planes AS (
+      SELECT p.range AS p,
+             list(cast(cast(('0x' || substr(md5('hp' || p.range || ':' || j.range), 1, 8)) AS bigint) % 1000 - 500 AS double) ORDER BY j.range) AS cv
+      FROM range({n_planes}) p, range(64) j GROUP BY p.range),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             list_sum(list_transform(e.embedding, (x, i) -> cast(cast(x AS double) * pl.cv[i] AS decimal(28,12)))) AS dot
+      FROM embeddings e CROSS JOIN planes pl),
+    sigs AS (
+      SELECT vec_id, cast(p // {planes_per_table} AS int) AS tbl,
+             sum(CASE WHEN dot >= 0 THEN cast(1 AS bigint) << cast(p % {planes_per_table} AS int) ELSE cast(0 AS bigint) END) AS bits
+      FROM dots GROUP BY 1, 2),
+    seedrank AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY cast(('0x' || substr(md5('42:' || cast(vec_id AS varchar)), 1, 8)) AS bigint), vec_id
+             ) AS rn
+      FROM embeddings WHERE embedding IS NOT NULL),
+    centers AS (SELECT rn - 1 AS cid, embedding AS cv FROM seedrank WHERE rn <= 8),
+    dim AS (SELECT len(cv) AS d FROM centers WHERE cid = 0),
+    cand AS (
+      SELECT vec_id, embedding FROM embeddings, dim
+      WHERE embedding IS NOT NULL AND len(embedding) = dim.d),
+    adist AS (
+      SELECT c.vec_id, ct.cid,
+             list_sum(list_transform(c.embedding, (x, i) ->
+               cast((cast(x AS double) - cast(ct.cv[i] AS double))
+                    * (cast(x AS double) - cast(ct.cv[i] AS double)) AS decimal(28,12)))) AS d
+      FROM cand c CROSS JOIN centers ct),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+        FROM adist) WHERE rr = 1)
+    """
+
+
+@query(
+    "similarity_ann_eval",
+    # Both ANN paths run engine-portable modes (md5_32 hyperplanes, seed-
+    # vector IVF with decimal-exact assignment), so candidates are exactly
+    # recomputable; every candidate pair's cosine is a row of the brute-
+    # force `bf` CTE, so preds re-join it and the recall aggregate is plain
+    # integer arithmetic.
+    oracle=_ann_eval_cte(8, 2)
+    + """,
+    lsh_pred AS (
+      SELECT query_id, cand_id FROM (
+        SELECT b.query_id, b.cand_id,
+               row_number() OVER (PARTITION BY b.query_id ORDER BY b.cosine DESC, b.cand_id) AS rnk
+        FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bits = c.bits AND q.vec_id != c.vec_id
+              WHERE q.vec_id < 20) p
+        JOIN bf b ON b.query_id = p.query_id AND b.cand_id = p.cand_id
+        WHERE b.cosine IS NOT NULL) WHERE rnk <= 5),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+        FROM adist WHERE vec_id < 20) WHERE rr <= 4),
+    ivf_pred AS (
+      SELECT query_id, cand_id FROM (
+        SELECT b.query_id, b.cand_id,
+               row_number() OVER (PARTITION BY b.query_id ORDER BY b.cosine DESC, b.cand_id) AS rnk
+        FROM probes p
+        JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id
+        JOIN bf b ON b.query_id = p.query_id AND b.cand_id = a.vec_id
+        WHERE b.cosine IS NOT NULL) WHERE rnk <= 5),
+    counts AS (SELECT cast(count(*) AS bigint) AS n_truth FROM truth)
+    SELECT h.method, counts.n_truth, cast(h.n_hit AS bigint) AS n_hit,
+           CASE WHEN counts.n_truth > 0 THEN
+             floor(cast(h.n_hit AS double) / counts.n_truth * 1000000 + 0.5) / 1000000
+           END AS recall
+    FROM counts CROSS JOIN (
+      SELECT 'ivf' AS method,
+             (SELECT count(*) FROM truth t JOIN ivf_pred p
+              ON t.query_id = p.query_id AND t.cand_id = p.cand_id) AS n_hit
+      UNION ALL
+      SELECT 'lsh',
+             (SELECT count(*) FROM truth t JOIN lsh_pred p
+              ON t.query_id = p.query_id AND t.cand_id = p.cand_id)
+    ) h
+    ORDER BY h.method
+    """,
+)
 def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluation of both ANN scale paths: recall@5 of LSH-bucketed and
     IVF top-k against the brute-force exact top-5 for the same 20 queries —
     the tuning measurement (planes / n_centroids / n_probe) a similarity
     pipeline runs on an affordable slice before trusting ANN at corpus
-    scale (same eval-on-a-slice posture as dedup_lsh_eval).  All three
-    paths are deterministic (seeded IVF training, fixed hyperplanes), so
-    the two output rows are stable; rows-only check, with quantitative
-    floors additionally pinned in tests.  Output: (method, n_truth, n_hit,
-    recall)."""
+    scale (same eval-on-a-slice posture as dedup_lsh_eval).
+
+    The declared query runs the engine-portable modes — md5_32 hyperplanes
+    for LSH, the seed-vector quantizer with decimal-exact assignment for
+    IVF — so truth, both candidate sets, AND the recall aggregate are
+    DuckDB-oracle-checked end to end (upgraded from rows-only in r8's
+    second pass, completing the dedup_lsh_eval precedent).  The production
+    xxhash64 / Lloyd's-refined paths keep their recall floors pinned in
+    tests/test_extensions.py.  Output: (method, n_truth, n_hit, recall)."""
     from ..operators import similarity as sim
 
     apply_runtime_conf(spark)
@@ -1668,8 +1781,16 @@ def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20)
     k = 5
     truth = sim.brute_force_topk(emb, q, k=k).select("query_id", "cand_id")
-    lsh = _ann_recall(truth, "lsh", sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=4))
-    ivf = _ann_recall(truth, "ivf", sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=4))
+    centers = sim.ivf_seed_centers(emb, n_centroids=8, seed=42)
+    lsh = _ann_recall(
+        truth, "lsh",
+        sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=4, hash_fn="md5_32"),
+    )
+    ivf = _ann_recall(
+        truth, "ivf",
+        sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=4, centers=centers,
+                     exact_assign=True),
+    )
     return lsh.unionByName(ivf).orderBy("method")
 
 
@@ -1702,7 +1823,67 @@ def _ann_recall(truth: DataFrame, name: str, pred: DataFrame) -> DataFrame:
     )
 
 
-@query("similarity_ann_sweep")
+@query(
+    "similarity_ann_sweep",
+    # Portable-mode sweep: 16 md5_32 planes (8 tables x 2 planes) and the
+    # shared seed-vector quantizer.  A pair reached first in table t (or at
+    # probe position pos) belongs to every setting > t (> pos) — the same
+    # one-retrieval explode the Spark operators do — and cosines re-join
+    # the brute-force `bf` CTE.
+    oracle=_ann_eval_cte(16, 2)
+    + """,
+    lsh_first AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, min(q.tbl) AS first_tbl
+      FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bits = c.bits AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 20 GROUP BY 1, 2),
+    lsh_pred AS (
+      SELECT setting, query_id, cand_id FROM (
+        SELECT s.setting, f.query_id, f.cand_id,
+               row_number() OVER (PARTITION BY s.setting, f.query_id
+                                  ORDER BY b.cosine DESC, f.cand_id) AS rnk
+        FROM lsh_first f
+        JOIN bf b ON b.query_id = f.query_id AND b.cand_id = f.cand_id
+                 AND b.cosine IS NOT NULL
+        JOIN (VALUES (1), (4), (8)) s(setting) ON s.setting > f.first_tbl
+      ) WHERE rnk <= 5),
+    ivf_pos AS (
+      SELECT vec_id AS query_id, cid, rr - 1 AS pos FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+        FROM adist WHERE vec_id < 20) WHERE rr <= 4),
+    ivf_pred AS (
+      SELECT setting, query_id, cand_id FROM (
+        SELECT s.setting, p.query_id, a.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY s.setting, p.query_id
+                                  ORDER BY b.cosine DESC, a.vec_id) AS rnk
+        FROM ivf_pos p
+        JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.query_id
+        JOIN bf b ON b.query_id = p.query_id AND b.cand_id = a.vec_id
+                 AND b.cosine IS NOT NULL
+        JOIN (VALUES (1), (2), (4)) s(setting) ON s.setting > p.pos
+      ) WHERE rnk <= 5),
+    counts AS (SELECT cast(count(*) AS bigint) AS n_truth FROM truth),
+    grid AS (
+      SELECT 'lsh' AS method, setting FROM (VALUES (1), (4), (8)) g(setting)
+      UNION ALL
+      SELECT 'ivf', setting FROM (VALUES (1), (2), (4)) g(setting)),
+    hits AS (
+      SELECT 'lsh' AS method, p.setting, count(*) AS h
+      FROM truth t JOIN lsh_pred p ON t.query_id = p.query_id AND t.cand_id = p.cand_id
+      GROUP BY p.setting
+      UNION ALL
+      SELECT 'ivf', p.setting, count(*)
+      FROM truth t JOIN ivf_pred p ON t.query_id = p.query_id AND t.cand_id = p.cand_id
+      GROUP BY p.setting)
+    SELECT g.method, cast(g.setting AS int) AS setting, counts.n_truth,
+           cast(coalesce(h.h, 0) AS bigint) AS n_hit,
+           CASE WHEN counts.n_truth > 0 THEN
+             floor(cast(coalesce(h.h, 0) AS double) / counts.n_truth * 1000000 + 0.5) / 1000000
+           END AS recall
+    FROM grid g CROSS JOIN counts
+    LEFT JOIN hits h ON h.method = g.method AND h.setting = g.setting
+    ORDER BY g.method, g.setting
+    """,
+)
 def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration-grade ANN eval (r6 verdict item 7): recall@5 vs brute
     force across a PARAMETER SWEEP — LSH tables ∈ {1,4,8} and IVF n_probe
@@ -1712,10 +1893,13 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce a candidate SUPERSET, and any candidate outscoring a true
     top-k pair would itself be in the brute-force top-k (global ranking,
     same cand_id tiebreak), so top-k-from-a-superset can only gain truth
-    hits — the monotonicity law tests/test_extensions.py pins.  All paths
-    are seeded/deterministic → stable rows; rows-only check (recall of a
-    bucketing heuristic is engine-specific by design).  Output: (method,
-    setting, n_truth, n_hit, recall), ordered."""
+    hits — the monotonicity law tests/test_extensions.py pins.  The
+    declared query runs the engine-portable modes (md5_32 hyperplanes,
+    seed-vector IVF with decimal-exact assignment), so the WHOLE sweep —
+    truth, both candidate explosions, every recall point — is DuckDB-
+    oracle-checked (upgraded from rows-only in r8's second pass); the
+    production xxhash64 / Lloyd's paths keep their monotone-curve pytest
+    law.  Output: (method, setting, n_truth, n_hit, recall), ordered."""
     from ..operators import similarity as sim
 
     apply_runtime_conf(spark)
@@ -1728,12 +1912,17 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket/probe once at the widest setting and explode each pair into
     # the settings that reach it (result-identical to per-point runs; the
     # n_probe axis also shares ONE trained quantizer by construction)
+    centers = sim.ivf_seed_centers(emb, n_centroids=8, seed=42)
     preds = (
-        sim.lsh_topk_sweep(emb, q, k=k, planes=2, dim=64, tables_list=lsh_settings)
+        sim.lsh_topk_sweep(
+            emb, q, k=k, planes=2, dim=64, tables_list=lsh_settings,
+            hash_fn="md5_32",
+        )
         .select(F.lit("lsh").alias("method"), "setting", "query_id", "cand_id")
         .unionByName(
             sim.ivf_topk_sweep(
-                emb, q, k=k, n_centroids=8, n_probe_list=ivf_settings
+                emb, q, k=k, n_centroids=8, n_probe_list=ivf_settings,
+                centers=centers, exact_assign=True,
             ).select(F.lit("ivf").alias("method"), "setting", "query_id", "cand_id")
         )
     )

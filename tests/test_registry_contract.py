@@ -31,7 +31,11 @@ ROWS_ONLY_ALLOWED = {
     # shared md5-LSH CTEs end to end, truth + P/R oracle-checked.)
     "sketch_quantile_rollup",
     "multimodal_features",
-    "similarity_ann_eval",
+    # similarity_ann_eval and similarity_ann_sweep left this set in r8's
+    # second pass: their declared forms now run the portable md5_32-LSH +
+    # seed-vector-IVF modes, so truth, candidates, and every recall point
+    # are oracle-checked (production xxhash64/Lloyd's floors stay in
+    # tests/test_extensions.py).
     # r4 window: finishing the never-checked sweep pulls in the remaining
     # rows-only-by-design queries — streaming batch-twins (incremental
     # micro-batch semantics aren't one SQL statement), the xxhash64-seeded /
@@ -60,10 +64,6 @@ ROWS_ONLY_ALLOWED = {
     # machine pinned in pytest across drains).
     "text_compression_ratio",
     "streaming_burst_monitor",
-    # r7 window: the ANN parameter sweep's recall points depend on xxhash64
-    # bucketing / seeded k-means like the single-point *_eval queries; the
-    # monotone-curve law is pytest-pinned instead.
-    "similarity_ann_sweep",
 }
 
 
