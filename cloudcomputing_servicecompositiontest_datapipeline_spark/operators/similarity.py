@@ -1148,6 +1148,7 @@ def pq_topk_recall(
     vec_col: str = "embedding",
     k: int = 5,
     rerank_depth: int = 50,
+    exact_dots: bool = False,
 ) -> DataFrame:
     """Self-eval: recall@k of PQ asymmetric-distance ranking (exact query
     subvector · reconstructed candidate centroid, summed over subspaces —
@@ -1156,10 +1157,20 @@ def pq_topk_recall(
     recall@k then counts exact-top-k hits inside the shortlist).  Broadcast
     query panel × linear scan of the CODES (m ints per row — the working
     set a 100 TB corpus actually fits in memory); original vectors are only
-    touched for the truth ranking and the re-rank stage."""
+    touched for the truth ranking and the re-rank stage.
+
+    ``exact_dots`` switches BOTH score folds to the decimal-exact form
+    (ADC as one dot against the flattened reconstructed vector — the same
+    term set as the per-subspace sum, exact under decimals) so rankings
+    are cross-engine-identical; pair with :func:`pq_seed_codebooks` +
+    ``exact_assign`` for the fully oracle-checkable mode.  The recall
+    aggregate is recomposed from integer hit counts (Σn_hit/(k·n)) in both
+    modes, so no float accumulation order leaks into the output."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, exact_assign=exact_dots
+    )
     c = enc.select(
         F.col(id_col).alias("c_id"), F.col("codes").alias("c_codes"), F.col(vec_col).alias("c_vec")
     )
@@ -1167,27 +1178,45 @@ def pq_topk_recall(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     )
     joined = c.join(q, F.col("c_id") != F.col("q_id"))
-    # ADC inner product: sum_j  q_sub_j · centroid_j[code_j]
-    parts = []
-    for j, cb in enumerate(codebooks):
-        qsub = F.slice(F.col("q_vec"), j * sub + 1, sub)
-        # one F.lit(nested list) call — per-element F.lit would cost one
-        # py4j round-trip per centroid component (k*dsub per subspace)
-        table = F.lit([[float(x) for x in row] for row in cb])
-        cent = F.element_at(table, F.element_at(F.col("c_codes"), j + 1) + 1)
-        parts.append(
-            F.aggregate(
-                F.zip_with(qsub, cent, lambda x, r: x.cast("double") * r),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    if exact_dots:
+        # portable mode: ADC as ONE decimal dot against the flattened
+        # reconstructed vector (same terms as the per-subspace sum, exact
+        # under decimals → identical doubles on any engine)
+        recon = F.flatten(
+            F.array(
+                *[
+                    F.element_at(
+                        F.lit([[float(x) for x in row] for row in cb]),
+                        F.element_at(F.col("c_codes"), j + 1) + 1,
+                    )
+                    for j, cb in enumerate(codebooks)
+                ]
             )
         )
-    adc = sum(parts[1:], parts[0])
-    exact = F.aggregate(
-        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+        adc = _dot_dec(F.col("q_vec"), recon).cast("double")
+        exact = _dot_dec(F.col("q_vec"), F.col("c_vec")).cast("double")
+    else:
+        # ADC inner product: sum_j  q_sub_j · centroid_j[code_j]
+        parts = []
+        for j, cb in enumerate(codebooks):
+            qsub = F.slice(F.col("q_vec"), j * sub + 1, sub)
+            # one F.lit(nested list) call — per-element F.lit would cost one
+            # py4j round-trip per centroid component (k*dsub per subspace)
+            table = F.lit([[float(x) for x in row] for row in cb])
+            cent = F.element_at(table, F.element_at(F.col("c_codes"), j + 1) + 1)
+            parts.append(
+                F.aggregate(
+                    F.zip_with(qsub, cent, lambda x, r: x.cast("double") * r),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        adc = sum(parts[1:], parts[0])
+        exact = F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     scored = joined.select("q_id", "c_id", adc.alias("adc_ip"), exact.alias("exact_ip"))
     w_exact = Window.partitionBy("q_id").orderBy(F.col("exact_ip").desc(), F.col("c_id"))
     w_adc = Window.partitionBy("q_id").orderBy(F.col("adc_ip").desc(), F.col("c_id"))
@@ -1211,17 +1240,20 @@ def pq_topk_recall(
                 ).otherwise(0)
             ).alias("n_hit_rerank"),
         )
-        .select(
-            "q_id",
-            (F.col("n_hit").cast("double") / k).alias("recall_at_k"),
-            (F.col("n_hit_rerank").cast("double") / k).alias("recall_rerank"),
-        )
     )
+    # means recomposed off the integer hit sums (Σn_hit/(k·n)) so no float
+    # accumulation order leaks into the output hash; min(n_hit)/k is the
+    # same per-query ratio the old avg-of-ratios form exposed
+    n = F.count(F.lit(1))
     return per_q.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.avg("recall_at_k").alias("mean_recall"),
-        F.min("recall_at_k").alias("min_recall"),
-        F.avg("recall_rerank").alias("mean_recall_rerank"),
+        n.cast("long").alias("n_queries"),
+        F.try_divide(F.sum("n_hit").cast("double"), F.lit(float(k)) * n).alias(
+            "mean_recall"
+        ),
+        (F.min("n_hit").cast("double") / k).alias("min_recall"),
+        F.try_divide(
+            F.sum("n_hit_rerank").cast("double"), F.lit(float(k)) * n
+        ).alias("mean_recall_rerank"),
     )
 
 

@@ -551,19 +551,88 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_pq_eval")
+@query(
+    "similarity_pq_eval",
+    # Seed-codebook PQ eval is exactly recomputable: the 32 md5_32-rank seed
+    # vectors supply every subspace's codebook (the pq_encode fragment at
+    # m=8/k=32), ADC is ONE decimal dot against the flattened reconstructed
+    # vector, exact is the decimal dot, and both rankings order raw doubles
+    # cast from exact decimals (NULLS LAST pins Spark's desc() placement).
+    # The recall aggregate recomposes off integer hit sums.
+    oracle="""
+    WITH seedrank AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY cast(('0x' || substr(md5('42:' || cast(vec_id AS varchar)), 1, 8)) AS bigint), vec_id
+             ) AS rn
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cb AS (SELECT rn - 1 AS code, embedding AS cv FROM seedrank WHERE rn <= 32),
+    dim AS (SELECT len(cv) AS d FROM cb WHERE code = 0),
+    cand AS (
+      SELECT vec_id, embedding FROM embeddings, dim
+      WHERE embedding IS NOT NULL AND len(embedding) = dim.d),
+    dists AS (
+      SELECT e.vec_id, s.j, c.code,
+             list_sum(list_transform(list_slice(e.embedding, s.j * 8 + 1, s.j * 8 + 8), (x, i) ->
+               cast((cast(x AS double) - cast(c.cv[s.j * 8 + i] AS double))
+                    * (cast(x AS double) - cast(c.cv[s.j * 8 + i] AS double)) AS decimal(28,12)))) AS d
+      FROM cand e, (SELECT cast(range AS int) AS j FROM range(8)) s, cb c),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rr
+        FROM dists) WHERE rr = 1),
+    recon AS (
+      SELECT c.vec_id, flatten(list(list_slice(cb.cv, c.j * 8 + 1, c.j * 8 + 8) ORDER BY c.j)) AS rv
+      FROM codes c JOIN cb ON cb.code = c.code GROUP BY c.vec_id),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        cast(list_sum(list_transform(q.embedding, (x, i) ->
+          cast(cast(x AS double) * cast(r.rv[i] AS double) AS decimal(28,12)))) AS double) AS adc_ip,
+        cast(list_sum(list_transform(q.embedding, (x, i) ->
+          cast(cast(x AS double) * cast(c.embedding[i] AS double) AS decimal(28,12)))) AS double) AS exact_ip
+      FROM cand q JOIN cand c ON c.vec_id != q.vec_id
+      JOIN recon r ON r.vec_id = c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT q_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY exact_ip DESC NULLS LAST, c_id) AS r_exact,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_ip DESC NULLS LAST, c_id) AS r_adc
+      FROM pairs),
+    per_q AS (
+      SELECT q_id,
+             sum(CASE WHEN r_exact <= 5 AND r_adc <= 5 THEN 1 ELSE 0 END) AS n_hit,
+             sum(CASE WHEN r_exact <= 5 AND r_adc <= 50 THEN 1 ELSE 0 END) AS n_hit_rerank
+      FROM ranked GROUP BY q_id)
+    SELECT cast(count(*) AS bigint) AS n_queries,
+           CASE WHEN count(*) > 0 THEN cast(sum(n_hit) AS double) / (5.0 * count(*)) END AS mean_recall,
+           cast(min(n_hit) AS double) / 5 AS min_recall,
+           CASE WHEN count(*) > 0 THEN cast(sum(n_hit_rerank) AS double) / (5.0 * count(*)) END AS mean_recall_rerank
+    FROM per_q
+    """,
+)
 def similarity_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X37 self-eval: recall@5 of PQ asymmetric-distance (ADC) ranking vs
     exact ranking over a 10-query panel, raw AND after the production
     two-stage pattern (ADC shortlist 50 → exact re-rank).  On these
-    near-random synthetic embeddings raw ADC recall is mid (~0.38 at 8x32;
-    0.66 at 16x64) — the worst case for PQ, which exploits manifold
-    structure real embeddings have — while the re-ranked path recovers it
-    (~0.82+); floors pinned in tests."""
+    near-random synthetic embeddings raw ADC recall is mid — the worst
+    case for PQ, which exploits manifold structure real embeddings have —
+    while the re-ranked path recovers it; Lloyd's-codebook floors pinned
+    in tests/test_curation.py::test_pq_rerank_recovers_recall.
+
+    The declared query runs the portable mode (seed codebooks by md5_32
+    rank, decimal-exact assignment and score folds, integer-sum recall
+    recomposition), so the ENTIRE eval — codebook draw, encoding, both
+    rankings, the two-stage recall — is DuckDB-oracle-checked (upgraded
+    from rows-only in r8's second pass)."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    cbs = sim.pq_train(emb, m=8, k=32)
-    return sim.pq_topk_recall(emb, emb.filter(F.col("vec_id") < 10), cbs, k=5)
+    cbs = sim.pq_seed_codebooks(emb, m=8, k=32, seed=42)
+    d = 8 * len(cbs[0][0])
+    usable = emb.where(F.col("embedding").isNotNull() & (F.size("embedding") == d))
+    return sim.pq_topk_recall(
+        usable, usable.filter(F.col("vec_id") < 10), cbs, k=5, exact_dots=True
+    )
 
 
 @query("text_bpe_encode")

@@ -48,9 +48,11 @@ ROWS_ONLY_ALLOWED = {
     "streaming_stateful_lifetimes",
     "streaming_source_quota",
     "dedup_semantic_centroids",
-    "similarity_pq_eval",
     # similarity_pq_encode left this set in r8: seed codebooks by md5 rank
-    # + decimal-exact per-subspace assignment (the IVF precedent).
+    # + decimal-exact per-subspace assignment (the IVF precedent); then
+    # similarity_pq_eval in r8's second pass (decimal ADC against the
+    # flattened reconstructed vector + integer-sum recall recomposition
+    # made the whole two-stage eval portable).
     # similarity_jl_eval left this set in r8: md5_32 signs + decimal-exact
     # statistics made the whole distortion eval oracle-checkable; then
     # similarity_quantized_recall (integer-sum mean, NULLS LAST rank
