@@ -705,6 +705,8 @@ def semantic_dedup(
     seed: int = 42,
     max_iterations: int = 25,
     exact_dots: bool = True,
+    centers=None,
+    exact_assign: bool = False,
 ) -> DataFrame:
     """X25 semantic dedup (SemDeDup-style): prune documents whose EMBEDDINGS
     are near-identical, catching paraphrases and re-renders that no lexical
@@ -725,7 +727,13 @@ def semantic_dedup(
     Output: (id, canonical_id, is_kept) for every input row — near-identical
     groups collapse to their minimum id, singletons keep themselves.
     (``max_iterations`` is kept for API stability; since r8 the CC step is
-    the per-block union-find below, which needs no iteration cap.)"""
+    the per-block union-find below, which needs no iteration cap.)
+
+    ``centers`` injects a pre-built quantizer (skipping the sample +
+    Lloyd's fit); ``exact_assign`` switches block assignment to the
+    decimal-exact baked-literal argmin — pair both with
+    :func:`ivf_seed_centers` (+ ``exact_dots``) for the engine-portable,
+    oracle-checkable mode, exactly the IVF/PQ precedent."""
     if block_col is not None:
         blocked = _with_norm(emb, "_id", "_vec", id_col, vec_col).join(
             emb.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_block")),
@@ -739,42 +747,52 @@ def semantic_dedup(
         c = _with_norm(emb, "_id", "_vec", id_col, vec_col).where(
             F.col("_vec").isNotNull()
         )
-        target = 200 * n_centroids
-        # Arrow toPandas, not collect(): row-by-row py4j deserialization of
-        # array columns costs ~0.5 ms/row (measured 1.6 s for a 3200-row
-        # sample); the Arrow path moves the same batch in one transfer.
-        sample_pdf = (
-            c.select("_vec")
-            .orderBy(F.xxhash64(F.lit(seed), F.col("_id").cast("string")), "_id")
-            .limit(target)
-            .toPandas()
-        )
-        sample = [[float(x) for x in v] for v in sample_pdf["_vec"]]
-        centers = _train_centroids(sample, n_centroids)
+        if centers is None:
+            target = 200 * n_centroids
+            # Arrow toPandas, not collect(): row-by-row py4j deserialization
+            # of array columns costs ~0.5 ms/row (measured 1.6 s for a
+            # 3200-row sample); the Arrow path moves the same batch in one
+            # transfer.
+            sample_pdf = (
+                c.select("_vec")
+                .orderBy(F.xxhash64(F.lit(seed), F.col("_id").cast("string")), "_id")
+                .limit(target)
+                .toPandas()
+            )
+            sample = [[float(x) for x in v] for v in sample_pdf["_vec"]]
+            centers = _train_centroids(sample, n_centroids)
         if len(centers) and len(centers[0]):
             # a wrong-dimension vector makes the kernel's np.stack ragged
             # (task-killing) — exclude it like a NULL; it rejoins as a
             # singleton in cluster_canonical
             c = c.where(F.size("_vec") == len(centers[0]))
-        # Vectorized assignment: one Arrow-batched pandas UDF doing the
-        # (batch × centroids) distance matmul in numpy — ~5x the interpreted
-        # per-centroid fold chain for dense vector math, the same sanctioned
-        # Arrow surface as the inference harness.  Ties break to the lowest
-        # centroid index, matching _argmin_centroids' (dist, id) sort.
-        import numpy as np
-        import pandas as pd
+        if exact_assign:
+            # portable mode: decimal-exact baked-literal argmin — the
+            # cross-engine-identical block assignment the oracle recomputes
+            blocked = c.withColumn(
+                "_block", _argmin_centroids_exact(F.col("_vec"), centers, 1)[0]
+            )
+        else:
+            # Vectorized assignment: one Arrow-batched pandas UDF doing the
+            # (batch × centroids) distance matmul in numpy — ~5x the
+            # interpreted per-centroid fold chain for dense vector math, the
+            # same sanctioned Arrow surface as the inference harness.  Ties
+            # break to the lowest centroid index, matching
+            # _argmin_centroids' (dist, id) sort.
+            import numpy as np
+            import pandas as pd
 
-        C = np.asarray([[float(x) for x in row] for row in centers])
+            C = np.asarray([[float(x) for x in row] for row in centers])
 
-        def _assign_fn(v):
-            if len(v) == 0:
-                return pd.Series([], dtype="int32")
-            X = np.stack(v.to_numpy()).astype(np.float64)
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(d2.argmin(axis=1).astype("int32"))
+            def _assign_fn(v):
+                if len(v) == 0:
+                    return pd.Series([], dtype="int32")
+                X = np.stack(v.to_numpy()).astype(np.float64)
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                return pd.Series(d2.argmin(axis=1).astype("int32"))
 
-        _assign = F.pandas_udf(_assign_fn, returnType="int")
-        blocked = c.withColumn("_block", _assign(F.col("_vec")))
+            _assign = F.pandas_udf(_assign_fn, returnType="int")
+            blocked = c.withColumn("_block", _assign(F.col("_vec")))
 
     # The self-join below reads `blocked` TWICE; without a checkpoint Spark
     # re-evaluates the expensive row-local work (norm fold + n_centroids

@@ -394,21 +394,82 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, threshold=0.35, block_col="label")
 
 
-@query("dedup_semantic_centroids")
+@query(
+    "dedup_semantic_centroids",
+    # The seed-vector quantizer mode is exactly recomputable: 45 centers by
+    # md5_32 rank, decimal-exact block assignment (argmin tie → lower
+    # centroid index), guarded decimal cosine ≥ 0.35 within blocks only,
+    # then the same recursive-CTE CC fixpoint as dedup_semantic_clusters
+    # seeded from EVERY input id (null/ragged vectors stay singletons).
+    oracle="""
+    WITH RECURSIVE seedrank AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY cast(('0x' || substr(md5('42:' || cast(vec_id AS varchar)), 1, 8)) AS bigint), vec_id
+             ) AS rn
+      FROM embeddings WHERE embedding IS NOT NULL),
+    centers AS (SELECT rn - 1 AS cid, embedding AS cv FROM seedrank WHERE rn <= 45),
+    dim AS (SELECT len(cv) AS d FROM centers WHERE cid = 0),
+    cand AS (
+      SELECT vec_id, embedding,
+             sqrt(cast(list_sum(list_transform(embedding, x ->
+               cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)) AS nrm
+      FROM embeddings, dim
+      WHERE embedding IS NOT NULL AND len(embedding) = dim.d),
+    adist AS (
+      SELECT c.vec_id, ct.cid,
+             list_sum(list_transform(c.embedding, (x, i) ->
+               cast((cast(x AS double) - cast(ct.cv[i] AS double))
+                    * (cast(x AS double) - cast(ct.cv[i] AS double)) AS decimal(28,12)))) AS d
+      FROM cand c CROSS JOIN centers ct),
+    blocked AS (
+      SELECT c.vec_id, c.embedding, c.nrm, a.cid
+      FROM cand c JOIN (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rr
+          FROM adist) WHERE rr = 1) a ON a.vec_id = c.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM blocked a JOIN blocked b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE (CASE WHEN a.nrm * b.nrm > 0 THEN
+        floor(cast(list_sum(list_transform(a.embedding, (x, i) ->
+          cast(cast(x AS double) * cast(b.embedding[i] AS double) AS decimal(28,12)))) AS double)
+          / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 END) >= 0.35),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+    SELECT node AS vec_id, min(r) AS canonical_id, (min(r) = node) AS is_kept
+    FROM reach GROUP BY node
+    """,
+)
 def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X25 semantic dedup, SCALE PATH (SemDeDup shape): block on a k-means
-    coarse quantizer — bounded-sample driver training, baked-literal
-    shuffle-free assignment (same machinery as IVF ANN) — then within-block
-    cosine pairs → connected components → canonical per cluster.  Block size
-    is CONTROLLED (n_centroids grows ~sqrt(n) with the corpus), which is what
-    keeps the within-block quadratic bounded at 100 TB — applied here too:
-    45 ≈ sqrt(2000) centroids for the sf0.1 fixture (16 made blocks ~3x the
-    sqrt-rule size, fattening both the pair join and the CC graph).
-    Rows-only (k-means is engine-specific); agreement with the
-    attribute-blocked oracle twin is pinned in tests."""
+    """X25 semantic dedup, SCALE PATH (SemDeDup shape): block on a coarse
+    quantizer — baked-literal shuffle-free assignment (same machinery as
+    IVF ANN) — then within-block cosine pairs → connected components →
+    canonical per cluster.  Block size is CONTROLLED (n_centroids grows
+    ~sqrt(n) with the corpus), which is what keeps the within-block
+    quadratic bounded at 100 TB — applied here too: 45 ≈ sqrt(2000)
+    centroids for the sf0.1 fixture (16 made blocks ~3x the sqrt-rule
+    size, fattening both the pair join and the CC graph).
+
+    The declared query runs the engine-portable mode (seed-vector centers
+    by md5_32 rank, decimal-exact assignment and pair dots), so blocking,
+    edges, and the CC fixpoint are DuckDB-oracle-checked end to end
+    (upgraded from rows-only in r8's second pass — it also drops the
+    bounded Lloyd's sample collect from the declared plan entirely).  The
+    production k-means mode (numpy Lloyd's + Arrow-vectorized assignment)
+    keeps its cluster-agreement and invariant pins in
+    tests/test_extensions.py."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(emb, threshold=0.35, n_centroids=45, exact_dots=False)
+    centers = sim.ivf_seed_centers(emb, n_centroids=45, seed=42)
+    return sim.semantic_dedup(
+        emb, threshold=0.35, centers=centers, exact_assign=True, exact_dots=True
+    )
 
 
 @query(

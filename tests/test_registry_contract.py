@@ -47,7 +47,11 @@ ROWS_ONLY_ALLOWED = {
     "streaming_dedup_on_arrival",
     "streaming_stateful_lifetimes",
     "streaming_source_quota",
-    "dedup_semantic_centroids",
+    # dedup_semantic_centroids left this set in r8's second pass: the
+    # declared form blocks on the seed-vector quantizer with decimal-exact
+    # assignment/dots, and the CC fixpoint is the recursive-CTE oracle
+    # (numpy Lloyd's production mode stays pinned by the cluster-agreement
+    # tests).
     # similarity_pq_encode left this set in r8: seed codebooks by md5 rank
     # + decimal-exact per-subspace assignment (the IVF precedent); then
     # similarity_pq_eval in r8's second pass (decimal ADC against the
