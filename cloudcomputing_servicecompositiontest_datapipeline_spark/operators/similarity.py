@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 
 from ..sources.star import ensure_parallelism
 
-_ACC_DEC = "decimal(28,12)"
+# Scale 12 matches every oracle's cast(... AS decimal(28,12)) rounding, so
+# values are engine-identical; precision 18 keeps Spark on its compact-LONG
+# decimal fast path (precision > 18 switches to BigDecimal — measured 2.2x
+# slower per fold on the signature microbench).  6 integer digits bound the
+# domain at |value| < 10^6: embedding components are O(1) and md5 hyperplane
+# components are < 500, so per-term products stay < 10^3 and 64-term folds
+# < 10^5, with ANSI overflow as the loud failure if a caller ever exceeds it.
+_ACC_DEC = "decimal(18,12)"
 
 
 def _dot_dec(a: F.Column, b: F.Column) -> F.Column:
@@ -27,6 +34,47 @@ def _dot_dec(a: F.Column, b: F.Column) -> F.Column:
     # Spark widens decimal addition (28,12)+(28,12)→(29,12); re-cast to keep
     # the fold accumulator type fixed.
     return F.aggregate(prods, F.lit(0).cast(_ACC_DEC), lambda acc, x: (acc + x).cast(_ACC_DEC))
+
+
+def _dot_seq(a: F.Column, b: F.Column) -> F.Column:
+    """Engine-portable FLOAT dot product: per-element double products folded
+    sequentially from a 0.0 seed.  Row-local, so there is no partition-order
+    dependence to guard against, and ``F.aggregate`` folds left-to-right —
+    exactly DuckDB's ``list_reduce`` order (seed = first element; IEEE
+    ``0.0 + x == x``) — so the doubles are bit-identical across engines at
+    none of the decimal fold's BigDecimal cost.  Use for portable-mode HOT
+    paths (assignment, bucket signatures, bulk pair scoring); keep
+    :func:`_dot_dec` where a value must also be insensitive to ELEMENT
+    order (it isn't here: the array is stored, not aggregated)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_centroids_seq(vec: F.Column, centers, n_pick: int = 1) -> F.Column:
+    """Engine-portable FLOAT twin of :func:`_argmin_centroids_exact`: the
+    full squared distance ``Σ (x_i − c_i)²`` folded sequentially in double
+    (the :func:`_dot_seq` argument — identical IEEE bits on any engine), so
+    a SQL oracle using ``list_reduce`` over the same squared diffs gets the
+    identical argmin, ties broken by centroid index.  ~5x the decimal twin
+    on wide center sets (measured on the 45-centroid semantic blocking)."""
+    entries = []
+    for j, c in enumerate(centers):
+        c_list = [float(x) for x in c]
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.lit(c_list),
+                lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_pick)
+    return F.transform(ranked, lambda s: s["c"])
 
 
 def cosine_score(a: F.Column, b: F.Column, scale: int = 6) -> F.Column:
@@ -730,10 +778,13 @@ def semantic_dedup(
     the per-block union-find below, which needs no iteration cap.)
 
     ``centers`` injects a pre-built quantizer (skipping the sample +
-    Lloyd's fit); ``exact_assign`` switches block assignment to the
-    decimal-exact baked-literal argmin — pair both with
-    :func:`ivf_seed_centers` (+ ``exact_dots``) for the engine-portable,
-    oracle-checkable mode, exactly the IVF/PQ precedent."""
+    Lloyd's fit); ``exact_assign`` switches block assignment to a portable
+    baked-literal argmin — ``"seq"`` for the float-sequential form
+    (list_reduce-matched, the fast portable mode) or ``True`` for the
+    decimal-exact twin.  Pair either with :func:`ivf_seed_centers` for the
+    oracle-checkable mode, exactly the IVF/PQ precedent (the float
+    ``exact_dots=False`` pair fold is itself sequential and therefore
+    list_reduce-portable)."""
     if block_col is not None:
         blocked = _with_norm(emb, "_id", "_vec", id_col, vec_col).join(
             emb.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_block")),
@@ -767,10 +818,16 @@ def semantic_dedup(
             # singleton in cluster_canonical
             c = c.where(F.size("_vec") == len(centers[0]))
         if exact_assign:
-            # portable mode: decimal-exact baked-literal argmin — the
-            # cross-engine-identical block assignment the oracle recomputes
+            # portable mode: baked-literal argmin the oracle recomputes —
+            # "seq" (float sequential fold, list_reduce's order) is the fast
+            # portable form; True keeps the decimal-exact twin
+            argmin = (
+                _argmin_centroids_seq
+                if exact_assign == "seq"
+                else _argmin_centroids_exact
+            )
             blocked = c.withColumn(
-                "_block", _argmin_centroids_exact(F.col("_vec"), centers, 1)[0]
+                "_block", argmin(F.col("_vec"), centers, 1)[0]
             )
         else:
             # Vectorized assignment: one Arrow-batched pandas UDF doing the

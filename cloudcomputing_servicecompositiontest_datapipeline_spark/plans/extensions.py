@@ -397,10 +397,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semantic_centroids",
     # The seed-vector quantizer mode is exactly recomputable: 45 centers by
-    # md5_32 rank, decimal-exact block assignment (argmin tie → lower
-    # centroid index), guarded decimal cosine ≥ 0.35 within blocks only,
-    # then the same recursive-CTE CC fixpoint as dedup_semantic_clusters
-    # seeded from EVERY input id (null/ragged vectors stay singletons).
+    # md5_32 rank, float-SEQUENTIAL block assignment and pair dots (Spark's
+    # aggregate fold and DuckDB's list_reduce are both left-to-right over
+    # row-local arrays → bit-identical doubles, at none of the decimal
+    # fold's cost; argmin tie → lower centroid index), guarded cosine ≥
+    # 0.35 within blocks only (norms stay decimal — one cheap per-vector
+    # fold), then the same recursive-CTE CC fixpoint as
+    # dedup_semantic_clusters seeded from EVERY input id (null/ragged
+    # vectors stay singletons).
     oracle="""
     WITH RECURSIVE seedrank AS (
       SELECT vec_id, embedding,
@@ -418,9 +422,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE embedding IS NOT NULL AND len(embedding) = dim.d),
     adist AS (
       SELECT c.vec_id, ct.cid,
-             list_sum(list_transform(c.embedding, (x, i) ->
-               cast((cast(x AS double) - cast(ct.cv[i] AS double))
-                    * (cast(x AS double) - cast(ct.cv[i] AS double)) AS decimal(28,12)))) AS d
+             list_reduce(list_transform(c.embedding, (x, i) ->
+               (cast(x AS double) - cast(ct.cv[i] AS double))
+               * (cast(x AS double) - cast(ct.cv[i] AS double))), (a, b) -> a + b) AS d
       FROM cand c CROSS JOIN centers ct),
     blocked AS (
       SELECT c.vec_id, c.embedding, c.nrm, a.cid
@@ -432,8 +436,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM blocked a JOIN blocked b ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE (CASE WHEN a.nrm * b.nrm > 0 THEN
-        floor(cast(list_sum(list_transform(a.embedding, (x, i) ->
-          cast(cast(x AS double) * cast(b.embedding[i] AS double) AS decimal(28,12)))) AS double)
+        floor(list_reduce(list_transform(a.embedding, (x, i) ->
+          cast(x AS double) * cast(b.embedding[i] AS double)), (p, q) -> p + q)
           / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 END) >= 0.35),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -457,18 +461,19 @@ def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, fattening both the pair join and the CC graph).
 
     The declared query runs the engine-portable mode (seed-vector centers
-    by md5_32 rank, decimal-exact assignment and pair dots), so blocking,
-    edges, and the CC fixpoint are DuckDB-oracle-checked end to end
-    (upgraded from rows-only in r8's second pass — it also drops the
-    bounded Lloyd's sample collect from the declared plan entirely).  The
-    production k-means mode (numpy Lloyd's + Arrow-vectorized assignment)
-    keeps its cluster-agreement and invariant pins in
-    tests/test_extensions.py."""
+    by md5_32 rank, float-SEQUENTIAL assignment and pair dots — Spark's
+    row-local aggregate fold and DuckDB's list_reduce produce bit-identical
+    doubles, so portability costs no BigDecimal time), so blocking, edges,
+    and the CC fixpoint are DuckDB-oracle-checked end to end (upgraded
+    from rows-only in r8's second pass — it also drops the bounded Lloyd's
+    sample collect from the declared plan entirely).  The production
+    k-means mode (numpy Lloyd's + Arrow-vectorized assignment) keeps its
+    cluster-agreement and invariant pins in tests/test_extensions.py."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
     centers = sim.ivf_seed_centers(emb, n_centroids=45, seed=42)
     return sim.semantic_dedup(
-        emb, threshold=0.35, centers=centers, exact_assign=True, exact_dots=True
+        emb, threshold=0.35, centers=centers, exact_assign="seq", exact_dots=False
     )
 
 

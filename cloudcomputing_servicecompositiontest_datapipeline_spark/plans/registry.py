@@ -42,19 +42,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r8 window (oldest-green-first, continuing the rotation rule; the r7
-    # window had 0 FAILs).  Leads with the 8 queries whose code or declared
-    # schema changed THIS round — report_full (reference-exact section
-    # columns: showAsSum/showAsList now REPLACE the avg, so avg_user_id /
-    # avg_value are gone), the three new md5_32 oracle upgrades
-    # (similarity_lsh_topk, similarity_jl_projection,
-    # sketch_frequency_heavy_hitters), the single-shuffle LSH bucket-cap
+    # r8 window (changed-first, then oldest-green; the r7 window had 0
+    # FAILs).  Leads with the 17 queries whose code, declared mode, or
+    # schema changed THIS round — the new X90 chunker, report_full's
+    # reference-exact section columns, the single-shuffle LSH bucket-cap
     # rewrite (dedup_minhash_lsh + its cluster_canonical consumer), and the
-    # one-retrieval ANN sweep rewrite (similarity_ann_sweep + the ivf
-    # trainer refactor behind similarity_ivf_topk) plus the new X90
-    # content-defined-chunking operator — then the eight r7 deferrals,
-    # then 33 of the 43 remaining r3-vintage rows.  Ten r3-vintage greens
-    # spill to the r9 queue (all re-verified green locally today).
+    # FOURTEEN rows-only→oracle upgrades landed across r8's two passes
+    # (md5_32 hyperplanes / seed-vector quantizers / seed PQ codebooks /
+    # portable-HLL / md5-LSH eval / decimal-or-sequential-float score
+    # folds: similarity_lsh_topk, similarity_jl_projection,
+    # sketch_frequency_heavy_hitters, sketch_distinct_rollup,
+    # similarity_ivf_topk, similarity_ann_sweep, similarity_ann_eval,
+    # similarity_pq_encode, similarity_pq_eval, similarity_quantized_recall,
+    # similarity_jl_eval, dedup_lsh_eval, dedup_semantic_centroids) — then
+    # the seven remaining r7 deferrals (sketch_distinct_rollup moved up
+    # into the changed group), then 26 of the remaining r3-vintage rows.
+    # The r3-vintage tail spills to the r9 queue (all re-verified green
+    # locally today).
     # --- changed/new in r8
     "text_chunk_content_defined",  # X90, new operator this round
     "report_full",
@@ -64,17 +68,24 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh",
     "dedup_cluster_canonical_lsh",
     "similarity_ann_sweep",
+    "similarity_ann_eval",
     "similarity_ivf_topk",
-    # --- the eight r7 deferrals (r2/r3-vintage)
+    "similarity_pq_encode",
+    "similarity_pq_eval",
+    "similarity_quantized_recall",
+    "similarity_jl_eval",
+    "dedup_lsh_eval",
+    "dedup_semantic_centroids",
+    "sketch_distinct_rollup",
+    # --- the remaining seven r7 deferrals (r2/r3-vintage)
     "q22_balance_anti",
     "subquery_cheapest_part",
     "percentile_stats",
     "pivot_event_types",
     "unpivot_event_counts",
-    "sketch_distinct_rollup",
     "report_linear_regression",
     "incremental_agg_merge",
-    # --- latest driver record is r3: full refresh
+    # --- latest driver record is r3: refresh (oldest first)
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_array_funcs",
@@ -101,21 +112,17 @@ DRIVER_WINDOW: list[str] = [
     "text_redact_pii",
     "text_repetition_score",
     "text_decontaminate",
-    "text_tfidf_top_terms",
-    "text_vocabulary_topk",
-    "text_quality_percentile",
-    "events_time_rollup",
-    "events_cumulative_distinct_users",
-    "window_distribution_funcs",
-    "events_tumbling_window",
 ]
 # r9 queue: lead with any r8 FAILs, then queries added/changed in r9, then
-# the ten r8 deferrals (multimodal_features, dedup_lsh_eval,
-# similarity_ann_eval, text_length_histogram, sample_global_shuffle,
+# the r8 deferrals — the r3-vintage rows this window couldn't fit
+# (text_tfidf_top_terms, text_vocabulary_topk, text_quality_percentile,
+# events_time_rollup, events_cumulative_distinct_users,
+# window_distribution_funcs, events_tumbling_window, events_sliding_window,
+# multimodal_features, text_length_histogram, sample_global_shuffle,
 # sample_domain_mix, sample_weighted_hash, pack_chunks_token_budget,
-# embedding_centroid_by_label, events_sliding_window — all r3-vintage
-# greens), then start on the r4-vintage rows (38 queries whose latest
-# driver record is r4).
+# embedding_centroid_by_label — all re-verified green locally in r8), then
+# start on the r4-vintage rows (38 queries whose latest driver record is
+# r4).
 
 
 def ordered_queries() -> dict[str, QueryFn]:
