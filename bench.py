@@ -130,6 +130,21 @@ NEW_R7 = [
     "pack_documents_nostraddle",
 ]
 
+#: Added/mode-changed in r8 (X90 + the portable-mode oracle upgrades whose
+#: declared plans changed: md5_32 hyperplanes, seed-vector quantizers, seed
+#: PQ codebooks, md5-LSH eval) — seventh table, vs_prev-tracked from r9 on.
+NEW_R8 = [
+    "text_chunk_content_defined",
+    "similarity_ann_eval",
+    "similarity_pq_eval",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_pq_encode",
+    "similarity_jl_projection",
+    "similarity_jl_eval",
+    "dedup_lsh_eval",
+]
+
 #: Tier-2 headline (r8+): the 10 most expensive LONG-TAIL queries by the r7
 #: BENCH_DETAIL ranking, promoted into the committed per-round record so a
 #: regression in the r3–r7 operator families moves a tracked number (the r7
@@ -179,7 +194,7 @@ def main() -> None:
     # timed pass measures steady-state execution, not first-run compilation.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
-        for name in HEADLINE + [n for n in EXTRA + NEW_R3 + NEW_R4 + NEW_R5 + NEW_R7 if n in qs]:
+        for name in HEADLINE + [n for n in EXTRA + NEW_R3 + NEW_R4 + NEW_R5 + NEW_R7 + NEW_R8 if n in qs]:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     else:
         qs["report_group_avg"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -266,6 +281,16 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             new_r7[name] = round(best, 3)
 
+    new_r8: dict[str, float] = {}
+    for name in NEW_R8:
+        if name in qs:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            new_r8[name] = round(best, 3)
+
     # Second scale factor: the same headline queries at SF2 (10x less data),
     # min-of-2.  sf_scaling_ratio = t(SF)/t(SF2) per query — for a 10x SF
     # step, a ratio well under 10 means fixed overhead still dominates at
@@ -285,7 +310,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             secondary[name] = round(best, 3)
         # scaling curvature for this round's additions too
-        for name in NEW_R4 + NEW_R5 + NEW_R7:
+        for name in NEW_R4 + NEW_R5 + NEW_R7 + NEW_R8:
             if name in qs:
                 t0 = time.time()
                 qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
@@ -301,6 +326,7 @@ def main() -> None:
         "new_r4_queries": new_r4,
         "new_r5_queries": new_r5,
         "new_r7_queries": new_r7,
+        "new_r8_queries": new_r8,
         "sf": _sf(SF_DIR),
     }
     if secondary:
@@ -314,8 +340,8 @@ def main() -> None:
             },
             "new_r4_queries": secondary_new,
             "new_r4_scaling_ratio": {
-                n: round({**new_r4, **new_r5, **new_r7}[n] / secondary_new[n], 2)
-                if secondary_new[n] > 0 and n in {**new_r4, **new_r5, **new_r7}
+                n: round({**new_r4, **new_r5, **new_r7, **new_r8}[n] / secondary_new[n], 2)
+                if secondary_new[n] > 0 and n in {**new_r4, **new_r5, **new_r7, **new_r8}
                 else None
                 for n in secondary_new
             },
@@ -365,13 +391,18 @@ def main() -> None:
                     for n, t in new_r7.items()
                     if n in prev.get("new_r7_queries", {})
                 },
+                "new_r8_delta_sec": {
+                    n: round(t - prev.get("new_r8_queries", {}).get(n), 3)
+                    for n, t in new_r8.items()
+                    if n in prev.get("new_r8_queries", {})
+                },
             }
             break
         except (OSError, ValueError):
             continue
     # Tier-2: re-report the frozen expensive-long-tail slice from the group
     # timings already collected above (no extra executions).
-    all_groups = {**extra, **new_r3, **new_r4, **new_r5, **new_r7}
+    all_groups = {**extra, **new_r3, **new_r4, **new_r5, **new_r7, **new_r8}
     tier2 = {n: all_groups[n] for n in TIER2 if n in all_groups}
     out["tier2_queries"] = tier2
     out["tier2_total"] = round(sum(tier2.values()), 3)

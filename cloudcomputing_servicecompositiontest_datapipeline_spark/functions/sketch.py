@@ -95,6 +95,13 @@ def cm_sketch(
             )
         ).alias("cell"),
     )
+    # A NULL item has no bucket in md5 mode (md5(NULL) is NULL — where
+    # xxhash64 hashes NULL to a real value) and a NULL cell would kill the
+    # map_from_entries below with NULL_MAP_KEY on a null-heavy corpus.
+    # NULL items are uncountable keys: exclude them from the sketch in both
+    # modes' spirit — a point query computes a NON-NULL bucket, so a NULL
+    # cell could never be read back anyway (same in the SQL oracle).
+    cells = cells.where(F.col("cell").isNotNull())
     counts = cells.groupBy(*group_cols, "cell").agg(F.count(F.lit(1)).alias("n"))
     size = depth * width
     cell_map = F.map_from_entries(F.collect_list(F.struct("cell", "n")))

@@ -412,7 +412,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY cast(('0x' || substr(md5('42:' || cast(vec_id AS varchar)), 1, 8)) AS bigint), vec_id
              ) AS rn
       FROM embeddings WHERE embedding IS NOT NULL),
-    centers AS (SELECT rn - 1 AS cid, embedding AS cv FROM seedrank WHERE rn <= 45),
+    kk AS (SELECT greatest(8, cast(ceil(sqrt(count(*))) AS bigint)) AS k FROM embeddings),
+    centers AS (SELECT rn - 1 AS cid, embedding AS cv FROM seedrank, kk WHERE rn <= kk.k),
     dim AS (SELECT len(cv) AS d FROM centers WHERE cid = 0),
     cand AS (
       SELECT vec_id, embedding,
@@ -454,11 +455,15 @@ def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25 semantic dedup, SCALE PATH (SemDeDup shape): block on a coarse
     quantizer — baked-literal shuffle-free assignment (same machinery as
     IVF ANN) — then within-block cosine pairs → connected components →
-    canonical per cluster.  Block size is CONTROLLED (n_centroids grows
-    ~sqrt(n) with the corpus), which is what keeps the within-block
-    quadratic bounded at 100 TB — applied here too: 45 ≈ sqrt(2000)
-    centroids for the sf0.1 fixture (16 made blocks ~3x the sqrt-rule
-    size, fattening both the pair join and the CC graph).
+    canonical per cluster.  Block size is CONTROLLED: since r8 the
+    declared query derives n_centroids = max(8, ceil(sqrt(n))) from the
+    corpus itself (one count job; the oracle recomputes the same k), so
+    the within-block quadratic stays bounded at ANY scale instead of
+    being tuned to one fixture — 23 at sf0.01, 45 at sf0.1, 142 on the
+    10x fixture, where the sqrt-scaled seed mode measured 23.5 s vs 60 s
+    for the fixture-pinned width (and 133 s for Lloyd's at the same
+    width: training cost grows with k, seed centers are one TakeOrdered
+    collect regardless).
 
     The declared query runs the engine-portable mode (seed-vector centers
     by md5_32 rank, float-SEQUENTIAL assignment and pair dots — Spark's
@@ -469,9 +474,14 @@ def dedup_semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample collect from the declared plan entirely).  The production
     k-means mode (numpy Lloyd's + Arrow-vectorized assignment) keeps its
     cluster-agreement and invariant pins in tests/test_extensions.py."""
+    import math
+
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    centers = sim.ivf_seed_centers(emb, n_centroids=45, seed=42)
+    # sqrt-rule quantizer width, recomputed by the oracle's kk CTE; an
+    # empty corpus short-circuits to the seed trainer's loud ValueError
+    k = max(8, math.ceil(math.sqrt(emb.count() or 1)))
+    centers = sim.ivf_seed_centers(emb, n_centroids=k, seed=42)
     return sim.semantic_dedup(
         emb, threshold=0.35, centers=centers, exact_assign="seq", exact_dots=False
     )

@@ -24,12 +24,10 @@ ROWS_ONLY_ALLOWED = {
     # are fully oracle-checked (production xxhash64/DataSketches/Lloyd's
     # modes stay pytest/eval-pinned).
     "multimodal_decode",
-    # r3 window additions: sketch estimates + binary features are
-    # implementation-defined; similarity_ann_eval is a quality self-eval
-    # whose recall@k depends on xxhash64 banding / k-means codebooks.
+    # r3 window additions: binary features are implementation-defined.
     # (dedup_lsh_eval left this set in r8: its declared mode now runs the
-    # shared md5-LSH CTEs end to end, truth + P/R oracle-checked.)
-    "sketch_quantile_rollup",
+    # shared md5-LSH CTEs end to end, truth + P/R oracle-checked;
+    # sketch_quantile_rollup left in r7 with its KLL→exact-quantile twin.)
     "multimodal_features",
     # similarity_ann_eval and similarity_ann_sweep left this set in r8's
     # second pass: their declared forms now run the portable md5_32-LSH +
@@ -91,6 +89,17 @@ def test_window_rows_only_entries_are_the_declared_exceptions():
     assert no_oracle <= ROWS_ONLY_ALLOWED, (
         f"unexpected rows-only queries inside the driver window: "
         f"{no_oracle - ROWS_ONLY_ALLOWED}"
+    )
+
+
+def test_rows_only_set_is_exactly_the_declared_exceptions():
+    """Strict both ways: a query losing its oracle must be consciously added
+    here, and an upgraded query must be REMOVED here (stale allowances hid
+    the r7 sketch_quantile_rollup upgrade for a round)."""
+    no_oracle = {n for n in registry.QUERIES if n not in registry.ORACLES}
+    assert no_oracle == ROWS_ONLY_ALLOWED, (
+        f"missing allowance: {no_oracle - ROWS_ONLY_ALLOWED}; "
+        f"stale allowance: {ROWS_ONLY_ALLOWED - no_oracle}"
     )
 
 
