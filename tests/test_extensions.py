@@ -434,13 +434,14 @@ def test_content_defined_chunks_reconstruct_and_bound(spark):
     assert all(1 <= r.n_tokens <= 20 for r in d1)
     assert all(r.n_tokens == len(r.chunk_text.split()) for r in d1)
     # Python model of the cut set (before the max_tokens hard split): every
-    # model cut must appear as some chunk start
+    # model cut must appear as some chunk start — the Gear-style rolling
+    # combine of per-token md5_32 hashes (weights 31^2, 31, 1 for window=3)
     tk = words.split()
+    th = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in tk]
     cuts = {0} | {
         i + 1
         for i in range(2, len(tk) - 1)
-        if int(hashlib.md5(" ".join(tk[i - 2 : i + 1]).encode()).hexdigest()[:8], 16) % 4
-        == 0
+        if (th[i - 2] * 961 + th[i - 1] * 31 + th[i]) % 4 == 0
     }
     starts = set()
     pos = 0
