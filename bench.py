@@ -181,10 +181,32 @@ EXTRA = [
 ]
 
 
+class _Budget:
+    """Wall-clock budget so the bench ALWAYS emits its JSON line inside the
+    driver's timeout (r8 regression: the gate record was rc=124/parsed-null
+    because one pathological query blew the whole-run budget).  Headline is
+    timed in full first; grouped tables degrade min-of-2 -> min-of-1 -> skip
+    as the budget drains, and every skip is logged in the output record —
+    no silent caps."""
+
+    def __init__(self, total_s: float) -> None:
+        self.t0 = time.time()
+        self.total = total_s
+        self.skipped: list[str] = []
+        self.degraded: list[str] = []
+
+    def elapsed(self) -> float:
+        return time.time() - self.t0
+
+    def remaining(self) -> float:
+        return self.total - self.elapsed()
+
+
 def main() -> None:
     from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
     import __spark_entry__ as em
 
+    budget = _Budget(float(os.environ.get("SG_BENCH_BUDGET_S", "900")))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
@@ -192,9 +214,14 @@ def main() -> None:
     # Warm-up: run every headline plan once at the smallest SF — this
     # Janino-compiles the generated code and JIT-warms the hot loops, so the
     # timed pass measures steady-state execution, not first-run compilation.
+    # Budget-guarded: warm-ups stop once they have consumed 30% of the budget
+    # (cold first-timed-runs are noise; a missing gate record is a failure).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
         for name in HEADLINE + [n for n in EXTRA + NEW_R3 + NEW_R4 + NEW_R5 + NEW_R7 + NEW_R8 if n in qs]:
+            if budget.remaining() < budget.total * 0.7:
+                budget.skipped.append(f"warmup:{name}")
+                continue
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     else:
         qs["report_group_avg"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -228,68 +255,41 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    # r2+ operators: a STABLE secondary table (same 11 queries since r2,
-    # min-of-2) timed separately so "value" stays 1:1 comparable with r1's
-    # 15-query headline total.
-    extra: dict[str, float] = {}
-    for name in EXTRA:
-        if name in qs:
+    def _time_group(names: list[str], group: str) -> dict[str, float]:
+        """Best-effort min-of-2 per query, degrading to min-of-1 below 45%
+        budget and skipping (logged) below a 60 s floor."""
+        res: dict[str, float] = {}
+        for name in names:
+            if name not in qs:
+                continue
+            if budget.remaining() < 60:
+                budget.skipped.append(f"{group}:{name}")
+                continue
+            reps = 2
+            if budget.remaining() < budget.total * 0.45:
+                reps = 1
+                budget.degraded.append(f"{group}:{name}")
             best = float("inf")
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.time()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
-            extra[name] = round(best, 3)
+            res[name] = round(best, 3)
+        return res
 
-    new_r3: dict[str, float] = {}
-    for name in NEW_R3:
-        if name in qs:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            new_r3[name] = round(best, 3)
+    # r2+ operators: a STABLE secondary table (same 11 queries since r2)
+    # timed separately so "value" stays 1:1 comparable with r1's 15-query
+    # headline total.  Tier-2 members are timed before the rest of their
+    # group so the committed tier2 slice survives a tight budget.
+    def _tier2_first(names: list[str]) -> list[str]:
+        return [n for n in names if n in TIER2] + [n for n in names if n not in TIER2]
 
-    new_r4: dict[str, float] = {}
-    for name in NEW_R4:
-        if name in qs:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            new_r4[name] = round(best, 3)
-
-    new_r5: dict[str, float] = {}
-    for name in NEW_R5:
-        if name in qs:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            new_r5[name] = round(best, 3)
-
-    new_r7: dict[str, float] = {}
-    for name in NEW_R7:
-        if name in qs:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            new_r7[name] = round(best, 3)
-
-    new_r8: dict[str, float] = {}
-    for name in NEW_R8:
-        if name in qs:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            new_r8[name] = round(best, 3)
+    extra = _time_group(_tier2_first(EXTRA), "extra")
+    new_r3 = _time_group(_tier2_first(NEW_R3), "r3")
+    new_r4 = _time_group(_tier2_first(NEW_R4), "r4")
+    new_r5 = _time_group(_tier2_first(NEW_R5), "r5")
+    new_r7 = _time_group(_tier2_first(NEW_R7), "r7")
+    new_r8 = _time_group(_tier2_first(NEW_R8), "r8")
 
     # Second scale factor: the same headline queries at SF2 (10x less data),
     # min-of-2.  sf_scaling_ratio = t(SF)/t(SF2) per query — for a 10x SF
@@ -303,8 +303,11 @@ def main() -> None:
     secondary_new: dict[str, float] = {}
     if os.path.isdir(SF2_DIR) and SF2_DIR != SF_DIR:
         for name in HEADLINE:
+            if budget.remaining() < 60:
+                budget.skipped.append(f"sf2:{name}")
+                continue
             best = float("inf")
-            for _ in range(2):
+            for _ in range(2 if budget.remaining() > budget.total * 0.25 else 1):
                 t0 = time.time()
                 qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
@@ -312,6 +315,9 @@ def main() -> None:
         # scaling curvature for this round's additions too
         for name in NEW_R4 + NEW_R5 + NEW_R7 + NEW_R8:
             if name in qs:
+                if budget.remaining() < 45:
+                    budget.skipped.append(f"sf2:{name}")
+                    continue
                 t0 = time.time()
                 qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
                 secondary_new[name] = round(time.time() - t0, 3)
@@ -338,14 +344,22 @@ def main() -> None:
                 n: round(timings[n] / secondary[n], 2) if secondary[n] > 0 else None
                 for n in secondary
             },
-            "new_r4_queries": secondary_new,
-            "new_r4_scaling_ratio": {
+            # covers the merged r4+r5+r7+r8 additions (renamed from the
+            # misleading new_r4_* keys, per the r8 ADVICE)
+            "added_queries": secondary_new,
+            "added_queries_scaling_ratio": {
                 n: round({**new_r4, **new_r5, **new_r7, **new_r8}[n] / secondary_new[n], 2)
                 if secondary_new[n] > 0 and n in {**new_r4, **new_r5, **new_r7, **new_r8}
                 else None
                 for n in secondary_new
             },
         }
+    out["budget"] = {
+        "budget_s": budget.total,
+        "elapsed_s": round(budget.elapsed(), 1),
+        "skipped": budget.skipped,
+        "degraded_min_of_1": budget.degraded,
+    }
     # Bench continuity: per-query delta vs the previous round's FULL record.
     # Preferred source is our own sidecar BENCH_DETAIL.json (always complete);
     # fall back to the newest PARSEABLE driver BENCH_r{N}.json (r3's was
@@ -425,6 +439,7 @@ def main() -> None:
         "queries": timings,
         "tier2_total": out["tier2_total"],
         "tier2": tier2,
+        "skipped": len(budget.skipped),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact))

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sources.star import ensure_parallelism
+from ..sources.star import ensure_parallelism, stage_barrier
 from .dedup import normalized_text
 
 #: Tiny per-language stopword lists for the n-gram/stopword language heuristic.
@@ -188,10 +188,13 @@ def content_defined_chunks(
     one-string-hash-per-POSITION form re-joined and re-hashed the window at
     every candidate (measured 106 s for the sf0.1 corpus vs ~16 s rolling).
 
-    Staging note: each derived array (tokens → token hashes → boundary cuts
-    → sub-starts) is materialized behind a select boundary before a lambda
-    references it — a lambda capturing an unstaged EXPRESSION re-evaluates
-    it per element (the SCALING.md lambda-capture class)."""
+    Staging note: select boundaries alone do NOT stage the derived arrays —
+    CollapseProject merges the projections and inlines the tokens→hashes→cuts
+    expression chain into the span/render lambdas, re-evaluating it per array
+    ELEMENT (measured 156 s for 500 docs at sf0.001).  A
+    :func:`~..sources.star.stage_barrier` (Generate node) after the cuts
+    projection pins ``_toks``/``_cuts``/``_n`` as bound attributes for every
+    downstream lambda (same shape: ~2 s; sf0.1: ~1 s — see BENCH_DETAIL)."""
     if window < 1 or mask < 1 or max_tokens < 1:
         raise ValueError("window, mask and max_tokens must be >= 1")
     toks = F.split(normalized_text(F.col(text_col)), " ")
@@ -223,14 +226,24 @@ def content_defined_chunks(
         return sum(parts[1:], parts[0])
 
     bpos = F.filter(cand, lambda i: F.pmod(_wsum(i), F.lit(mask)) == 0)
-    with_cuts = staged.select(
-        F.col(id_col),
+    # stage_barrier: without the fence the md5-chain _cuts expression is
+    # re-inlined into the span lambdas (CollapseProject) AND into the
+    # size(_chunks)>0 filter that InferFiltersFromGenerate pushes to the
+    # scan, re-evaluating it per array element — measured 156 s vs ~2 s for
+    # 500 docs at sf0.001
+    with_cuts = stage_barrier(
+        staged.select(
+            F.col(id_col),
+            "_toks",
+            n.alias("_n"),
+            F.concat(
+                F.array(F.lit(0).cast("int")),
+                F.transform(bpos, lambda i: (i + 1).cast("int")),
+            ).alias("_cuts"),
+        ),
         "_toks",
-        n.alias("_n"),
-        F.concat(
-            F.array(F.lit(0).cast("int")),
-            F.transform(bpos, lambda i: (i + 1).cast("int")),
-        ).alias("_cuts"),
+        "_n",
+        "_cuts",
     )
     # spans between consecutive cuts, each hard-split at max_tokens strides
     ncuts = F.size("_cuts")
@@ -257,10 +270,9 @@ def content_defined_chunks(
         )
     )
     # Chunk text is rendered INSIDE the per-row array transform, so only
-    # finished (chunk_text, n_tokens) structs cross the explode — carrying
-    # _toks through posexplode and slicing afterwards re-evaluates the whole
-    # tokens→hashes→cuts→spans expression chain once per OUTPUT CHUNK after
-    # project-collapse (measured 173 s for 500 docs; this shape runs in ~2 s)
+    # finished (chunk_text, n_tokens) structs cross the explode; _toks and
+    # _cuts are bound attributes here (Generate barrier above), so each
+    # lambda body is a handful of integer ops plus one slice
     chunks_arr = F.transform(
         sub_starts,
         lambda sp: F.struct(

@@ -68,6 +68,43 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df
 
 
+def stage_barrier(df: DataFrame, *cols: str) -> DataFrame:
+    """Optimizer fence for expensive computed columns that downstream lambdas
+    or inferred filters reference (the SCALING.md lambda-capture class).
+
+    Two Catalyst rewrites re-inline a staged column's defining EXPRESSION so
+    it re-evaluates once per array ELEMENT instead of once per row:
+    ``CollapseProject`` merges adjacent projections (inlining into
+    higher-order-function lambda bodies), and ``PushPredicateThroughNonJoin``
+    substitutes aliases while pushing filters — including the
+    ``size(arr) > 0`` filter that ``InferFiltersFromGenerate`` derives from
+    every explode — all the way to the scan.  A Generate node blocks only the
+    first; filters push straight through it (measured: X90 chunking stayed at
+    156 s for 500 docs with a Generate-only barrier because the inferred
+    filter carried the whole md5 chain to the scan).
+
+    Wrapping each named column in a nondeterministic identity —
+    ``element_at(shuffle(array(col)), 1)``, a one-element shuffle — blocks
+    both: neither rule may duplicate or move a nondeterministic expression,
+    so the wrapped columns stay bound attributes everywhere downstream.
+    (``when(rand() < 2.0, col)`` does NOT work: Spark 4's bounds-aware
+    constant folding knows ``rand() ∈ [0,1)`` and folds the branch away.)
+    Unlike ``cache()``/``localCheckpoint()`` this is lazy, shuffle-free
+    (``shuffle`` here is the array-permute function, not an exchange), costs
+    one single-element array wrap per row, and stays fully distributed at any
+    scale.  Output values are bit-identical to the input, so oracle hashes
+    are unaffected."""
+    fenced = set(cols) if cols else set(df.columns)
+    return df.select(
+        *[
+            F.element_at(F.shuffle(F.array(F.col(c))), 1).alias(c)
+            if c in fenced
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table as a dict of DataFrames."""
     return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -481,6 +481,42 @@ def test_content_defined_chunks_realign_after_insertion(spark):
     assert shared_cdc > shared_fixed  # CDC strictly beats fixed-stride here
 
 
+def test_content_defined_chunks_plan_stays_staged(spark):
+    """Plan-shape pin for the r8->r9 X90 blowup: the per-token md5 chain must
+    appear EXACTLY once in the optimized plan.  Without the stage_barrier
+    fence, CollapseProject inlines it into the span lambdas and
+    InferFiltersFromGenerate + predicate pushdown carry a copy into a
+    scan-side filter where it re-evaluates per array element — measured
+    156 s vs ~2 s for 500 docs at sf0.001 (and an rc=124 driver bench)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.text import content_defined_chunks
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    out = content_defined_chunks(docs, "text", "doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1, f"md5 chain duplicated {plan.count('md5(')}x"
+    # the nondeterministic identity fence must survive optimization
+    assert "shuffle(" in plan
+
+
+def test_stage_barrier_identity_and_fence(spark):
+    """stage_barrier: values bit-identical, columns/order preserved, and the
+    fenced expression is NOT collapsed into downstream lambdas or pushed-down
+    filters (Spark 4 folds the rand()<2.0 trick, so this pins shuffle())."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources.star import stage_barrier
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], "x"), (2, [], None)], ["id", "arr", "s"]
+    )
+    out = stage_barrier(df, "arr", "s")
+    assert out.columns == df.columns
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+    # fence blocks predicate pushdown through the staged projection
+    staged = stage_barrier(df.select("id", (F.col("id") * 2).alias("v")), "v")
+    filt = staged.filter(F.col("v") > 0)
+    plan = filt._jdf.queryExecution().optimizedPlan().toString()
+    assert "shuffle(" in plan
+
+
 def test_lsh_clustering_matches_exact(docs):
     """dedup_cluster_canonical_lsh contract: clustering over MinHash-LSH
     candidate pairs (the scale path) recovers the same canonical assignment
