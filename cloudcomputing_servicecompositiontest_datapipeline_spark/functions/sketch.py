@@ -265,26 +265,52 @@ def hist_quantile(
 # register index = top ``HLL_P`` bits, rank = leading-zero count of the
 # remaining ``32-HLL_P`` bits + 1 (all-zero window → W+1).  Merge is
 # element-wise max (associative ⇒ merged shards ≡ sketch of the union —
-# the law that makes the artifact storable).  The raw estimate
-# alpha_m·m²/Z is computed with Z as an EXACT decimal sum (2^-rank is a
-# finite decimal), so both engines floor the same double — no float-sum
-# order dependence.  The declared estimate is the RAW one (no linear-
-# counting branch: m·ln(m/V) pulls in libm, whose last-ulp behaviour is
-# the one thing Spark's JVM and DuckDB's C runtime don't share).
+# the law that makes the artifact storable).  Everything through the hash
+# gate is INTEGER arithmetic: rank via a generated power-of-two CASE
+# ladder (the r8 driver red traced to `bin()`/`conv` string bit-length,
+# whose zero-padding is engine-version-sensitive), Z as the integer
+# numerator Σ 2^(RMAX−rank) (each term ≤ 2^RMAX, sum ≤ m·2^RMAX < 2^34 —
+# exact in bigint AND in double).  The raw estimate is then ONE
+# deterministic IEEE op, floor((alpha_m·m²·2^RMAX) / z_num): the scaled
+# constant is a double literal baked identically into both engines,
+# z_num converts to double exactly, and IEEE division + floor are
+# correctly rounded everywhere — no float SUM, no decimal stringification.
+# The declared estimate is the RAW one (no linear-counting branch:
+# m·ln(m/V) pulls in libm, whose last-ulp behaviour is the one thing
+# Spark's JVM and DuckDB's C runtime don't share).
 # ---------------------------------------------------------------------------
-
-import decimal as _decimal
 
 HLL_P = 9  #: register-index bits → m = 512 registers (σ ≈ 1.04/√m ≈ 4.6%)
 HLL_M = 1 << HLL_P
 _HLL_W = 32 - HLL_P  #: rank window bits
 _HLL_RMAX = _HLL_W + 1  #: rank of the all-zero window
-#: alpha_m · m² for m ≥ 128 (the standard bias constant), baked as the SAME
-#: double literal into the Spark plan and the oracle SQL.
+#: alpha_m · m² for m ≥ 128 (the standard bias constant) pre-scaled by
+#: 2^RMAX (an exact exponent shift), baked as the SAME double literal into
+#: the Spark plan and the oracle SQL: estimate = floor(this / z_num).
 HLL_ALPHA_MM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
-#: exact decimal literals of 2^-r, r = 0.._HLL_RMAX (plain notation, scale 24)
-HLL_POW2 = [format(_decimal.Decimal(1) / (_decimal.Decimal(2) ** r), "f") for r in range(_HLL_RMAX + 1)]
-_ZDEC = "decimal(38,24)"
+HLL_ALPHA_MM_SCALED = HLL_ALPHA_MM * (1 << _HLL_RMAX)
+#: integer weights 2^(RMAX-r), r = 0.._HLL_RMAX — z_num = Σ weights[rank]
+HLL_POW2_INT = [1 << (_HLL_RMAX - r) for r in range(_HLL_RMAX + 1)]
+
+
+def _hll_bitlen(w: F.Column) -> F.Column:
+    """Bit length of a ``_HLL_W``-bit non-negative integer as a pure-integer
+    CASE ladder — no ``conv``/``bin`` string round-trip (their zero-padding
+    on integer types is engine-version-sensitive; the r8 driver-red class).
+    The DuckDB oracle generates the identical ladder from the same loop."""
+    out = F.lit(0)
+    for b in range(1, _HLL_W + 1):
+        out = F.when(w >= F.lit(1 << (b - 1)), F.lit(b)).otherwise(out)
+    return out
+
+
+def hll_bitlen_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`_hll_bitlen`, generated from the same
+    constants so the two ladders cannot drift."""
+    cases = " ".join(
+        f"WHEN {expr} >= {1 << (b - 1)} THEN {b}" for b in range(_HLL_W, 0, -1)
+    )
+    return f"(CASE {cases} ELSE 0 END)"
 
 
 def _hll_hash_cols(item: F.Column) -> tuple[F.Column, F.Column]:
@@ -292,8 +318,7 @@ def _hll_hash_cols(item: F.Column) -> tuple[F.Column, F.Column]:
     h = F.conv(F.substring(F.md5(item.cast("string")), 1, 8), 16, 10).cast("long")
     idx = F.shiftright(h, _HLL_W).cast("int")
     w = h.bitwiseAND(F.lit((1 << _HLL_W) - 1))
-    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
-    rank = F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(F.lit(_HLL_RMAX) - bitlen)
+    rank = F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(F.lit(_HLL_RMAX) - _hll_bitlen(w))
     return idx, rank.cast("int")
 
 
@@ -339,19 +364,22 @@ def hll_portable_estimate(
     df: DataFrame, group_cols: list[str], sketch_col: str = "hll"
 ) -> DataFrame:
     """Raw HLL estimate per group from a register-array column: explode the
-    m registers, Z = Σ 2^-reg as an EXACT decimal (order-independent), then
-    ``est = floor(alpha_m·m² / double(Z))``.  Adds ``zero_registers``
-    (linear-counting diagnostic) and ``z`` (the exact decimal) alongside
-    ``estimate`` — callers wanting the small-range linear-counting branch
-    apply it on those columns (floats are fine outside the oracle gate)."""
-    pow2 = F.array(*[F.lit(s).cast(_ZDEC) for s in HLL_POW2])
+    m registers, ``z_num`` = Σ 2^(RMAX−reg) as an EXACT integer
+    (order-independent, ≤ m·2^RMAX < 2^34), then
+    ``est = floor(alpha_m·m²·2^RMAX / z_num)`` — one deterministic IEEE
+    divide+floor on exactly-representable inputs.  Adds ``zero_registers``
+    (linear-counting diagnostic) and ``z_num`` alongside ``estimate`` —
+    callers wanting the small-range linear-counting branch apply it on
+    those columns (floats are fine outside the oracle gate)."""
+    pow2 = F.array(*[F.lit(v).cast("long") for v in HLL_POW2_INT])
     ex = df.select(*group_cols, F.explode(sketch_col).alias("_reg"))
     agg = ex.groupBy(*group_cols).agg(
         F.sum(F.when(F.col("_reg") == 0, 1).otherwise(0)).cast("long").alias("zero_registers"),
-        F.sum(F.element_at(pow2, F.col("_reg") + 1)).cast(_ZDEC).alias("z"),
+        F.sum(F.element_at(pow2, F.col("_reg") + 1)).cast("long").alias("z_num"),
     )
     return agg.withColumn(
-        "estimate", F.floor(F.lit(HLL_ALPHA_MM) / F.col("z").cast("double")).cast("long")
+        "estimate",
+        F.floor(F.lit(HLL_ALPHA_MM_SCALED) / F.col("z_num").cast("double")).cast("long"),
     )
 
 
@@ -363,10 +391,10 @@ def hll_portable_rollup(
     re-derive — and re-scan — the shard build lineage).  posexplode each
     array, per (group, position) take max register AND the row count (every
     position sees every shard, so the count at any position == n shards),
-    then one m-bounded aggregation computes zeros, exact-decimal Z, and the
-    floored raw estimate.  Output: group cols + n_sketches, zero_registers,
-    z, estimate."""
-    pow2 = F.array(*[F.lit(s).cast(_ZDEC) for s in HLL_POW2])
+    then one m-bounded aggregation computes zeros, exact-integer z_num, and
+    the floored raw estimate.  Output: group cols + n_sketches,
+    zero_registers, z_num, estimate."""
+    pow2 = F.array(*[F.lit(v).cast("long") for v in HLL_POW2_INT])
     ex = df.select(*group_cols, F.posexplode(sketch_col).alias("_pos", "_v"))
     mx = ex.groupBy(*group_cols, "_pos").agg(
         F.max("_v").alias("_m"), F.count(F.lit(1)).alias("_n")
@@ -374,8 +402,9 @@ def hll_portable_rollup(
     agg = mx.groupBy(*group_cols).agg(
         F.max("_n").cast("long").alias("n_sketches"),
         F.sum(F.when(F.col("_m") == 0, 1).otherwise(0)).cast("long").alias("zero_registers"),
-        F.sum(F.element_at(pow2, F.col("_m") + 1)).cast(_ZDEC).alias("z"),
+        F.sum(F.element_at(pow2, F.col("_m") + 1)).cast("long").alias("z_num"),
     )
     return agg.withColumn(
-        "estimate", F.floor(F.lit(HLL_ALPHA_MM) / F.col("z").cast("double")).cast("long")
+        "estimate",
+        F.floor(F.lit(HLL_ALPHA_MM_SCALED) / F.col("z_num").cast("double")).cast("long"),
     )

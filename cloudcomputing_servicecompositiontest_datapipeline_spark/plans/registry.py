@@ -42,87 +42,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r8 window (changed-first, then oldest-green; the r7 window had 0
-    # FAILs).  Leads with the 17 queries whose code, declared mode, or
-    # schema changed THIS round — the new X90 chunker, report_full's
-    # reference-exact section columns, the single-shuffle LSH bucket-cap
-    # rewrite (dedup_minhash_lsh + its cluster_canonical consumer), and the
-    # FOURTEEN rows-only→oracle upgrades landed across r8's two passes
-    # (md5_32 hyperplanes / seed-vector quantizers / seed PQ codebooks /
-    # portable-HLL / md5-LSH eval / decimal-or-sequential-float score
-    # folds: similarity_lsh_topk, similarity_jl_projection,
-    # sketch_frequency_heavy_hitters, sketch_distinct_rollup,
-    # similarity_ivf_topk, similarity_ann_sweep, similarity_ann_eval,
-    # similarity_pq_encode, similarity_pq_eval, similarity_quantized_recall,
-    # similarity_jl_eval, dedup_lsh_eval, dedup_semantic_centroids) — then
-    # the seven remaining r7 deferrals (sketch_distinct_rollup moved up
-    # into the changed group), then 26 of the remaining r3-vintage rows.
-    # The r3-vintage tail spills to the r9 queue (all re-verified green
-    # locally today).
-    # --- changed/new in r8
-    "text_chunk_content_defined",  # X90, new operator this round
-    "report_full",
-    "similarity_lsh_topk",
-    "similarity_jl_projection",
-    "sketch_frequency_heavy_hitters",
-    "dedup_minhash_lsh",
-    "dedup_cluster_canonical_lsh",
-    "similarity_ann_sweep",
-    "similarity_ann_eval",
-    "similarity_ivf_topk",
-    "similarity_pq_encode",
-    "similarity_pq_eval",
-    "similarity_quantized_recall",
-    "similarity_jl_eval",
-    "dedup_lsh_eval",
-    "dedup_semantic_centroids",
-    "sketch_distinct_rollup",
-    # --- the remaining seven r7 deferrals (r2/r3-vintage)
-    "q22_balance_anti",
-    "subquery_cheapest_part",
-    "percentile_stats",
-    "pivot_event_types",
-    "unpivot_event_counts",
-    "report_linear_regression",
-    "incremental_agg_merge",
-    # --- latest driver record is r3: refresh (oldest first)
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "scalar_map_struct_funcs",
-    "scalar_variant_ingest",
-    "scalar_fuzzy_funcs",
-    "conditional_funcs",
-    "json_struct_roundtrip",
-    "explode_posexplode",
-    "io_csv_roundtrip",
-    "io_json_runs_roundtrip",
-    "udf_user_function",
-    "udf_sql_registered",
-    "udaf_grouped_custom",
-    "rename_transitions",
-    "payload_merge_defaults",
-    "payload_cycling",
-    "cdc_snapshot_diff",
-    "cdc_apply_delta",
-    "quality_constraint_report",
-    "profile_documents",
-    "skew_key_report",
-    "text_redact_pii",
-    "text_repetition_score",
-    "text_decontaminate",
+    # r9 window (changed-first, then oldest-driver-record-first; built from
+    # max-round-per-query over CORRECTNESS_r01..r08).  Leads with the one r8
+    # FAIL — sketch_distinct_rollup, whose oracle was made engine-portable
+    # this round (integer CASE-ladder bit-length, integer z_num, no decimal
+    # stringification) — and X90 text_chunk_content_defined, whose plan
+    # changed this round (stage_barrier fence; output bit-identical).  Then
+    # the single r1-vintage row (overlap_global), the 15 r3-vintage rows,
+    # and 32 of the 33 r4-vintage rows.  Deferred to the r10 queue:
+    # text_topngram_coverage (the last r4 row) and the r5-vintage set (43).
+    # --- changed in r9
+    "sketch_distinct_rollup",  # the r8 driver FAIL, oracle rebuilt integer-only
+    "text_chunk_content_defined",  # X90 stage_barrier fence (r8 perf weak)
+    # --- latest driver record r1
+    "overlap_global",
+    # --- latest driver record r3
+    "text_tfidf_top_terms",
+    "text_vocabulary_topk",
+    "text_quality_percentile",
+    "events_time_rollup",
+    "events_cumulative_distinct_users",
+    "window_distribution_funcs",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "multimodal_features",
+    "text_length_histogram",
+    "sample_global_shuffle",
+    "sample_domain_mix",
+    "sample_weighted_hash",
+    "pack_chunks_token_budget",
+    "embedding_centroid_by_label",
+    # --- latest driver record r4
+    "curation_blocklist",
+    "curation_quality_deciles",
+    "curation_source_cap",
+    "curation_source_mix",
+    "curation_target_mix",
+    "curation_temperature_resample",
+    "curation_token_budget",
+    "dedup_bloom_ingest",
+    "dedup_winnow_candidates",
+    "dedup_winnow_verified",
+    "drift_documents_lang",
+    "embedding_normalize_zscore",
+    "embedding_quantize_int8",
+    "events_cohort_retention",
+    "events_decayed_activity",
+    "events_funnel_conversion",
+    "inference_model_scores",
+    "layout_zorder_key",
+    "overlap_global_demo",
+    "pack_sequences_sharded",
+    "sample_per_group_reservoir",
+    "scalar_math_funcs",
+    "search_hybrid_rrf",
+    "streaming_available_now",
+    "streaming_dedup_on_arrival",
+    "streaming_source_quota",
+    "streaming_stateful_lifetimes",
+    "text_bm25_topk",
+    "text_hard_negatives",
+    "text_perplexity_scores",
+    "text_quality_funnel",
+    "text_quality_funnel_report",
 ]
-# r9 queue: lead with any r8 FAILs, then queries added/changed in r9, then
-# the r8 deferrals — the r3-vintage rows this window couldn't fit
-# (text_tfidf_top_terms, text_vocabulary_topk, text_quality_percentile,
-# events_time_rollup, events_cumulative_distinct_users,
-# window_distribution_funcs, events_tumbling_window, events_sliding_window,
-# multimodal_features, text_length_histogram, sample_global_shuffle,
-# sample_domain_mix, sample_weighted_hash, pack_chunks_token_budget,
-# embedding_centroid_by_label — all re-verified green locally in r8), then
-# start on the r4-vintage rows (38 queries whose latest driver record is
-# r4).
+# r10 queue: lead with any r9 FAILs and r10-changed queries, then
+# text_topngram_coverage (the one r4-vintage row this window couldn't fit),
+# then the r5-vintage rows (43: dedup_exact_text, q1_pricing_summary,
+# overlap_selfjoin, events_session_window, text_bpe_*, ... — see
+# max-round-per-query over CORRECTNESS_r01..r09).
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -606,13 +606,24 @@ def _hll_oracle_sql() -> str:
     """DuckDB recomputation of the portable-HLL pipeline (built from the
     SAME constants as functions/sketch.py, so the two can't drift): 32-bit
     md5 hash → register index (top p bits, integer division) / rank
-    (bit-length of the low window via ``bin()``, no float log), max-merge
-    per (event_type, register), Z as an exact decimal sum, floored raw
-    estimate under the identical alpha_m·m² double literal."""
-    from ..functions.sketch import HLL_ALPHA_MM, HLL_M, HLL_POW2, _HLL_RMAX, _HLL_W
+    (bit-length of the low window via a generated integer CASE ladder —
+    the r8 driver red traced to ``length(bin(...))``, whose zero-padding
+    on integer types is engine-version-sensitive), max-merge per
+    (event_type, register), z_num as an exact INTEGER sum Σ 2^(RMAX−reg),
+    floored raw estimate under the identical pre-scaled alpha_m·m²·2^RMAX
+    double literal — every hashed column integer except that one
+    deterministic IEEE divide+floor on exactly-representable inputs."""
+    from ..functions.sketch import (
+        HLL_ALPHA_MM_SCALED,
+        HLL_M,
+        HLL_POW2_INT,
+        _HLL_RMAX,
+        _HLL_W,
+        hll_bitlen_sql,
+    )
 
     win = 1 << _HLL_W
-    pow2_values = ", ".join(f"({r}, {v})" for r, v in enumerate(HLL_POW2))
+    pow2_values = ", ".join(f"({r}, {v})" for r, v in enumerate(HLL_POW2_INT))
     return f"""
     WITH src AS (
       SELECT event_type, cast(ts AS date) AS day,
@@ -621,21 +632,21 @@ def _hll_oracle_sql() -> str:
     regs AS (
       SELECT event_type, h // {win} AS idx,
              max(CASE WHEN h % {win} = 0 THEN {_HLL_RMAX}
-                      ELSE {_HLL_RMAX} - length(bin(h % {win})) END) AS reg
+                      ELSE {_HLL_RMAX} - {hll_bitlen_sql(f"(h % {win})")} END) AS reg
       FROM src GROUP BY 1, 2),
     p2(r, v) AS (VALUES {pow2_values}),
     days AS (SELECT event_type, count(DISTINCT day) AS n_sketches FROM src GROUP BY 1),
     agg AS (
       SELECT regs.event_type,
              {HLL_M} - count(*) AS zero_registers,
-             cast({HLL_M} - count(*) AS decimal(38,24))
-               + sum(cast(p2.v AS decimal(38,24))) AS z
+             cast(({HLL_M} - count(*)) AS bigint) * {HLL_POW2_INT[0]}
+               + sum(cast(p2.v AS bigint)) AS z_num
       FROM regs JOIN p2 ON p2.r = regs.reg GROUP BY 1)
     SELECT a.event_type,
            cast(d.n_sketches AS bigint) AS n_sketches,
            cast(a.zero_registers AS bigint) AS zero_registers,
-           cast(a.z AS decimal(38,24)) AS z,
-           cast(floor({HLL_ALPHA_MM!r} / cast(a.z AS double)) AS bigint) AS est_users
+           cast(a.z_num AS bigint) AS z_num,
+           cast(floor({HLL_ALPHA_MM_SCALED!r} / cast(a.z_num AS double)) AS bigint) AS est_users
     FROM agg a JOIN days d ON d.event_type = a.event_type
     ORDER BY a.event_type
     """
@@ -675,7 +686,7 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "estimate", "est_users"
     )
     return est.select(
-        "event_type", "n_sketches", "zero_registers", "z", "est_users"
+        "event_type", "n_sketches", "zero_registers", "z_num", "est_users"
     ).orderBy("event_type")
 
 

@@ -277,6 +277,38 @@ def test_hll_portable_merge_law_and_accuracy(spark, sf_dir):
         assert abs(est - n) / n < 0.15, (r.event_type, est, n)
 
 
+def test_hll_bitlen_ladder_matches_python(spark):
+    """The integer CASE ladder (Spark) and its generated DuckDB twin both
+    equal int.bit_length on boundary and random window values — the
+    arithmetic replacement for the engine-version-sensitive
+    length(bin(x))/conv(x,10,2) string bit-length (the r8 driver red)."""
+    import random
+
+    import duckdb
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions import sketch
+
+    rng = random.Random(9)
+    win = 1 << sketch._HLL_W
+    vals = sorted(
+        {0, 1, 2, 3, win - 1, win // 2, win // 2 - 1}
+        | {(1 << b) - 1 for b in range(1, sketch._HLL_W + 1)}
+        | {1 << b for b in range(sketch._HLL_W)}
+        | {rng.randrange(win) for _ in range(200)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["w"])
+    got = [
+        r[0]
+        for r in df.select(sketch._hll_bitlen(F.col("w")).alias("b"))
+        .orderBy("w")
+        .collect()
+    ]
+    assert got == [v.bit_length() for v in vals]
+    sql = f"SELECT {sketch.hll_bitlen_sql('w')} FROM (SELECT unnest(?) AS w)"
+    duck = [r[0] for r in duckdb.sql(sql, params=[vals]).fetchall()]
+    assert duck == [v.bit_length() for v in vals]
+
+
 def test_asof_backward_join_semantics(spark):
     """<= tie inclusion, strictly-later exclusion, and null when no match."""
     from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.joins import asof_backward_join
