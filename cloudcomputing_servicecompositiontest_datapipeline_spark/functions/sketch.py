@@ -81,8 +81,14 @@ def cm_sketch(
     Build shape: explode each item into its ``depth`` (row, bucket) cells,
     ONE groupBy counts cell hits (partial agg compresses the explode
     map-side), then cells collapse to the flat array via an O(size) map
-    lookup — the shuffles move (group, cell, count) triples, never items."""
-    cells = df.select(
+    lookup — the shuffles move (group, cell, count) triples, never items.
+
+    NULL items are uncountable keys and are excluded BEFORE hashing, the
+    same shape distinct_sketch uses — filtering the cells after the explode
+    (the r8 form) only caught md5 mode, where md5(NULL) is NULL; xxhash64
+    hashes NULL to a real per-row bucket, so the two modes produced
+    different sketches on null-bearing corpora (r8 ADVICE)."""
+    cells = df.where(F.col(item_col).isNotNull()).select(
         *group_cols,
         F.explode(
             F.array(
@@ -95,13 +101,6 @@ def cm_sketch(
             )
         ).alias("cell"),
     )
-    # A NULL item has no bucket in md5 mode (md5(NULL) is NULL — where
-    # xxhash64 hashes NULL to a real value) and a NULL cell would kill the
-    # map_from_entries below with NULL_MAP_KEY on a null-heavy corpus.
-    # NULL items are uncountable keys: exclude them from the sketch in both
-    # modes' spirit — a point query computes a NON-NULL bucket, so a NULL
-    # cell could never be read back anyway (same in the SQL oracle).
-    cells = cells.where(F.col("cell").isNotNull())
     counts = cells.groupBy(*group_cols, "cell").agg(F.count(F.lit(1)).alias("n"))
     size = depth * width
     cell_map = F.map_from_entries(F.collect_list(F.struct("cell", "n")))

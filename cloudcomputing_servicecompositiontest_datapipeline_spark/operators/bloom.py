@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.fastlit import lit_longs
+
 #: Default filter width: 2^17 bits = 16 KiB → <0.1% FPR for ~5k keys (k=5).
 DEFAULT_NUM_BITS = 1 << 17
 DEFAULT_NUM_HASHES = 5
@@ -94,10 +96,11 @@ def might_contain(
     which broadcasts instead).  Stays inside whole-stage codegen: no Python,
     no join, no shuffle.
 
-    The word array MUST be one ``F.lit(list)`` call: building it as
-    ``F.array(*[F.lit(w) ...])`` costs one py4j round-trip per word —
-    measured ~4 s of pure driver time at the default 2048 words."""
-    lit_words = F.lit([int(w) for w in words]).cast("array<bigint>")
+    The word array ships as ONE json literal (functions/fastlit):
+    ``F.lit(list)`` costs one py4j round-trip per word — measured ~2 s of
+    pure driver time at the default 2048 words — while from_json(lit(json))
+    constant-folds to the identical array literal."""
+    lit_words = lit_longs(words)
     return F.forall(
         _positions(key, num_bits, num_hashes),
         lambda p: F.bit_get(

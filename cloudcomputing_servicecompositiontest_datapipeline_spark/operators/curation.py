@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.fastlit import lit_doubles
+
 
 def per_source_cap(
     df: DataFrame,
@@ -758,7 +760,7 @@ def quantile_map(
         # no reference distribution to map onto — a silent NULL curve would
         # produce all-NULL mapped values downstream; fail loudly instead
         raise ValueError("quantile_map: reference frame has no non-null values")
-    q = F.lit([float(x) for x in curve_vals])
+    q = lit_doubles(curve_vals)
     base = new_df.filter(finite_d(F.col(value_col))).select(
         F.col(id_col), F.col(value_col).alias("value")
     )

@@ -12,9 +12,12 @@ accumulated in decimal so results are partition-order-insensitive.
 
 from __future__ import annotations
 
+from typing import Literal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.fastlit import lit_double_matrix, lit_doubles
 from ..sources.star import ensure_parallelism
 
 # Scale 12 matches every oracle's cast(... AS decimal(28,12)) rounding, so
@@ -59,21 +62,26 @@ def _argmin_centroids_seq(vec: F.Column, centers, n_pick: int = 1) -> F.Column:
     (the :func:`_dot_seq` argument — identical IEEE bits on any engine), so
     a SQL oracle using ``list_reduce`` over the same squared diffs gets the
     identical argmin, ties broken by centroid index.  ~5x the decimal twin
-    on wide center sets (measured on the 45-centroid semantic blocking)."""
-    entries = []
-    for j, c in enumerate(centers):
-        c_list = [float(x) for x in c]
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.lit(c_list),
-                lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
-    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_pick)
+    on wide center sets (measured on the 45-centroid semantic blocking).
+    One nested-literal table + indexed ``transform``, like its siblings —
+    the unrolled loop cost O(k) py4j aggregate builds of driver time."""
+    tbl = lit_double_matrix(centers)
+    entries = F.transform(
+        tbl,
+        lambda cv, j: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    cv,
+                    lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("d"),
+            j.alias("c"),
+        ),
+    )
+    ranked = F.slice(F.array_sort(entries), 1, n_pick)
     return F.transform(ranked, lambda s: s["c"])
 
 
@@ -263,21 +271,32 @@ def _argmin_centroids_exact(vec: F.Column, centers, n_pick: int = 1) -> F.Column
     therefore the identical argmin (ties broken by centroid index, exact
     under decimals).  Float mode drops the per-row ``||x||²`` term as a
     rank-invariant; here it must stay, because the ORACLE computes the full
-    distance and decimal equality is what makes the tie-break portable."""
-    entries = []
-    for j, c in enumerate(centers):
-        c_list = [float(x) for x in c]
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.lit(c_list),
-                lambda x, r: ((x.cast("double") - r) * (x.cast("double") - r)).cast(_ACC_DEC),
-            ),
-            F.lit(0).cast(_ACC_DEC),
-            lambda acc, t: (acc + t).cast(_ACC_DEC),
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
-    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_pick)
+    distance and decimal equality is what makes the tie-break portable.
+
+    Built as ONE nested-literal centroid table + an indexed ``transform``
+    (not a per-centroid Python loop): expression construction is O(1)
+    Column calls instead of O(k) aggregate builds — the unrolled form cost
+    ~10 s of py4j round-trips PER pq_encode plan at m=16·k=16 (r9
+    measurement: plan build 10.4 s vs 0.8 s execution), a fixed driver-side
+    tax every run pays regardless of data size.  Values are bit-identical
+    (same fold, same tie-break)."""
+    tbl = lit_double_matrix(centers)
+    entries = F.transform(
+        tbl,
+        lambda cv, j: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    cv,
+                    lambda x, r: ((x.cast("double") - r) * (x.cast("double") - r)).cast(_ACC_DEC),
+                ),
+                F.lit(0).cast(_ACC_DEC),
+                lambda acc, t: (acc + t).cast(_ACC_DEC),
+            ).alias("d"),
+            j.alias("c"),
+        ),
+    )
+    ranked = F.slice(F.array_sort(entries), 1, n_pick)
     return F.transform(ranked, lambda s: s["c"])
 
 
@@ -328,20 +347,28 @@ def _argmin_centroids(vec: F.Column, centers, n_pick: int = 1) -> F.Column:
     constant per row and dropped); centroids are LITERALS baked into the
     plan, so assignment is pure narrow compute — no join, no shuffle.
     Returns the ``n_pick`` nearest centroid ids as an array (struct sort on
-    (dist, id) keeps ties deterministic)."""
-    entries = []
-    for j, c in enumerate(centers):
-        c_list = [float(x) for x in c]
-        c_norm2 = float(sum(x * x for x in c_list))
-        dot = F.aggregate(
-            F.zip_with(vec, F.lit(c_list), lambda x, r: x.cast("double") * r),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(
-            F.struct((F.lit(c_norm2) - 2.0 * dot).alias("d"), F.lit(j).alias("c"))
-        )
-    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_pick)
+    (dist, id) keeps ties deterministic).  One nested-literal table + an
+    indexed ``transform`` — O(1) Column construction like
+    :func:`_argmin_centroids_exact` (the unrolled per-centroid loop was a
+    multi-second py4j plan-build tax at k ≳ 16)."""
+    tbl = lit_double_matrix(centers)
+    norms = lit_doubles(sum(float(x) * float(x) for x in c) for c in centers)
+    entries = F.transform(
+        tbl,
+        lambda cv, j: F.struct(
+            (
+                F.element_at(norms, j + 1)
+                - 2.0
+                * F.aggregate(
+                    F.zip_with(vec, cv, lambda x, r: x.cast("double") * r),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("d"),
+            j.alias("c"),
+        ),
+    )
+    ranked = F.slice(F.array_sort(entries), 1, n_pick)
     return F.transform(ranked, lambda s: s["c"])
 
 
@@ -754,7 +781,7 @@ def semantic_dedup(
     max_iterations: int = 25,
     exact_dots: bool = True,
     centers=None,
-    exact_assign: bool = False,
+    exact_assign: Literal[False, True, "seq"] = False,
 ) -> DataFrame:
     """X25 semantic dedup (SemDeDup-style): prune documents whose EMBEDDINGS
     are near-identical, catching paraphrases and re-renders that no lexical
@@ -785,6 +812,10 @@ def semantic_dedup(
     oracle-checkable mode, exactly the IVF/PQ precedent (the float
     ``exact_dots=False`` pair fold is itself sequential and therefore
     list_reduce-portable)."""
+    if exact_assign not in (False, True, "seq"):
+        raise ValueError(
+            f"exact_assign must be False, True or 'seq', got {exact_assign!r}"
+        )
     if block_col is not None:
         blocked = _with_norm(emb, "_id", "_vec", id_col, vec_col).join(
             emb.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_block")),
@@ -1261,7 +1292,7 @@ def pq_topk_recall(
             F.array(
                 *[
                     F.element_at(
-                        F.lit([[float(x) for x in row] for row in cb]),
+                        lit_double_matrix(cb),
                         F.element_at(F.col("c_codes"), j + 1) + 1,
                     )
                     for j, cb in enumerate(codebooks)
@@ -1277,7 +1308,7 @@ def pq_topk_recall(
             qsub = F.slice(F.col("q_vec"), j * sub + 1, sub)
             # one F.lit(nested list) call — per-element F.lit would cost one
             # py4j round-trip per centroid component (k*dsub per subspace)
-            table = F.lit([[float(x) for x in row] for row in cb])
+            table = lit_double_matrix(cb)
             cent = F.element_at(table, F.element_at(F.col("c_codes"), j + 1) + 1)
             parts.append(
                 F.aggregate(
@@ -1370,16 +1401,13 @@ def random_projection(
         import hashlib
 
         def sign_row(i: int) -> F.Column:
-            return F.array(
-                *[
-                    F.lit(
-                        1.0
-                        if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16) % 2
-                        == 0
-                        else -1.0
-                    )
-                    for j in range(in_dim)
-                ]
+            # one json literal per row, not in_dim py4j F.lit calls
+            return lit_doubles(
+                1.0
+                if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16) % 2
+                == 0
+                else -1.0
+                for j in range(in_dim)
             )
 
         comps = [

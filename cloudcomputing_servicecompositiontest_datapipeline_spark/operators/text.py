@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.fastlit import lit_doubles, lit_strings
 from ..sources.star import ensure_parallelism, stage_barrier
 from .dedup import normalized_text
 
@@ -700,22 +701,22 @@ def perplexity_scores(
 
     uni, bi = model["uni"], model["bi"]
     n_tok, vocab = model["n_tokens"], model["vocab"]
-    # map_from_arrays over two F.lit(list) calls, NOT create_map over
-    # per-entry F.lit: the latter is one py4j round-trip per entry, which
-    # at the 50k default top_k would cost minutes of driver time (same trap
-    # as the Bloom word array)
+    # map_from_arrays over two fast_lit json literals: F.lit(list) is
+    # STILL one py4j round-trip per element (~1.3 ms each — minutes at the
+    # 50k default top_k); from_json(lit(json)) ships the vocabulary as one
+    # string and constant-folds to the identical literal (functions/fastlit)
     uni_map = (
         F.map_from_arrays(
-            F.lit(list(uni.keys())),
-            F.lit([float(v) for v in uni.values()]),
+            lit_strings(list(uni.keys())),
+            lit_doubles(uni.values()),
         )
         if uni
         else F.create_map().cast("map<string,double>")
     )
     bi_map = (
         F.map_from_arrays(
-            F.lit([a + "\u0001" + b for (a, b) in bi.keys()]),
-            F.lit([float(v) for v in bi.values()]),
+            lit_strings([a + "\u0001" + b for (a, b) in bi.keys()]),
+            lit_doubles(bi.values()),
         )
         if bi
         else F.create_map().cast("map<string,double>")

@@ -1739,13 +1739,20 @@ def _ann_eval_cte(n_planes: int, planes_per_table: int) -> str:
     instead of re-deriving cosines), the exact top-5 `truth`, the md5_32
     hyperplane signatures (`sigs`, table = plane // planes_per_table — the
     similarity_lsh_topk fragment), and the seed-vector IVF quantizer
-    (`centers`/`assigned`/`adist` — the similarity_ivf_topk fragment)."""
+    (`centers`/`assigned`/`adist` — the similarity_ivf_topk fragment).
+
+    norms and dots carry the same NULL/dimension guard as the
+    semantic-centroids oracle (r8 ADVICE): DuckDB's list_sum silently skips
+    NULL elements where Spark's fold poisons to NULL, so a ragged or NULL
+    embedding would otherwise diverge truth/candidate sets.  (No inline SQL
+    comments here — the registry collapses oracles to one line.)"""
     return f"""
     WITH norms AS (
       SELECT vec_id, embedding,
              sqrt(cast(list_sum(list_transform(embedding, x ->
                cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)) AS nrm
-      FROM embeddings),
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64),
     bf AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         CASE WHEN q.nrm * c.nrm > 0 THEN
@@ -1766,7 +1773,8 @@ def _ann_eval_cte(n_planes: int, planes_per_table: int) -> str:
     dots AS (
       SELECT e.vec_id, pl.p,
              list_sum(list_transform(e.embedding, (x, i) -> cast(cast(x AS double) * pl.cv[i] AS decimal(28,12)))) AS dot
-      FROM embeddings e CROSS JOIN planes pl),
+      FROM embeddings e CROSS JOIN planes pl
+      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64),
     sigs AS (
       SELECT vec_id, cast(p // {planes_per_table} AS int) AS tbl,
              sum(CASE WHEN dot >= 0 THEN cast(1 AS bigint) << cast(p % {planes_per_table} AS int) ELSE cast(0 AS bigint) END) AS bits

@@ -553,3 +553,68 @@ def write_jsonl_shards(
         for fn in files
         if fn.startswith("part-")
     )
+
+
+def s3_bulk_pull(
+    bucket: str,
+    prefix: str,
+    local_dir: str,
+    *,
+    delete_after: bool = False,
+    max_retries: int = 3,
+    client=None,
+) -> list[str]:
+    """S8 staged bulk pull (reference ``test/s3pull.py:46-94`` semantics):
+    paginated ``list_objects_v2`` under ``prefix``, download every non-"dir"
+    key to ``local_dir`` preserving key paths (bounded per-key retries),
+    optionally delete the pulled objects after.  Returns the local paths.
+
+    The SCALE path is NOT this helper: a cluster reads ``s3a://bucket/
+    prefix`` directly through the Hadoop FileSystem (zero copy, predicate
+    pushdown at the scan — every reader in this module takes such URIs).
+    The staged pull exists for the reference's laptop-ingest workflow and
+    for environments whose executors lack object-store credentials; it is
+    driver-local by design, so use it for config/seed payloads, not data.
+
+    boto3 is imported lazily and gated — environments without it get an
+    ImportError only when actually calling this."""
+    import time
+
+    if client is None:
+        import boto3
+
+        client = boto3.client("s3")
+    keys: list[str] = []
+    token: str | None = None
+    while True:
+        kwargs = {"Bucket": bucket, "Prefix": prefix}
+        if token:
+            kwargs["ContinuationToken"] = token
+        page = client.list_objects_v2(**kwargs)
+        for entry in page.get("Contents") or []:
+            if not entry["Key"].endswith("/"):
+                keys.append(entry["Key"])
+        token = page.get("NextContinuationToken")
+        if token is None:
+            break
+    pulled: list[str] = []
+    for key in keys:
+        dest = os.path.join(local_dir, key)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        for attempt in range(max_retries):
+            try:
+                client.download_file(bucket, key, dest)
+                break
+            except Exception:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        pulled.append(dest)
+    if delete_after and keys:
+        # batched delete (1000-key API limit), not per-object calls
+        for i in range(0, len(keys), 1000):
+            client.delete_objects(
+                Bucket=bucket,
+                Delete={"Objects": [{"Key": k} for k in keys[i : i + 1000]]},
+            )
+    return pulled

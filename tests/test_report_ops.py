@@ -443,6 +443,24 @@ def test_cm_sketch_md5_mode_matches_xxhash_bounds(spark):
         cm_sketch(df, "item", [], bucket_hash="crc32")
 
 
+def test_cm_sketch_null_items_excluded_in_both_modes(spark):
+    """NULL items must not be counted in EITHER hash mode (r8 ADVICE: the
+    post-explode cell filter only caught md5 mode — xxhash64 hashes NULL to
+    a real bucket, so the two modes diverged on null-bearing corpora).
+    Both modes' sketches of a null-bearing corpus must equal the sketches
+    of the same corpus with nulls pre-dropped."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.functions.sketch import cm_sketch
+
+    rows = [("a",)] * 5 + [(None,)] * 3 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "item STRING")
+    clean = df.where(F.col("item").isNotNull())
+    for mode in ("xxhash64", "md5_32"):
+        w_null = cm_sketch(df, "item", [], bucket_hash=mode).collect()[0].cm
+        w_clean = cm_sketch(clean, "item", [], bucket_hash=mode).collect()[0].cm
+        assert w_null == w_clean, mode
+        assert sum(w_null) == 4 * 7  # depth * non-null rows
+
+
 def test_hist_sketch_merge_law_and_quantile_bound(spark):
     """Histogram sketch: shard-merge equals whole-data histogram exactly;
     quantile estimates land within one bin width of the true quantile."""
