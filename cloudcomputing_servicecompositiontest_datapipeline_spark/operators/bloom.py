@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.fastlit import lit_longs
+from ..sources.star import stage_barrier
 
 #: Default filter width: 2^17 bits = 16 KiB → <0.1% FPR for ~5k keys (k=5).
 DEFAULT_NUM_BITS = 1 << 17
@@ -169,6 +170,11 @@ def prefiltered_anti_join(
     words = bloom_build(
         corpus_keys, F.col(key), num_bits=num_bits, num_hashes=num_hashes
     )
+    # stage_barrier: the probe filter references the key once per hash
+    # position; if the caller derived the key (sha2 of normalized text),
+    # predicate pushdown inlines that chain num_hashes times per row
+    # (plan_audit LambdaCaptureHash).  The fence pins it to one evaluation.
+    incoming = stage_barrier(incoming, key)
     if probe == "pandas":
         flagged = might_contain_pandas(
             incoming, words, F.col(key), num_bits=num_bits, num_hashes=num_hashes
@@ -179,5 +185,11 @@ def prefiltered_anti_join(
         flag = might_contain(words, F.col(key), num_bits=num_bits, num_hashes=num_hashes)
         fresh = incoming.filter(~flag)
         maybe = incoming.filter(flag)
-    survivors = maybe.join(corpus_keys.select(key).distinct(), key, "left_anti")
+    # corpus side fenced too: constraint propagation copies the probe
+    # predicate across the join equality onto the corpus branch — useless
+    # (every corpus key passes its own filter) and, unfenced, it re-derives
+    # the caller's key chain per corpus row
+    survivors = maybe.join(
+        stage_barrier(corpus_keys.select(key).distinct(), key), key, "left_anti"
+    )
     return fresh.unionByName(survivors)

@@ -1761,8 +1761,12 @@ def remove_boilerplate_lines(
         F.transform(F.split(F.col(text_col), line_sep), lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,
     )
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), lines.alias("_ls")
+    # stage_barrier: InferFiltersFromGenerate derives size(_ls)>0 from the
+    # posexplode and pushdown would inline the whole split/trim chain into a
+    # scan-side filter, re-running it per doc (plan_audit LambdaCaptureHash)
+    base = stage_barrier(
+        ensure_parallelism(df).select(F.col(id_col).alias("_id"), lines.alias("_ls")),
+        "_ls",
     )
     exploded = base.select(
         "_id", F.posexplode("_ls").alias("i", "ln")

@@ -48,14 +48,15 @@ DRIVER_WINDOW: list[str] = [
     # this round (integer CASE-ladder bit-length, integer z_num, no decimal
     # stringification) — and X90 text_chunk_content_defined, whose plan
     # changed this round (stage_barrier fence; output bit-identical).  Then
-    # the single r1-vintage row (overlap_global), the 15 r3-vintage rows,
-    # and 32 of the 33 r4-vintage rows.  Deferred to the r10 queue:
-    # text_topngram_coverage (the last r4 row) and the r5-vintage set (43).
+    # the 15 r3-vintage rows and all 33 r4-vintage rows (the r1-vintage
+    # CORRECTNESS name overlap_global is today's overlap_global_demo, an r4
+    # row).  Deferred to the r10 queue: the r5-vintage set (43).
     # --- changed in r9
     "sketch_distinct_rollup",  # the r8 driver FAIL, oracle rebuilt integer-only
     "text_chunk_content_defined",  # X90 stage_barrier fence (r8 perf weak)
-    # --- latest driver record r1
-    "overlap_global",
+    # (r1's overlap_global row was renamed overlap_global_demo in r4 — the
+    # demo variant below already covers it; slot goes to the last r4 row)
+    "text_topngram_coverage",
     # --- latest driver record r3
     "text_tfidf_top_terms",
     "text_vocabulary_topk",
@@ -107,8 +108,7 @@ DRIVER_WINDOW: list[str] = [
     "text_quality_funnel_report",
 ]
 # r10 queue: lead with any r9 FAILs and r10-changed queries, then
-# text_topngram_coverage (the one r4-vintage row this window couldn't fit),
-# then the r5-vintage rows (43: dedup_exact_text, q1_pricing_summary,
+# the r5-vintage rows (43: dedup_exact_text, q1_pricing_summary,
 # overlap_selfjoin, events_session_window, text_bpe_*, ... — see
 # max-round-per-query over CORRECTNESS_r01..r09).
 

@@ -340,6 +340,110 @@ def _allowed(name: str):
     return [entry] if isinstance(entry, tuple) else list(entry)
 
 
+#: higher-order functions — their ``arguments()`` (the data arrays) are
+#: re-evaluated once per ENCLOSING-lambda element when Catalyst inlines a
+#: staged chain into them (the r8 X90 class: 156 s vs 2 s for 500 docs)
+_HOF_NAMES = {
+    "ArrayTransform",
+    "ArrayFilter",
+    "ArrayAggregate",
+    "ZipWith",
+    "ArrayExists",
+    "ArrayForAll",
+    "ArraySort",
+    "MapFilter",
+    "TransformKeys",
+    "TransformValues",
+}
+#: expensive per-row primitives (catalyst expression class names)
+_EXPENSIVE_EXPRS = {"Md5", "XxHash64", "Sha2", "Sha1", "Crc32", "RegExpReplace", "Conv"}
+#: derivation nodes: an expensive call is a HAZARD only when its own subtree
+#: re-derives its input (normalize/split/hash chains) — ``xxhash64(attr)``
+#: repeated k bounded times (bloom probe, minhash salting) is the intended
+#: contract and must not flag
+_DERIVE_EXPRS = _EXPENSIVE_EXPRS | {
+    "StringTrim",
+    "Lower",
+    "Upper",
+    "StringSplit",
+    "ConcatWs",
+    "Substring",
+    "ArrayJoin",
+    "ArrayTransform",
+    "ArrayFilter",
+}
+
+
+def _lambda_capture_hash(df) -> list[str]:
+    """Structural walk of the optimized plan's expression trees; return a
+    line for every spot showing the lambda-capture re-evaluation signature
+    (the r8 X90 class):
+
+    - a HOF whose DATA ARGUMENT contains an expensive call while the HOF
+      itself sits inside a lambda body — CollapseProject inlined a staged
+      chain into span lambdas, so the chain re-runs per outer element;
+    - the same shape inside a Filter condition — InferFiltersFromGenerate +
+      pushdown copied a staged chain to the scan, re-running it per row on
+      top of the projection's own evaluation.
+
+    A HOF whose argument is an attribute/literal and whose LAMBDA hashes
+    each element (minhash, shingling) is the intended per-element work and
+    does not flag.  Cure for real hits: stage the chain behind
+    sources/star.py:stage_barrier (the nondeterministic identity fence
+    CollapseProject/pushdown cannot cross)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+
+    def simple(e) -> str:
+        return e.getClass().getSimpleName()
+
+    def contains_derivation(e) -> bool:
+        if simple(e) in _DERIVE_EXPRS:
+            return True
+        cs = e.children()
+        return any(contains_derivation(cs.apply(i)) for i in range(cs.length()))
+
+    def contains_expensive(e) -> bool:
+        """An expensive call whose OWN subtree keeps deriving — a re-inlined
+        staged chain, not a bounded hash-of-attribute."""
+        if simple(e) in _EXPENSIVE_EXPRS:
+            cs = e.children()
+            if any(contains_derivation(cs.apply(i)) for i in range(cs.length())):
+                return True
+        cs = e.children()
+        return any(contains_expensive(cs.apply(i)) for i in range(cs.length()))
+
+    def scan(e, in_lambda: bool, where: str) -> None:
+        nm = simple(e)
+        if nm in _HOF_NAMES and in_lambda:
+            args = e.arguments()
+            for i in range(args.length()):
+                a = args.apply(i)
+                if contains_expensive(a):
+                    bad.append(
+                        f"{where}: {nm} data-arg re-derives an expensive chain "
+                        f"per outer element: {a.simpleString(100)[:120]}"
+                    )
+        child_in_lambda = in_lambda or nm == "LambdaFunction"
+        cs = e.children()
+        for i in range(cs.length()):
+            scan(cs.apply(i), child_in_lambda, where)
+
+    def walk(node) -> None:
+        is_filter = node.nodeName() == "Filter"
+        exprs = node.expressions()
+        for i in range(exprs.length()):
+            # a Filter's condition counts as "inside a lambda": the inferred
+            # size(chain)>0 filter re-runs the chain per row either way
+            scan(exprs.apply(i), is_filter, node.nodeName())
+        cs = node.children()
+        for i in range(cs.length()):
+            walk(cs.apply(i))
+
+    walk(plan)
+    return bad
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -370,6 +474,7 @@ def main() -> int:
             plan = df._jdf.queryExecution().executedPlan().toString()
             global_wins = _global_windows_over_unreduced(df)
             exact_pcts = _exact_percentiles_over_unreduced(df)
+            lam_hash = _lambda_capture_hash(df)
         except Exception as e:  # streaming-only plans etc.
             print(f"SKIP  {name}: {str(e).splitlines()[0][:90]}")
             continue
@@ -378,6 +483,8 @@ def main() -> int:
             hits.append("GlobalWindow")
         if exact_pcts:
             hits.append("ExactPercentile")
+        if lam_hash:
+            hits.append("LambdaCaptureHash")
         notes = []
         for flag, why in _allowed(name):
             if flag in hits:
