@@ -191,11 +191,13 @@ def content_defined_chunks(
 
     Staging note: select boundaries alone do NOT stage the derived arrays —
     CollapseProject merges the projections and inlines the tokens→hashes→cuts
-    expression chain into the span/render lambdas, re-evaluating it per array
-    ELEMENT (measured 156 s for 500 docs at sf0.001).  A
-    :func:`~..sources.star.stage_barrier` (Generate node) after the cuts
-    projection pins ``_toks``/``_cuts``/``_n`` as bound attributes for every
-    downstream lambda (same shape: ~2 s; sf0.1: ~1 s — see BENCH_DETAIL)."""
+    expression chain into the span/render lambdas, and predicate pushdown
+    copies it into the inferred ``size(_chunks) > 0`` scan filter —
+    re-evaluating it per array ELEMENT (measured 156 s for 500 docs at
+    sf0.001).  A :func:`~..sources.star.stage_barrier` (nondeterministic
+    identity fence) after the cuts projection pins ``_toks``/``_cuts``/
+    ``_n`` as bound attributes for every downstream lambda and filter
+    (same shape: ~2 s; sf0.1: ~1.1 s — see BENCH_DETAIL)."""
     if window < 1 or mask < 1 or max_tokens < 1:
         raise ValueError("window, mask and max_tokens must be >= 1")
     toks = F.split(normalized_text(F.col(text_col)), " ")
@@ -272,7 +274,7 @@ def content_defined_chunks(
     )
     # Chunk text is rendered INSIDE the per-row array transform, so only
     # finished (chunk_text, n_tokens) structs cross the explode; _toks and
-    # _cuts are bound attributes here (Generate barrier above), so each
+    # _cuts are bound attributes here (stage_barrier above), so each
     # lambda body is a handful of integer ops plus one slice
     chunks_arr = F.transform(
         sub_starts,
