@@ -50,6 +50,8 @@ SHOWCASE = [
     ("text_remove_boilerplate", "corpus-wide line-frequency cut: line-hash count, under-threshold join, position-sorted per-doc rebuild; fully-boilerplate docs preserved by the left join-back"),
     ("pack_documents_nostraddle", "one md5-shard Exchange feeding a single FlatMapGroupsInPandas — the sequential next-fit scan never leaves the shard"),
     ("curation_batch_by_length", "per-shard length-sorted windows cut fixed batches; one shard Exchange, both windows reuse the same partitioning"),
+    ("text_chunk_content_defined", "X90 CDC chunking post-stage_barrier: md5 chain computed ONCE per doc (one md5 in the whole plan), span/render lambdas over bound attributes, single Generate, zero joins — the r8 156s blowup shape is gone"),
+    ("similarity_pq_encode", "seed-codebook PQ encode: codebooks constant-folded json literals (no per-element py4j build), argmin as one indexed transform over the literal table — row-local, zero shuffle beyond ensure_parallelism"),
 ]
 
 MAX_LINES = 60
