@@ -107,10 +107,12 @@ DRIVER_WINDOW: list[str] = [
     "text_quality_funnel",
     "text_quality_funnel_report",
 ]
-# r10 queue: lead with any r9 FAILs and r10-changed queries, then
-# the r5-vintage rows (43: dedup_exact_text, q1_pricing_summary,
-# overlap_selfjoin, events_session_window, text_bpe_*, ... — see
-# max-round-per-query over CORRECTNESS_r01..r09).
+# r10 queue: lead with any r9 FAILs and r10-changed queries, then the
+# r5-vintage rows (43: dedup_exact_text, q1_pricing_summary,
+# overlap_selfjoin, events_session_window, text_bpe_*, ...).  Generate it
+# with `python tools/window_rotate.py <changed names...>` — it derives
+# vintages from the committed CORRECTNESS records and refuses stale or
+# unregistered names (the r9 overlap_global rename bug class).
 
 
 def ordered_queries() -> dict[str, QueryFn]:
