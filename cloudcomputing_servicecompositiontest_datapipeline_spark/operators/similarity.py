@@ -1517,8 +1517,13 @@ def projection_distortion_eval(
             ).cast("double")
         )
 
+    # broadcast one bounded side and coalesce the other: a plain crossJoin
+    # of two 32-partition 40-row sides is a CartesianProduct with 32x32 =
+    # 1024 near-empty tasks — pure scheduler overhead (measured as the bulk
+    # of this eval's 2.5 s at sf0.1)
     pairs = (
-        a.crossJoin(b)
+        a.coalesce(8)
+        .crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             dist(F.col("va"), F.col("vb")).alias("_base"),

@@ -91,7 +91,8 @@ ALLOWLIST = {
     "similarity_quantized_recall": ("BroadcastNestedLoopJoin", "bounded query panel vs linear corpus scan"),
     "similarity_pq_eval": ("BroadcastNestedLoopJoin", "bounded query panel vs linear code scan"),
     # JL distortion eval: all-pairs over a bounded 40-vector id slice
-    "similarity_jl_eval": ("CartesianProduct", "bounded 40x40 pair panel for distortion stats"),
+    # (broadcast side since r9 — was a 1024-task CartesianProduct)
+    "similarity_jl_eval": ("BroadcastNestedLoopJoin", "bounded 40x40 pair panel for distortion stats"),
     # r4 broadcast-join perplexity: the broadcast side is the ONE
     # (n_tokens, vocab) stats row from the capped unigram table
     "text_perplexity_scores": ("BroadcastNestedLoopJoin", "single model-stats row (n_tokens, vocab)"),
