@@ -517,6 +517,31 @@ def test_stage_barrier_identity_and_fence(spark):
     assert "shuffle(" in plan
 
 
+def test_bloom_prefilter_plan_stays_staged(spark):
+    """Plan-shape pin for the r9 bloom fence: the derived key chain (sha2 of
+    normalized text) must appear at most once per scan branch — incoming is
+    scanned twice (fresh + maybe) plus the corpus build, so <= 3 total.
+    Unfenced, predicate pushdown inlined the chain once per hash position
+    into the probe filters and constraint propagation copied it onto the
+    anti-join's corpus side (plan_audit LambdaCaptureHash)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import bloom as bl
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.dedup import normalized_text
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i % 3}") for i in range(8)], ["doc_id", "text"]
+    )
+    keyed = docs.select(
+        "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("content_hash")
+    )
+    out = bl.prefiltered_anti_join(
+        keyed.filter(F.col("doc_id") % 2 == 1),
+        keyed.filter(F.col("doc_id") % 2 == 0).select("content_hash"),
+        "content_hash",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("sha2(") <= 3, f"sha2 duplicated {plan.count('sha2(')}x"
+
+
 def test_lsh_clustering_matches_exact(docs):
     """dedup_cluster_canonical_lsh contract: clustering over MinHash-LSH
     candidate pairs (the scale path) recovers the same canonical assignment
