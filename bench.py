@@ -186,8 +186,8 @@ class _Budget:
     driver's timeout (r8 regression: the gate record was rc=124/parsed-null
     because one pathological query blew the whole-run budget).  Headline is
     timed in full first; grouped tables degrade min-of-2 -> min-of-1 -> skip
-    as the budget drains, and every skip is logged in the output record —
-    no silent caps."""
+    as the budget drains, and every skip/degradation is logged in the output
+    record — no silent caps."""
 
     def __init__(self, total_s: float) -> None:
         self.t0 = time.time()
@@ -200,6 +200,36 @@ class _Budget:
 
     def remaining(self) -> float:
         return self.total - self.elapsed()
+
+
+#: hard per-EXECUTION cap: a single runaway query gets its Spark jobs
+#: cancelled rather than blowing the whole-gate budget (the r8 rc=124 class
+#: — the budget floor alone admits a query at remaining()=61 s that then
+#: runs for 10 minutes)
+QUERY_CAP_S = float(os.environ.get("SG_BENCH_QUERY_CAP_S", "150"))
+
+
+def _capped_exec(spark, fn, tag: str, budget: _Budget) -> bool:
+    """Run one query execution under a job-group that a timer cancels after
+    min(QUERY_CAP_S, remaining budget).  Returns False (and logs
+    ``aborted:tag``) if the execution was cancelled or failed."""
+    import threading
+
+    cap = max(30.0, min(QUERY_CAP_S, budget.remaining()))
+    sc = spark.sparkContext
+    group = f"bench:{tag}"
+    sc.setJobGroup(group, tag, interruptOnCancel=True)
+    timer = threading.Timer(cap, lambda: sc.cancelJobGroup(group))
+    timer.daemon = True
+    timer.start()
+    try:
+        fn()
+        return True
+    except Exception:
+        budget.skipped.append(f"aborted:{tag}")
+        return False
+    finally:
+        timer.cancel()
 
 
 def main() -> None:
@@ -245,15 +275,21 @@ def main() -> None:
     # min of three timed executions: robust to a GC pause, compilation
     # straggler, or a hypervisor-steal burst landing in one run (observed:
     # single-run noise up to 5x on virtualized hosts).
+    def _noop(name: str, sf: str):
+        return lambda: qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        if not _capped_exec(spark, _noop(name, SF_DIR), f"headline:{name}", budget):
+            continue
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            if not _capped_exec(spark, _noop(name, SF_DIR), f"headline:{name}", budget):
+                break
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        if best < float("inf"):
+            timings[name] = round(best, 3)
 
     def _time_group(names: list[str], group: str) -> dict[str, float]:
         """Best-effort min-of-2 per query, degrading to min-of-1 below 45%
@@ -272,9 +308,11 @@ def main() -> None:
             best = float("inf")
             for _ in range(reps):
                 t0 = time.time()
-                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                if not _capped_exec(spark, _noop(name, SF_DIR), f"{group}:{name}", budget):
+                    break
                 best = min(best, time.time() - t0)
-            res[name] = round(best, 3)
+            if best < float("inf"):
+                res[name] = round(best, 3)
         return res
 
     # r2+ operators: a STABLE secondary table (same 11 queries since r2)
@@ -306,21 +344,28 @@ def main() -> None:
             if budget.remaining() < 60:
                 budget.skipped.append(f"sf2:{name}")
                 continue
+            reps = 2
+            if budget.remaining() <= budget.total * 0.25:
+                reps = 1
+                budget.degraded.append(f"sf2:{name}")
             best = float("inf")
-            for _ in range(2 if budget.remaining() > budget.total * 0.25 else 1):
+            for _ in range(reps):
                 t0 = time.time()
-                qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
+                if not _capped_exec(spark, _noop(name, SF2_DIR), f"sf2:{name}", budget):
+                    break
                 best = min(best, time.time() - t0)
-            secondary[name] = round(best, 3)
-        # scaling curvature for this round's additions too
+            if best < float("inf"):
+                secondary[name] = round(best, 3)
+        # scaling curvature for this round's additions too (min-of-1 by
+        # design — the ratio needs one comparable point, not a gate number)
         for name in NEW_R4 + NEW_R5 + NEW_R7 + NEW_R8:
             if name in qs:
                 if budget.remaining() < 45:
                     budget.skipped.append(f"sf2:{name}")
                     continue
                 t0 = time.time()
-                qs[name](spark, SF2_DIR).write.format("noop").mode("overwrite").save()
-                secondary_new[name] = round(time.time() - t0, 3)
+                if _capped_exec(spark, _noop(name, SF2_DIR), f"sf2:{name}", budget):
+                    secondary_new[name] = round(time.time() - t0, 3)
 
     out = {
         "metric": "headline_total",
@@ -341,7 +386,9 @@ def main() -> None:
             "total": round(sum(secondary.values()), 3),
             "queries": secondary,
             "sf_scaling_ratio": {
-                n: round(timings[n] / secondary[n], 2) if secondary[n] > 0 else None
+                n: round(timings[n] / secondary[n], 2)
+                if secondary[n] > 0 and n in timings
+                else None
                 for n in secondary
             },
             # covers the merged r4+r5+r7+r8 additions (renamed from the
@@ -420,6 +467,11 @@ def main() -> None:
     tier2 = {n: all_groups[n] for n in TIER2 if n in all_groups}
     out["tier2_queries"] = tier2
     out["tier2_total"] = round(sum(tier2.values()), 3)
+    # a budget-skipped tier2 member would silently SHRINK tier2_total and
+    # read as a speedup next round — mark the gate slice incomplete instead
+    tier2_missing = [n for n in TIER2 if n not in tier2]
+    if tier2_missing:
+        out["tier2_missing"] = tier2_missing
     # The driver's stdout-tail capture is 2000 bytes and json-parses what it
     # caught: the r3 full record outgrew it (parsed: null).  So the FULL
     # record goes to the committed sidecar BENCH_DETAIL.json, and stdout
@@ -442,6 +494,8 @@ def main() -> None:
         "skipped": len(budget.skipped),
         "detail": "BENCH_DETAIL.json",
     }
+    if tier2_missing:
+        compact["tier2_missing"] = tier2_missing
     print(json.dumps(compact))
 
 

@@ -13,8 +13,11 @@ zero runtime parse cost.
 JSON handles string escaping exactly (corpus-derived vocabularies are
 arbitrary bytes), and float round-tripping is exact: ``json.dumps`` emits
 ``repr`` and Jackson parses via ``Double.parseDouble``, both correctly
-rounded.  Not for NaN/±Inf (not valid JSON) — callers bake finite model
-constants (codebooks, norms, vocabularies, quantile curves).
+rounded.  NaN/±Inf are rejected loudly (``allow_nan=False``): Python would
+emit non-standard ``NaN``/``Infinity`` tokens whose acceptance rests on a
+non-contractual Spark parser default — callers bake finite model constants
+(codebooks, norms, vocabularies, quantile curves), and a NaN centroid
+leaking in from training is a bug to surface, not encode.
 """
 
 from __future__ import annotations
@@ -27,8 +30,8 @@ from pyspark.sql import Column, functions as F
 def fast_lit(value: list, schema: str) -> Column:
     """A literal Column of ``schema`` (e.g. ``array<array<double>>``) built
     from one JSON round-trip instead of per-element py4j calls.  Folds to a
-    plain Literal at optimization time."""
-    return F.from_json(F.lit(json.dumps(value)), schema)
+    plain Literal at optimization time.  Raises ``ValueError`` on NaN/±Inf."""
+    return F.from_json(F.lit(json.dumps(value, allow_nan=False)), schema)
 
 
 def lit_doubles(values) -> Column:

@@ -598,8 +598,14 @@ def s3_bulk_pull(
         if token is None:
             break
     pulled: list[str] = []
+    root = os.path.realpath(local_dir)
     for key in keys:
-        dest = os.path.join(local_dir, key)
+        # key paths come from the remote listing — never let '..' segments
+        # or a leading '/' escape local_dir (os.path.join discards the base
+        # for absolute paths)
+        dest = os.path.realpath(os.path.join(root, key.lstrip("/")))
+        if not dest.startswith(root + os.sep):
+            raise ValueError(f"S3 key escapes local_dir: {key!r}")
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         for attempt in range(max_retries):
             try:

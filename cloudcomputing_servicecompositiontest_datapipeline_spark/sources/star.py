@@ -95,6 +95,11 @@ def stage_barrier(df: DataFrame, *cols: str) -> DataFrame:
     scale.  Output values are bit-identical to the input, so oracle hashes
     are unaffected."""
     fenced = set(cols) if cols else set(df.columns)
+    unknown = fenced - set(df.columns)
+    if unknown:
+        # a typo'd column name would silently return an UNFENCED plan — the
+        # exact blowup the fence exists to prevent (X90: 156 s vs 2 s)
+        raise ValueError(f"stage_barrier: no such column(s) {sorted(unknown)}")
     return df.select(
         *[
             F.element_at(F.shuffle(F.array(F.col(c))), 1).alias(c)

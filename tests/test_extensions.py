@@ -515,6 +515,9 @@ def test_stage_barrier_identity_and_fence(spark):
     filt = staged.filter(F.col("v") > 0)
     plan = filt._jdf.queryExecution().optimizedPlan().toString()
     assert "shuffle(" in plan
+    # a typo'd column must raise, not silently return an unfenced plan
+    with pytest.raises(ValueError, match="no such column"):
+        stage_barrier(df, "arrr")
 
 
 def test_bloom_prefilter_plan_stays_staged(spark):

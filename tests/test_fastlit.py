@@ -56,6 +56,16 @@ def test_folds_to_plain_literal(spark):
     assert "from_json" not in plan
 
 
+def test_nan_inf_rejected(spark):
+    """NaN/Inf must fail loudly at build time — their acceptance would rest
+    on a non-contractual from_json parser default, and a NaN centroid
+    leaking in from training is a bug to surface, not encode."""
+    with pytest.raises(ValueError):
+        lit_doubles([1.0, float("nan")])
+    with pytest.raises(ValueError):
+        lit_doubles([float("inf")])
+
+
 def test_nested_schema_roundtrip(spark):
     v = [[1, 2], [], [3]]
     assert _one(spark, fast_lit(v, "array<array<bigint>>")) == v
