@@ -212,10 +212,16 @@ QUERY_CAP_S = float(os.environ.get("SG_BENCH_QUERY_CAP_S", "150"))
 def _capped_exec(spark, fn, tag: str, budget: _Budget) -> bool:
     """Run one query execution under a job-group that a timer cancels after
     min(QUERY_CAP_S, remaining budget).  Returns False (and logs
-    ``aborted:tag``) if the execution was cancelled or failed."""
+    ``aborted:tag:ExcClass``) if the execution was cancelled or failed —
+    the exception class is recorded so a genuinely broken query (analysis
+    error, missing table) is distinguishable from a budget cancel in the
+    record (r9 ADVICE).  The 30 s floor keeps a near-budget query from
+    being cancelled mid-flight, but once the budget is EXHAUSTED the floor
+    drops to 5 s — overruns past the budget must stay bounded."""
     import threading
 
-    cap = max(30.0, min(QUERY_CAP_S, budget.remaining()))
+    floor = 30.0 if budget.remaining() > 0 else 5.0
+    cap = max(floor, min(QUERY_CAP_S, budget.remaining()))
     sc = spark.sparkContext
     group = f"bench:{tag}"
     sc.setJobGroup(group, tag, interruptOnCancel=True)
@@ -225,8 +231,8 @@ def _capped_exec(spark, fn, tag: str, budget: _Budget) -> bool:
     try:
         fn()
         return True
-    except Exception:
-        budget.skipped.append(f"aborted:{tag}")
+    except Exception as e:
+        budget.skipped.append(f"aborted:{tag}:{type(e).__name__}")
         return False
     finally:
         timer.cancel()
@@ -278,12 +284,35 @@ def main() -> None:
     def _noop(name: str, sf: str):
         return lambda: qs[name](spark, sf).write.format("noop").mode("overwrite").save()
 
+    # Ambient-load sentinel (r9 verdict #1): a fixed data-independent probe
+    # timed at start / mid / end of the run, emitted in the record, so a
+    # reader can distinguish "host was busy" from "we regressed" — the probe
+    # runs serially with the queries, so its own inflation is external
+    # contention by construction.
+    from tools.sentinel import prime_sentinel, run_sentinel, summarize
+
+    prime_sentinel(spark)
+    sentinels: dict[str, dict] = {"start": run_sentinel(spark)}
+
+    # Headline: 1 untimed + min-of-3 timed, but budget-guarded like every
+    # other phase (r9 ADVICE: three ~100 s headline queries stay under the
+    # per-exec cap yet blow the whole-run budget) — below 40% remaining the
+    # phase degrades to min-of-1, below a 60 s floor it skips, and any
+    # missing member is flagged so headline_total can't silently shrink
+    # into a fake speedup.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if budget.remaining() < 60:
+            budget.skipped.append(f"headline:{name}")
+            continue
+        reps = 3
+        if budget.remaining() < budget.total * 0.40:
+            reps = 1
+            budget.degraded.append(f"headline:{name}")
         if not _capped_exec(spark, _noop(name, SF_DIR), f"headline:{name}", budget):
             continue
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.time()
             if not _capped_exec(spark, _noop(name, SF_DIR), f"headline:{name}", budget):
                 break
@@ -329,6 +358,8 @@ def main() -> None:
     new_r7 = _time_group(_tier2_first(NEW_R7), "r7")
     new_r8 = _time_group(_tier2_first(NEW_R8), "r8")
 
+    sentinels["mid"] = run_sentinel(spark)
+
     # Second scale factor: the same headline queries at SF2 (10x less data),
     # min-of-2.  sf_scaling_ratio = t(SF)/t(SF2) per query — for a 10x SF
     # step, a ratio well under 10 means fixed overhead still dominates at
@@ -367,6 +398,26 @@ def main() -> None:
                 if _capped_exec(spark, _noop(name, SF2_DIR), f"sf2:{name}", budget):
                     secondary_new[name] = round(time.time() - t0, 3)
 
+    # End-of-run headline RE-TIME (r9 verdict #1): one more execution of
+    # each headline query, recorded as first-vs-last drift.  Co-load early
+    # in a run shows up as retimes systematically FASTER than the headline
+    # pass (the r9 official-record signature); co-load late shows the
+    # opposite.  min-of-1 by design — this is a diagnostic, not the gate
+    # number — and budget-guarded so it can never cost the record itself.
+    retime: dict[str, float] = {}
+    retime_skipped = False
+    for name in timings:
+        if budget.remaining() < 45:
+            budget.skipped.append(f"retime:{name}")
+            retime_skipped = True
+            continue
+        t0 = time.time()
+        if _capped_exec(spark, _noop(name, SF_DIR), f"retime:{name}", budget):
+            retime[name] = round(time.time() - t0, 3)
+
+    sentinels["end"] = run_sentinel(spark)
+    noise = summarize(sentinels)
+
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -401,6 +452,21 @@ def main() -> None:
                 for n in secondary_new
             },
         }
+    out["noise_sentinel"] = noise
+    out["headline_retime"] = {
+        "queries": retime,
+        "retime_total": round(sum(retime.values()), 3),
+        # retime/first per query: <1 means the first pass was inflated
+        # (early co-load), >1 means late co-load or warm-state decay
+        "drift_vs_first": {
+            n: round(t / timings[n], 2) for n, t in retime.items() if timings.get(n)
+        },
+    }
+    if retime_skipped:
+        out["headline_retime"]["incomplete"] = True
+    headline_missing = [n for n in HEADLINE if n not in timings]
+    if headline_missing:
+        out["headline_missing"] = headline_missing
     out["budget"] = {
         "budget_s": budget.total,
         "elapsed_s": round(budget.elapsed(), 1),
@@ -493,9 +559,20 @@ def main() -> None:
         "tier2": tier2,
         "skipped": len(budget.skipped),
         "detail": "BENCH_DETAIL.json",
+        # in-band noise attestation: the three sentinel probe times, their
+        # spread, and the end-of-run headline re-time total — a quiet run
+        # reads flat (drift ~1.0, retime ~= value)
+        "noise": {
+            "sentinel_sec": [sentinels[k]["sec"] for k in ("start", "mid", "end")],
+            "drift": noise["drift_ratio"],
+            "noisy": noise["noisy"],
+            "retime_total": out["headline_retime"]["retime_total"],
+        },
     }
     if tier2_missing:
         compact["tier2_missing"] = tier2_missing
+    if headline_missing:
+        compact["headline_missing"] = headline_missing
     print(json.dumps(compact))
 
 

@@ -30,8 +30,15 @@ from pyspark.sql import Column, functions as F
 def fast_lit(value: list, schema: str) -> Column:
     """A literal Column of ``schema`` (e.g. ``array<array<double>>``) built
     from one JSON round-trip instead of per-element py4j calls.  Folds to a
-    plain Literal at optimization time.  Raises ``ValueError`` on NaN/±Inf."""
-    return F.from_json(F.lit(json.dumps(value, allow_nan=False)), schema)
+    plain Literal at optimization time.  Raises ``ValueError`` on NaN/±Inf.
+
+    FAILFAST, not the PERMISSIVE default: a constant that doesn't parse
+    under the schema (a long outside bigint range, malformed escape) must
+    fail at plan time like the per-element ``F.lit`` path it replaced did —
+    PERMISSIVE would silently bake a NULL literal instead (r9 ADVICE)."""
+    return F.from_json(
+        F.lit(json.dumps(value, allow_nan=False)), schema, {"mode": "FAILFAST"}
+    )
 
 
 def lit_doubles(values) -> Column:

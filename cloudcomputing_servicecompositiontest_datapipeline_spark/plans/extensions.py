@@ -20,6 +20,13 @@ from .registry import query
 #: DuckDB twin of dedup.normalized_text.
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+#: Embedding dimensionality of the ANN/embedding-QC family — ONE constant
+#: shared between the Spark call sites (lsh_topk/ann_sweep ``dim=``,
+#: embedding_qc ``expected_dim=``) and the DuckDB oracles, so a fixture
+#: dimension change cannot silently diverge the two sides' guards
+#: (r9 ADVICE).
+_ANN_DIM = 64
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
@@ -606,11 +613,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot is decimal-accumulated (order-insensitive, engine-exact), bucket
     # bits recombine per table (p // planes), and the cosine/rank tail is the
     # similarity_bruteforce_topk fragment restricted to same-bucket pairs.
-    oracle="""
+    oracle=f"""
     WITH planes AS (
       SELECT p.range AS p,
              list(cast(cast(('0x' || substr(md5('hp' || p.range || ':' || j.range), 1, 8)) AS bigint) % 1000 - 500 AS double) ORDER BY j.range) AS cv
-      FROM range(16) p, range(64) j GROUP BY p.range),
+      FROM range(16) p, range({_ANN_DIM}) j GROUP BY p.range),
     dots AS (
       SELECT e.vec_id, pl.p,
              list_sum(list_transform(e.embedding, (x, i) -> cast(cast(x AS double) * pl.cv[i] AS decimal(28,12)))) AS dot
@@ -660,7 +667,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         k=3,
         planes=4,
-        dim=64,
+        dim=_ANN_DIM,
         tables=4,
         hash_fn="md5_32",
     )
@@ -1732,7 +1739,7 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_eval_cte(n_planes: int, planes_per_table: int) -> str:
+def _ann_eval_cte(n_planes: int, planes_per_table: int, dim: int = _ANN_DIM) -> str:
     """Shared DuckDB CTE prefix for the ANN eval/sweep oracles: per-vector
     norms, the full brute-force pair scores for the 20-query panel (`bf` —
     every ANN candidate set is a subset of these pairs, so preds re-join it
@@ -1752,7 +1759,7 @@ def _ann_eval_cte(n_planes: int, planes_per_table: int) -> str:
              sqrt(cast(list_sum(list_transform(embedding, x ->
                cast(cast(x AS double) * cast(x AS double) AS decimal(28,12)))) AS double)) AS nrm
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
     bf AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         CASE WHEN q.nrm * c.nrm > 0 THEN
@@ -1769,12 +1776,12 @@ def _ann_eval_cte(n_planes: int, planes_per_table: int) -> str:
     planes AS (
       SELECT p.range AS p,
              list(cast(cast(('0x' || substr(md5('hp' || p.range || ':' || j.range), 1, 8)) AS bigint) % 1000 - 500 AS double) ORDER BY j.range) AS cv
-      FROM range({n_planes}) p, range(64) j GROUP BY p.range),
+      FROM range({n_planes}) p, range({dim}) j GROUP BY p.range),
     dots AS (
       SELECT e.vec_id, pl.p,
              list_sum(list_transform(e.embedding, (x, i) -> cast(cast(x AS double) * pl.cv[i] AS decimal(28,12)))) AS dot
       FROM embeddings e CROSS JOIN planes pl
-      WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64),
+      WHERE e.embedding IS NOT NULL AND len(e.embedding) = {dim}),
     sigs AS (
       SELECT vec_id, cast(p // {planes_per_table} AS int) AS tbl,
              sum(CASE WHEN dot >= 0 THEN cast(1 AS bigint) << cast(p % {planes_per_table} AS int) ELSE cast(0 AS bigint) END) AS bits
@@ -1874,7 +1881,7 @@ def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = sim.ivf_seed_centers(emb, n_centroids=8, seed=42)
     lsh = _ann_recall(
         truth, "lsh",
-        sim.lsh_topk(emb, q, k=k, planes=2, dim=64, tables=4, hash_fn="md5_32"),
+        sim.lsh_topk(emb, q, k=k, planes=2, dim=_ANN_DIM, tables=4, hash_fn="md5_32"),
     )
     ivf = _ann_recall(
         truth, "ivf",
@@ -2005,7 +2012,7 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = sim.ivf_seed_centers(emb, n_centroids=8, seed=42)
     preds = (
         sim.lsh_topk_sweep(
-            emb, q, k=k, planes=2, dim=64, tables_list=lsh_settings,
+            emb, q, k=k, planes=2, dim=_ANN_DIM, tables_list=lsh_settings,
             hash_fn="md5_32",
         )
         .select(F.lit("lsh").alias("method"), "setting", "query_id", "cand_id")
@@ -3027,7 +3034,7 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_qc",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            cast(CASE WHEN embedding IS NULL THEN 0 ELSE len(embedding) END AS int) AS dim,
            cast(CASE WHEN embedding IS NULL THEN 0
@@ -3041,7 +3048,7 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (a, b) -> a + b)) * 1000000 + 0.5) / 1000000
            END AS norm,
            embedding IS NULL AS is_null,
-           embedding IS NOT NULL AND len(embedding) != 64 AS bad_dim,
+           embedding IS NOT NULL AND len(embedding) != {_ANN_DIM} AS bad_dim,
            embedding IS NOT NULL
              AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e308)) > 0
              AS has_nonfinite,
@@ -3054,7 +3061,7 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
                        (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 > 1000000.0),
              false) AS bad_norm,
-           coalesce(embedding IS NOT NULL AND len(embedding) = 64
+           coalesce(embedding IS NOT NULL AND len(embedding) = {_ANN_DIM}
              AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e308)) = 0
              AND NOT (floor(sqrt(list_reduce(
                         list_transform(embedding, x -> cast(x AS double) * cast(x AS double)),
@@ -3074,7 +3081,7 @@ def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical without decimal machinery."""
     apply_runtime_conf(spark)
     emb = star.table(spark, sf_dir, "embeddings")
-    return sim.embedding_qc(emb, "embedding", "vec_id", expected_dim=64)
+    return sim.embedding_qc(emb, "embedding", "vec_id", expected_dim=_ANN_DIM)
 
 
 @query(

@@ -69,3 +69,14 @@ def test_nan_inf_rejected(spark):
 def test_nested_schema_roundtrip(spark):
     v = [[1, 2], [], [3]]
     assert _one(spark, fast_lit(v, "array<array<bigint>>")) == v
+
+
+def test_unparseable_constant_fails_loudly_not_null(spark):
+    """FAILFAST, not the PERMISSIVE default (r9 ADVICE): a constant the
+    schema can't hold — a long outside bigint range here — must raise like
+    the per-element F.lit path did, never silently bake a NULL literal."""
+    with pytest.raises(Exception) as ei:
+        spark.range(1).select(fast_lit([2**70], "array<bigint>").alias("x")).collect()
+    assert "NullPointerException" not in str(ei.value)
+    # and the same constant in-range is fine
+    assert _one(spark, fast_lit([2**62], "array<bigint>")) == [2**62]

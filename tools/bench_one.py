@@ -31,12 +31,16 @@ def main() -> None:
     from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
     import __spark_entry__ as em
 
+    from tools.sentinel import prime_sentinel, run_sentinel, summarize
+
     spark = get_spark("bench_one")
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
     unknown = [n for n in args.names if n not in qs]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
+    prime_sentinel(spark)
+    sentinels = {"start": run_sentinel(spark)}
     for name in args.names:
         qs[name](spark, args.sf).write.format("noop").mode("overwrite").save()  # prime
         ts = []
@@ -49,6 +53,17 @@ def main() -> None:
             f"reps={args.reps} sf={args.sf}",
             flush=True,
         )
+    # Every number quoted from this tool must carry its noise attestation
+    # (COVERAGE.md bench-discipline rule): a drifted or elevated sentinel
+    # means re-measure in a quiet window before committing the claim.
+    noise = summarize({**sentinels, "end": run_sentinel(spark)})
+    pts = noise["points"]
+    print(
+        f"sentinel: start={pts['start']['sec']}s end={pts['end']['sec']}s "
+        f"drift={noise['drift_ratio']} noisy={noise['noisy']} "
+        f"load_1m={pts['start']['load_1m']}->{pts['end']['load_1m']}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -40,12 +40,16 @@ def main() -> None:
     from cloudcomputing_servicecompositiontest_datapipeline_spark.session import get_spark
     import __spark_entry__ as em
 
+    from tools.sentinel import prime_sentinel, run_sentinel, summarize
+
     spark = get_spark("bench_sf1")
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
     unknown = [n for n in args.names if n not in qs]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
+    prime_sentinel(spark)
+    sentinels = {"start": run_sentinel(spark)}
 
     out: dict[str, dict] = {}
     for name in args.names:
@@ -62,9 +66,23 @@ def main() -> None:
         out[name] = row
         print(f"{name}: sf0.1={row['sf0_1']}s sf1.0={row['sf1_0']}s ratio={row['ratio_10x_data']}", flush=True)
 
+    noise = summarize({**sentinels, "end": run_sentinel(spark)})
+    print(
+        f"sentinel: drift={noise['drift_ratio']} noisy={noise['noisy']} "
+        f"points={[p['sec'] for p in noise['points'].values()]}",
+        flush=True,
+    )
+    for row in out.values():
+        row["noise_drift"] = noise["drift_ratio"]
+        row["noisy"] = noise["noisy"]
+
+    # existence-guarded so a fresh checkout (or a removed record) cannot
+    # crash AFTER the full timing run and lose the measurements (r9 ADVICE)
     path = os.path.join(HERE, "BENCH_sf1.json")
-    with open(path) as f:
-        rec = json.load(f)
+    rec: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            rec = json.load(f)
     rec.setdefault(args.key, {}).update(out)
     with open(path, "w") as f:
         json.dump(rec, f, indent=1)
