@@ -49,6 +49,7 @@ def main() -> int:
     import __spark_entry__ as em
 
     registered = list(em.queries())
+    oracled = set(em.oracle_sql())
     rounds = latest_rounds()
 
     stale = sorted(set(rounds) - set(registered))
@@ -60,13 +61,21 @@ def main() -> int:
         return 1
 
     never = [n for n in registered if n not in rounds and n not in changed]
+    # Rows-only queries (no oracle_sql entry) sort LAST regardless of
+    # vintage: the driver can only mark them no_oracle, so a window slot
+    # spent on one buys no hash evidence (r9 verdict what's-wrong #3) —
+    # they only rotate in once every oracle-backed query is fresher.
     backlog = sorted(
         (n for n in registered if n in rounds and n not in changed),
-        key=lambda n: (rounds[n], n),
+        key=lambda n: (n not in oracled, rounds[n], n),
     )
     window = (changed + never + backlog)[:WINDOW]
     print(f"# suggested {len(window)}-slot window: {len(changed)} changed, "
           f"{len(never)} never-recorded, rest oldest-record-first")
+    rows_only_in = [n for n in window if n not in oracled]
+    if rows_only_in:
+        print(f"# note: {len(rows_only_in)} rows-only entries made the window "
+              f"(every oracle-backed query is fresher): {rows_only_in}")
     prev = None
     for n in window:
         tag = "changed" if n in changed else ("never" if n in never else f"r{rounds[n]}")
