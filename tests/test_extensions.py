@@ -2430,3 +2430,44 @@ def test_multimodal_kernels_surface_null_payloads(spark):
 
     frames = mm.frame_sample(carrier).select("doc_id").distinct().collect()
     assert {r.doc_id for r in frames} == {1, 3}  # no phantom frame for 2
+
+
+def test_ann_oracles_agree_with_engine_on_ragged_fixture(spark, tmp_path):
+    """The ANN-family oracles carry the same NULL/wrong-dimension guards as
+    the Spark operators — run BOTH sides on a deliberately poisoned
+    embeddings fixture (a NULL vector and a wrong-dim vector planted among
+    clean ones) and require the driver-faithful fingerprints to match.
+    This is the divergence class the shared-CTE guards exist for (r9
+    ADVICE): DuckDB's list_sum silently skips NULL elements where Spark's
+    fold poisons to NULL, so an unguarded oracle would build a different
+    truth/candidate universe than the engine on exactly this fixture."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from tools.check import frame_fingerprint
+
+    dim = 64
+    rows = []
+    for i in range(40):
+        vec = [float((i * 7 + j * 3) % 11 - 5) or 1.0 for j in range(dim)]
+        rows.append((i, vec, i % 4))
+    rows.append((98, None, 0))                    # NULL embedding
+    rows.append((99, [1.0, 2.0], 1))              # wrong dimension
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    fix = tmp_path / "ragged"
+    fix.mkdir()
+    spark.createDataFrame(
+        pdf, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(str(fix / "embeddings.parquet"))
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{fix}/embeddings.parquet/*.parquet')"
+    )
+    for name in ("embedding_qc", "similarity_lsh_topk", "similarity_ann_eval"):
+        got = qs[name](spark, str(fix)).toPandas()
+        want = con.execute(oracles[name]).df()
+        assert frame_fingerprint(got) == frame_fingerprint(want), name
+        assert len(got), f"{name} produced no rows on the ragged fixture"

@@ -19,6 +19,25 @@ def test_summarize_flags_drift_above_threshold():
     assert s["points"] is pts
 
 
+def test_summarize_flags_hypervisor_steal():
+    """Flat probe times but >3% steal in a phase must still flag the run —
+    steal directly names the co-tenant (the r10 measured cause of the r9
+    official-record anomaly: 3-14% bursts)."""
+    pts = {
+        "start": {"sec": 0.6, "cpu": {"total": 1000, "steal": 0}},
+        "mid": {"sec": 0.62, "cpu": {"total": 2000, "steal": 80}},  # 8%
+        "end": {"sec": 0.61, "cpu": {"total": 3000, "steal": 90}},  # 1%
+    }
+    s = summarize(pts)
+    assert s["steal_pct"] == {"start_to_mid": 8.0, "mid_to_end": 1.0}
+    assert s["noisy"] is True and s["drift_ratio"] < 1.3
+    # quiet host: same shape, negligible steal
+    for p in pts.values():
+        p["cpu"] = dict(p["cpu"], steal=0)
+    q = summarize(pts)
+    assert q["noisy"] is False and q["steal_pct"]["start_to_mid"] == 0.0
+
+
 def test_summarize_quiet_run_not_noisy():
     pts = {"start": {"sec": 0.70}, "end": {"sec": 0.70 * DRIFT_NOISY * 0.99}}
     s = summarize(pts)
