@@ -977,6 +977,15 @@ def winnow_fingerprints(
             )
         ).alias("fingerprints"),
     )
+    # stage_barrier on the OUTPUT column, not just select staging: the
+    # operator's own consumers dodge the lambda-capture class with
+    # explode_outer (no size()>0 inference), but any API caller writing a
+    # plain explode over `fingerprints` gets InferFiltersFromGenerate +
+    # CollapseProject re-inlining the full two-level md5/window chain per
+    # element — measured as an effective hang (>9 min for 5k docs vs 0.6 s
+    # fenced).  The fence makes the column a bound attribute for every
+    # downstream shape.
+    staged = stage_barrier(staged, "fingerprints")
     return staged.select(
         F.col(id_col),
         "n_grams",
