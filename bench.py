@@ -576,11 +576,13 @@ def main() -> None:
         "skipped": len(budget.skipped),
         "detail": "BENCH_DETAIL.json",
         # in-band noise attestation: the three sentinel probe times, their
-        # spread, and the end-of-run headline re-time total — a quiet run
-        # reads flat (drift ~1.0, retime ~= value)
+        # spread, the worst per-phase hypervisor-steal share, and the
+        # end-of-run headline re-time total — a quiet run reads flat
+        # (drift ~1.0, steal ~0, retime ~= value)
         "noise": {
             "sentinel_sec": [sentinels[k]["sec"] for k in ("start", "mid", "end")],
             "drift": noise["drift_ratio"],
+            "max_steal_pct": max(noise["steal_pct"].values(), default=None),
             "noisy": noise["noisy"],
             "retime_total": out["headline_retime"]["retime_total"],
         },
