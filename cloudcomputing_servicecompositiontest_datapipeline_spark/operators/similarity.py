@@ -220,6 +220,82 @@ def lsh_bucket(
     return bucket
 
 
+def _bucket_structs(
+    vec: F.Column, *, planes: int, dim: int, tables: int, hash_fn: str = "xxhash64"
+) -> F.Column:
+    """``array<struct<tbl,bits>>`` of every table's LSH bucket id for ``vec``
+    — the signature column both ``lsh_topk`` variants explode.
+
+    Construction is O(planes) Column calls regardless of ``tables``: one
+    plane-component source (a baked matrix literal in md5_32 mode, an
+    index-derived generator in xxhash64 mode) under a single table-indexed
+    ``transform`` replaces the tables x planes unrolled sign trees — whose
+    md5_32 form alone (64 ``F.lit`` py4j round-trips per plane) accounted
+    for 6.8 s of similarity_ann_sweep's 9.6 s plan build (r10 profile).
+    Values are bit-identical to :func:`lsh_bucket` over plane
+    ``t*planes + p``: same components, same decimal/double dot fold, same
+    ``>= 0`` sign test, same shiftleft packing."""
+    if hash_fn == "md5_32":
+        import hashlib
+
+        mat = lit_double_matrix(
+            [
+                [
+                    float(
+                        int(hashlib.md5(f"hp{p}:{j}".encode()).hexdigest()[:8], 16) % 1000
+                        - 500
+                    )
+                    for j in range(dim)
+                ]
+                for p in range(tables * planes)
+            ]
+        )
+
+        def _sign(idx: F.Column) -> F.Column:
+            dot = _dot_dec(vec, F.element_at(mat, (idx + 1).cast("int")))
+            return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    elif hash_fn == "xxhash64":
+
+        def _sign(idx: F.Column) -> F.Column:
+            comps = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    F.pmod(
+                        F.xxhash64(
+                            F.concat(
+                                F.lit("hp"), idx.cast("string"), F.lit(":"), j.cast("string")
+                            )
+                        ),
+                        F.lit(1000),
+                    ).cast("double")
+                    / 1000.0
+                    - 0.5
+                ),
+            )
+            dot = F.aggregate(
+                F.zip_with(vec, comps, lambda x, r: x.cast("double") * r),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+    def _bits(t: F.Column) -> F.Column:
+        bits = None
+        for p in range(planes):
+            bit = F.shiftleft(_sign(t * planes + p).cast("long"), p)
+            bits = bit if bits is None else bits.bitwiseOR(bit)
+        return bits
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.struct(t.cast("int").alias("tbl"), _bits(t).alias("bits")),
+    )
+
+
 def _homogeneous_sample(sample: list[list[float]]) -> list[list[float]]:
     """Keep only the MAJORITY-dimension vectors of a training sample: one
     wrong-dimension row makes ``np.asarray``/``np.stack`` ragged and kills
@@ -523,20 +599,8 @@ def lsh_topk(
     def with_buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
         base = _with_norm(df, id_out, vec_out, id_col, vec_col)
         tb = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(
-                            F.col(vec_out),
-                            planes=planes,
-                            dim=dim,
-                            plane_offset=t * planes,
-                            hash_fn=hash_fn,
-                        ).alias("bits"),
-                    )
-                    for t in range(tables)
-                ]
+            _bucket_structs(
+                F.col(vec_out), planes=planes, dim=dim, tables=tables, hash_fn=hash_fn
             )
         ).alias("bk")
         return base.select("*", tb).select(
@@ -597,20 +661,8 @@ def lsh_topk_sweep(
     def with_buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
         base = _with_norm(df, id_out, vec_out, id_col, vec_col)
         tb = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(
-                            F.col(vec_out),
-                            planes=planes,
-                            dim=dim,
-                            plane_offset=t * planes,
-                            hash_fn=hash_fn,
-                        ).alias("bits"),
-                    )
-                    for t in range(tmax)
-                ]
+            _bucket_structs(
+                F.col(vec_out), planes=planes, dim=dim, tables=tmax, hash_fn=hash_fn
             )
         ).alias("bk")
         return base.select("*", tb).select(
@@ -1233,16 +1285,86 @@ def pq_encode(
     per-subspace nearest-code selection to the decimal-exact full-distance
     form (pair with :func:`pq_seed_codebooks` for the oracle-checkable
     mode)."""
+    return ensure_parallelism(emb).select(
+        F.col(id_col),
+        _pq_codes(F.col(vec_col), codebooks, exact_assign).alias("codes"),
+        F.col(vec_col),
+    )
+
+
+def _pq_codes(vec: F.Column, codebooks: list, exact_assign: bool) -> F.Column:
+    """All m PQ codes for ``vec`` as one subspace-indexed ``transform`` over
+    a single 3-level codebook literal — O(1) Column construction instead of
+    m unrolled :func:`_argmin_centroids` trees (the per-subspace loop cost
+    ~1.5 s of py4j round-trips per pq_encode build at m=16, r10 profile).
+    Per-element values are bit-identical to ``argmin(subvec, cb, 1)[0]``:
+    same distance folds (decimal exact / float norms−2·dot), same struct
+    sort, same (d, c) tie-break."""
+    from ..functions.fastlit import fast_lit
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    argmin = _argmin_centroids_exact if exact_assign else _argmin_centroids
-    codes = []
-    for j, cb in enumerate(codebooks):
-        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
-        codes.append(argmin(subvec, cb, 1)[0])
-    return ensure_parallelism(emb).select(
-        F.col(id_col), F.array(*codes).alias("codes"), F.col(vec_col)
+    cb3 = fast_lit(
+        [[[float(x) for x in row] for row in cb] for cb in codebooks],
+        "array<array<array<double>>>",
     )
+    if exact_assign:
+
+        def entries(subvec: F.Column, cbj: F.Column) -> F.Column:
+            return F.transform(
+                cbj,
+                lambda cv, c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            subvec,
+                            cv,
+                            lambda x, r: (
+                                (x.cast("double") - r) * (x.cast("double") - r)
+                            ).cast(_ACC_DEC),
+                        ),
+                        F.lit(0).cast(_ACC_DEC),
+                        lambda acc, t: (acc + t).cast(_ACC_DEC),
+                    ).alias("d"),
+                    c.alias("c"),
+                ),
+            )
+
+    else:
+        norms2 = fast_lit(
+            [[sum(float(x) * float(x) for x in row) for row in cb] for cb in codebooks],
+            "array<array<double>>",
+        )
+
+        def entries(subvec: F.Column, cbj: F.Column, nj: F.Column = None) -> F.Column:
+            return F.transform(
+                cbj,
+                lambda cv, c: F.struct(
+                    (
+                        F.element_at(nj, c + 1)
+                        - 2.0
+                        * F.aggregate(
+                            F.zip_with(subvec, cv, lambda x, r: x.cast("double") * r),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("d"),
+                    c.alias("c"),
+                ),
+            )
+
+    def code_j(j: F.Column) -> F.Column:
+        subvec = F.slice(vec, j * sub + 1, sub)
+        cbj = F.element_at(cb3, (j + 1).cast("int"))
+        ent = (
+            entries(subvec, cbj)
+            if exact_assign
+            else entries(subvec, cbj, F.element_at(norms2, (j + 1).cast("int")))
+        )
+        return F.element_at(
+            F.transform(F.slice(F.array_sort(ent), 1, 1), lambda s: s["c"]), 1
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_j)
 
 
 def pq_topk_recall(

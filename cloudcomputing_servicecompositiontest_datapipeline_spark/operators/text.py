@@ -1080,12 +1080,35 @@ def bm25_topk(
     stats = base.agg(
         F.count(F.lit(1)).alias("_n_docs"), F.sum(F.size("_tk")).alias("_sum_dl")
     )
-    term_arr = F.array(*[F.lit(t) for t in all_terms])
+    # Per-term counts ROW-LOCALLY (one size(filter(tokens)) per panel term)
+    # instead of exploding the whole token stream and hash-aggregating it
+    # back: the explode form materialized |corpus tokens| rows and paid a
+    # (doc, dl, term) aggregation exchange to count a handful of panel
+    # terms (guide §2.3 "aggregate before you shuffle" taken to its limit —
+    # here the aggregate never needs the shuffle at all).  Values are
+    # identical: size(filter(tk = t)) IS the per-doc term frequency, and
+    # docs/terms with zero hits drop out exactly like rows the filter
+    # removed.  At corpus scale this turns the first BM25 pass into a pure
+    # narrow scan.
+    term_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter(F.col("_tk"), lambda x: x == F.lit(t)))
+                .cast("long")
+                .alias("_tf"),
+            )
+            for t in all_terms
+        ]
+    )
     tf = (
-        base.select("doc_id", F.size("_tk").alias("_dl"), F.explode("_tk").alias("term"))
-        .filter(F.array_contains(term_arr, F.col("term")))
-        .groupBy("doc_id", "_dl", "term")
-        .agg(F.count(F.lit(1)).alias("_tf"))
+        base.select(
+            "doc_id", F.size("_tk").alias("_dl"), F.explode(term_structs).alias("_ts")
+        )
+        .select(
+            "doc_id", "_dl", F.col("_ts.term").alias("term"), F.col("_ts._tf").alias("_tf")
+        )
+        .filter(F.col("_tf") > 0)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_d = F.col("_n_docs").cast("double")

@@ -24,7 +24,28 @@ ENGINE_RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE coalesce to the ADVISORY size instead of stopping at the
+    # session's parallelism default (parallelismFirst=true, the Spark
+    # default, exists for back-compat; the Spark tuning docs themselves
+    # recommend false "and respect the advisory partition size").  Reduce
+    # stages then size to the DATA: a kilobyte aggregate collapses to one
+    # task instead of shuffle.partitions near-empty ones, while a 100 TB
+    # shuffle still gets bytes/64MB partitions.  cluster_canonical set this
+    # per-loop since r9 with the same reasoning; now it is the engine
+    # posture.  Scale-adaptive by construction — not a local-core tuning.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4 wraps EVERY Column/DataFrame op in a call-site capture for
+    # enriched error context: one conf read + origin set + clear = ~3 py4j
+    # round-trips per op, plus a Python stack walk.  Plan-heavy queries pay
+    # seconds of pure driver tax per build (r10 profile: 3/4 of
+    # similarity_ann_sweep's py4j traffic was this wrapper).  Disable it —
+    # errors then carry the JVM context only, values are untouched.  The
+    # flag is read once and cached process-wide, so it must be set before
+    # the first Column op (get_spark: builder conf; apply_runtime_conf:
+    # queries call it before building expressions).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Exact decimal aggregation needed for oracle hash-matching.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # Broadcast threshold: dims (region/nation/customer/supplier/part at test SF)

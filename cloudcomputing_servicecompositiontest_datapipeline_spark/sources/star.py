@@ -61,11 +61,24 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     core.  Small single-file parquet arrives as ONE partition — fine for
     scans, a 32× slowdown for CPU-bound ops (shingling, hashing, vector
     math).  At real scale inputs already have thousands of partitions and
-    this is a no-op."""
+    this is a no-op.
+
+    The decision is memoized on the input DataFrame object: the
+    ``df.rdd.getNumPartitions()`` probe plans the subtree end-to-end (a
+    ~50 ms driver tax per call), and multi-branch queries fan one source
+    out through this function repeatedly (similarity_ann_eval: 8 calls
+    over the same embeddings scan).  Returning the SAME repartitioned
+    child for every branch also guarantees the branches' exchange
+    subtrees canonicalize identically, so AQE's exchange reuse executes
+    the scan+shuffle once instead of per branch.  Values are unaffected —
+    round-robin placement never changes row content."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    cached = getattr(df, "_sg_ensure_parallelism", None)
+    if cached is not None and cached[0] == target:
+        return cached[1]
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    df._sg_ensure_parallelism = (target, out)
+    return out
 
 
 def stage_barrier(df: DataFrame, *cols: str) -> DataFrame:

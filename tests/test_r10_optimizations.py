@@ -1,0 +1,108 @@
+"""r10 optimization-round equivalence pins.
+
+Each r10 driver-tax optimization restructured HOW an expression tree is
+built (matrix-literal signatures, subspace-indexed PQ codes, memoized
+parallelism probe) while claiming bit-identical VALUES.  These tests pin
+that claim against the original unrolled construction, so a future edit
+that drifts the restructured form shows up as a value diff, not a silent
+oracle red."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.similarity import (
+    _argmin_centroids,
+    _argmin_centroids_exact,
+    _bucket_structs,
+    _pq_codes,
+    lsh_bucket,
+)
+from cloudcomputing_servicecompositiontest_datapipeline_spark.sources.star import (
+    ensure_parallelism,
+)
+
+
+def _vectors_df(spark, n=24, dim=8):
+    rows = [
+        (i, [((i * 31 + j * 17) % 19 - 9) / 7.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_bucket_structs_matches_unrolled_lsh_bucket(spark):
+    """_bucket_structs (one matrix-literal transform) must reproduce the
+    original per-table lsh_bucket loop bit-for-bit in BOTH hash modes."""
+    dim, planes, tables = 8, 2, 4
+    df = _vectors_df(spark, dim=dim)
+    for hash_fn in ("md5_32", "xxhash64"):
+        old = df.select(
+            "vec_id",
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(
+                            F.col("embedding"),
+                            planes=planes,
+                            dim=dim,
+                            plane_offset=t * planes,
+                            hash_fn=hash_fn,
+                        ).alias("bits"),
+                    )
+                    for t in range(tables)
+                ]
+            ).alias("bk"),
+        )
+        new = df.select(
+            "vec_id",
+            _bucket_structs(
+                F.col("embedding"), planes=planes, dim=dim, tables=tables, hash_fn=hash_fn
+            ).alias("bk"),
+        )
+        got_old = {r.vec_id: [(s.tbl, s.bits) for s in r.bk] for r in old.collect()}
+        got_new = {r.vec_id: [(s.tbl, s.bits) for s in r.bk] for r in new.collect()}
+        assert got_new == got_old, f"bucket divergence in {hash_fn} mode"
+
+
+def test_pq_codes_matches_unrolled_argmin(spark):
+    """_pq_codes (3-level codebook literal, subspace-indexed transform) must
+    reproduce the original per-subspace argmin loop in both assign modes."""
+    dim, m = 8, 2
+    sub = dim // m
+    df = _vectors_df(spark, dim=dim)
+    codebooks = [
+        [[((j * 13 + c * 7 + k * 3) % 11 - 5) / 3.0 for k in range(sub)] for c in range(3)]
+        for j in range(m)
+    ]
+    for exact in (True, False):
+        argmin = _argmin_centroids_exact if exact else _argmin_centroids
+        codes = []
+        for j, cb in enumerate(codebooks):
+            subvec = F.slice(F.col("embedding"), j * sub + 1, sub)
+            codes.append(argmin(subvec, cb, 1)[0])
+        old = df.select("vec_id", F.array(*codes).alias("codes"))
+        new = df.select(
+            "vec_id", _pq_codes(F.col("embedding"), codebooks, exact).alias("codes")
+        )
+        got_old = {r.vec_id: list(r.codes) for r in old.collect()}
+        got_new = {r.vec_id: list(r.codes) for r in new.collect()}
+        assert got_new == got_old, f"pq code divergence (exact_assign={exact})"
+
+
+def test_ensure_parallelism_memoizes_per_input(spark, sf_dir):
+    """Repeated calls on the same input object must return the SAME child
+    (one planning probe, canonically-equal exchange subtrees for reuse),
+    and the memo must not leak across distinct inputs."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    df = star.table(spark, sf_dir, "embeddings")
+    out1 = ensure_parallelism(df)
+    out2 = ensure_parallelism(df)
+    assert out1 is out2
+    other = df.filter(F.col("vec_id") < 5)
+    out3 = ensure_parallelism(other)
+    assert out3 is not out1
+    # values unchanged by the round-robin spread
+    assert out1.count() == df.count()
