@@ -128,12 +128,25 @@ def test_bystander_query_correct_while_conf_override_live(spark, sf_dir, queries
 
 def test_cluster_canonical_restore_is_unset_not_pin(spark):
     """Restore must UNSET a key the session never set (pinning the default
-    as an explicit value is the bug class the r6 verdict flagged)."""
+    as an explicit value is the bug class the r6 verdict flagged).
+
+    Since r10 the engine session factory itself sets parallelismFirst=false
+    (ENGINE_RUNTIME_CONF), so the fixture session arrives with the key set;
+    unset it first to reconstruct the untouched-session precondition this
+    test is about, and restore the engine posture afterwards."""
     from cloudcomputing_servicecompositiontest_datapipeline_spark.operators import dedup as dd
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.session import (
+        ENGINE_RUNTIME_CONF,
+    )
 
     key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    assert spark.conf.get(key, None) is None  # precondition: untouched session
-    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "text"])
-    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
-    dd.cluster_canonical(df, pairs, "doc_id").collect()
-    assert spark.conf.get(key, None) is None  # restored by unset, not re-set
+    session_value = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        assert spark.conf.get(key, None) is None  # precondition: untouched session
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "text"])
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        dd.cluster_canonical(df, pairs, "doc_id").collect()
+        assert spark.conf.get(key, None) is None  # restored by unset, not re-set
+    finally:
+        spark.conf.set(key, session_value or ENGINE_RUNTIME_CONF[key])
