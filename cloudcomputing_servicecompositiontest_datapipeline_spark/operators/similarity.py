@@ -135,10 +135,18 @@ def brute_force_topk(
     q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
     c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
     dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+    # The NULL-cosine guard tests the CHEAP norm columns, not the cosine
+    # alias: cosine is NULL exactly when norm_a * norm_b > 0 fails (a NULL
+    # element poisons the norm fold of the same row before it can poison the
+    # dot), and filtering on the alias let pushdown substitute it — landing
+    # isnotnull(<full 64-wide decimal fold>) in the JOIN CONDITION, so every
+    # pair paid the fold twice (plan-verified; the built-in analog of the
+    # duplicated-UDF class).
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
+        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
         .select(
             "query_id",
             "cand_id",
@@ -146,7 +154,6 @@ def brute_force_topk(
                 dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
             ).alias("cosine"),
         )
-        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -548,10 +555,13 @@ def ivf_topk(
 
     mult = 1000000.0
     dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+    # norm-product guard instead of a cosine NULL filter: see
+    # brute_force_topk — keeps the decimal fold out of the join condition
     scored = (
         F.broadcast(probes)
         .join(assigned, "centroid")
         .filter(F.col("query_id") != F.col("cand_id"))
+        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
         .select(
             "query_id",
             "cand_id",
@@ -559,7 +569,6 @@ def ivf_topk(
                 dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
             ).alias("cosine"),
         )
-        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -610,10 +619,13 @@ def lsh_topk(
     q = with_buckets(queries, "query_id", "query_vec")
     c = with_buckets(corpus, "cand_id", "cand_vec")
     dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+    # norm-product guard instead of a cosine NULL filter: see
+    # brute_force_topk — keeps the decimal fold out of the join condition
     scored = (
         F.broadcast(q)
         .join(c, ["tbl", "bits"])
         .filter(F.col("query_id") != F.col("cand_id"))
+        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
         .select(
             "query_id",
             "cand_id",
@@ -621,7 +633,6 @@ def lsh_topk(
                 dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
             ).alias("cosine"),
         )
-        .filter(F.col("cosine").isNotNull())
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -672,10 +683,13 @@ def lsh_topk_sweep(
     q = with_buckets(queries, "query_id", "query_vec")
     c = with_buckets(corpus, "cand_id", "cand_vec")
     dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+    # norm-product guard instead of a cosine NULL filter: see
+    # brute_force_topk — keeps the decimal fold out of the join condition
     scored = (
         F.broadcast(q)
         .join(c, ["tbl", "bits"])
         .filter(F.col("query_id") != F.col("cand_id"))
+        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
         .select(
             "query_id",
             "cand_id",
@@ -684,7 +698,6 @@ def lsh_topk_sweep(
                 dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
             ).alias("cosine"),
         )
-        .filter(F.col("cosine").isNotNull())
     )
     # min(cosine) over per-table duplicates of one pair: all equal (cosine is
     # a function of the pair), min just picks deterministically
@@ -762,10 +775,13 @@ def ivf_topk_sweep(
         ).alias("_pos", "centroid"),
     )
     dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+    # norm-product guard instead of a cosine NULL filter: see
+    # brute_force_topk — keeps the decimal fold out of the join condition
     scored = (
         F.broadcast(probes)
         .join(assigned, "centroid")
         .filter(F.col("query_id") != F.col("cand_id"))
+        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
         .select(
             "query_id",
             "cand_id",
@@ -774,7 +790,6 @@ def ivf_topk_sweep(
                 dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
             ).alias("cosine"),
         )
-        .filter(F.col("cosine").isNotNull())
     )
     sets_arr = F.array(*[F.lit(int(p)) for p in sorted(set(n_probe_list))])
     ex = scored.select(
