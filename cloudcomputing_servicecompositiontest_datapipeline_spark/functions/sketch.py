@@ -336,13 +336,52 @@ def hll_portable_registers(df: DataFrame, item_col: str, group_cols: list[str]) 
         .groupBy(*group_cols, "_idx")
         .agg(F.max("_rank").alias("_reg"))
     )
-    reg_map = F.map_from_entries(F.collect_list(F.struct("_idx", "_reg")))
-    return regs.groupBy(*group_cols).agg(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
-            lambda i: F.coalesce(F.element_at(reg_map, i.cast("int")), F.lit(0)),
-        ).alias("hll")
+    # Assemble the dense register array by GAP-FILLING the sorted sparse
+    # entries: for each present (idx, reg) emit [0]*(idx - prev_idx - 1) ++
+    # [reg], then pad the tail to m.  Identical output to the former
+    # per-position map lookup (position j = reg if present else 0), but
+    # O(m + k) instead of O(m·k): element_at on a MAP is a linear key scan,
+    # so the m-position probe over k collected entries was quadratic in
+    # practice — measured as a 1.4 s single-task stage (AQE coalesces the
+    # kilobyte group table to one partition) on the sf0.1 HLL rollup.
+    # _entries is aggregated first and FENCED so the building lambda reads
+    # a bound attribute — an inlined sort expression would re-evaluate per
+    # element (the winnow_fingerprints lambda-capture class).
+    from ..sources.star import stage_barrier
+
+    agged = stage_barrier(
+        regs.groupBy(*group_cols).agg(
+            F.array_sort(F.collect_list(F.struct("_idx", "_reg"))).alias("_entries")
+        ),
+        "_entries",
     )
+    ent = F.col("_entries")
+
+    def e_idx(i):
+        return F.element_at(ent, i)["_idx"]
+
+    hll = F.concat(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ent)),
+                lambda i: F.concat(
+                    F.array_repeat(
+                        F.lit(0),
+                        (
+                            e_idx(i)
+                            - F.when(i == 1, F.lit(-1)).otherwise(e_idx(i - 1))
+                            - 1
+                        ).cast("int"),
+                    ),
+                    F.array(F.element_at(ent, i)["_reg"]),
+                ),
+            )
+        ),
+        F.array_repeat(
+            F.lit(0), (F.lit(HLL_M - 1) - e_idx(F.size(ent))).cast("int")
+        ),
+    )
+    return agged.select(*group_cols, hll.alias("hll"))
 
 
 def hll_portable_merge(

@@ -654,23 +654,31 @@ def _exact_quantiles_reduced(
     ``df`` vs the single-aggregate form — linear, vs the buffer OOM it
     removes.  Returns None for an empty (or all-NULL) input.
     """
-    import math
-
     spark = df.sparkSession
     vals = df.select(value_expr.cast("double").alias("_v")).where(
         F.col("_v").isNotNull()
     )
     per_value = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
-    srow = per_value.agg(F.sum("_c").alias("_n")).first()
-    n = int(srow["_n"] or 0)
-    if n == 0:
-        return None
-    pf = spark.createDataFrame(
-        [
-            (i, float(p) * float(n - 1), int(math.floor(float(p) * float(n - 1))))
-            for i, p in enumerate(fracs)
-        ],
-        "i int, _pos double, _k long",
+    # The row total is folded INTO the plan (1-row aggregate broadcast to
+    # the fraction panel) instead of a separate count action, so the whole
+    # curve is ONE driver action + ONE pass over the reduced table instead
+    # of count-scan-then-curve-scan (r10: both callers are benched queries
+    # and the extra scan+job was ~half their wall time).  Arithmetic is
+    # unchanged bit for bit: p·(n−1) is the same IEEE double multiply the
+    # driver did (n−1 cast long→double, exact below 2^53), and floor of a
+    # non-negative double agrees between math.floor and F.floor.
+    tot = per_value.agg(F.sum("_c").alias("_n"))
+    pos = F.col("_p") * (F.col("_n") - 1).cast("double")
+    pf = (
+        spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(fracs)], "i int, _p double"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            pos.alias("_pos"),
+            F.floor(pos).cast("long").alias("_k"),
+        )
     )
     wv = Window.orderBy(F.col("_v").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -700,6 +708,10 @@ def _exact_quantiles_reduced(
         )
     )
     rows = per_i.select("i", curve.alias("_q")).orderBy("i").collect()
+    # empty (or all-NULL) input: the NULL total never satisfies the range
+    # join, so no curve rows come back — the old n == 0 early return
+    if not rows:
+        return None
     return [r["_q"] for r in rows]
 
 

@@ -1019,18 +1019,40 @@ def winnow_candidates(
     e = fps.select(
         F.col(id_col).alias("_id"), F.explode_outer("fingerprints").alias("fp")
     ).filter(F.col("fp").isNotNull())
-    small = (
+    # ONE aggregation per fingerprint collects the bucket's member ids (the
+    # cap bounds the list at max_bucket_size, so a row is small by
+    # construction) and pairs are expanded ROW-LOCALLY from the sorted
+    # list — replacing the bucket-count aggregate + membership join + fp
+    # self-join, which shuffled the exploded fingerprint stream three more
+    # times to produce exactly these pairs (guide §2.1/§3.4: same bucketed
+    # pair universe, 2 exchanges instead of 5).  _bucket counts ROWS (like
+    # the old count(*)) while collect_list drops NULL ids (like the old
+    # id_a < id_b filter), keeping both cap and pair semantics identical.
+    buckets = (
         e.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("_bucket"),
+            F.array_sort(F.collect_list("_id")).alias("_ids"),
+        )
         .filter(F.col("_bucket") <= max_bucket_size)
-        .select("fp")
     )
-    e = e.join(small, "fp")
-    a = e.select(F.col("_id").alias("id_a"), "fp")
-    b = e.select(F.col("_id").alias("id_b"), "fp")
+    # ids are distinct within a bucket (fingerprint sets are per-doc
+    # distinct) and sorted ascending, so j > i already means id_b > id_a
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select("_p.id_a", "_p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -16,6 +16,7 @@ from ..session import apply_runtime_conf
 from ..sources import star
 from ..streaming import (
     available_now_compile,
+    bounded_state_partitions,
     session_windowed_counts,
     sliding_windowed_agg,
     tumbling_windowed_agg,
@@ -166,15 +167,17 @@ def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stream_exact_dedup(stream, watermark="10 minutes")
     name = "sg_dedup_sink"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # see streaming/core.py:bounded_state_partitions
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).groupBy("content_hash").agg(
         F.count(F.lit(1)).alias("n_kept")
     )
@@ -205,15 +208,17 @@ def streaming_stateful_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = container_lifetimes(stream)
     name = "sg_stateful_sink"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # see streaming/core.py:bounded_state_partitions
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     sunk = spark.table(name)
     # last update per key = the final state summary
     from pyspark.sql import Window
@@ -244,15 +249,18 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("doc_id BIGINT, source STRING").json(json_dir)
     out = source_quota_admit(stream, cap=10)
     name = "sg_quota_sink"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # see streaming/core.py:bounded_state_partitions — ~20 sources of O(1)
+    # state don't need batch-shuffle-width state partitions
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("source")
@@ -291,15 +299,19 @@ def streaming_burst_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(json_dir)
     out = burst_monitor(stream)
     name = "sg_burst_sink"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # bounded_state_partitions: a handful of event types doesn't need the
+    # batch engine's shuffle width in state-store partitions (each one
+    # costs open+commit+fsync per micro-batch; see streaming/core.py)
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")

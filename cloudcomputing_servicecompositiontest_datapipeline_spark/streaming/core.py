@@ -20,9 +20,46 @@ Reference semantics being re-expressed:
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+@contextmanager
+def bounded_state_partitions(spark: SparkSession, n: int | None = None):
+    """Run a keyed stateful stream with a BOUNDED state-partition count.
+
+    A stateful streaming stage materializes exactly
+    ``spark.sql.shuffle.partitions`` state-store partitions — streaming
+    plans never AQE-coalesce — and every partition pays store open +
+    commit (delta file + fsync) per micro-batch even when it holds zero
+    keys.  The monitors here carry O(1) state for at most a few hundred
+    keys, so batch-engine shuffle width (sized for corpus shuffles) is the
+    wrong unit; measured on the burst monitor the 32-partition drain spent
+    65 s of task time at 0.8 s of CPU — pure per-partition store overhead.
+    State partitioning is a keyspace/throughput decision, so it is its own
+    knob (``SG_STREAM_STATE_PARTITIONS``, default 8 — generous for these
+    key counts at any input scale; production checkpoints pin whatever the
+    first run chose, making this a start-time decision there too).
+
+    Session-global conf set/restore, same non-reentrancy caveat as
+    ``cluster_canonical``: do not overlap with concurrent queries on the
+    same session.  ``get(key, None)`` / ``unset`` keeps an untouched
+    session untouched."""
+    key = "spark.sql.shuffle.partitions"
+    n = n or int(os.environ.get("SG_STREAM_STATE_PARTITIONS", "8"))
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def available_now_compile(

@@ -106,3 +106,62 @@ def test_ensure_parallelism_memoizes_per_input(spark, sf_dir):
     assert out3 is not out1
     # values unchanged by the round-robin spread
     assert out1.count() == df.count()
+
+
+def test_winnow_candidates_matches_join_formulation(spark):
+    """winnow_candidates' row-local pair expansion (one collect_list
+    aggregate per fingerprint) must reproduce the original explode +
+    bucket-count + fp self-join pair set exactly — including the bucket
+    cap counting ROWS (NULL ids included) while pairs only ever contain
+    non-NULL ids, and the min_shared cut on the pair count."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.text import (
+        winnow_candidates,
+    )
+
+    # hand-built fingerprint sets: fp 1 shared by 4 docs, fp 2 by 2, fp 3
+    # oversized (> cap) and must be dropped, fp 4 shared only via a NULL id
+    rows = [
+        (1, [1, 2, 4]),
+        (2, [1, 2]),
+        (3, [1, 3]),
+        (4, [1, 3]),
+        (5, [3]),
+        (6, [3]),
+        (None, [4, 1]),
+        (7, [4]),
+    ]
+    fps = spark.createDataFrame(rows, "doc_id BIGINT, fingerprints ARRAY<BIGINT>")
+
+    def old_form(fps, cap, min_shared):
+        e = fps.select(
+            F.col("doc_id").alias("_id"), F.explode_outer("fingerprints").alias("fp")
+        ).filter(F.col("fp").isNotNull())
+        small = (
+            e.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_bucket"))
+            .filter(F.col("_bucket") <= cap)
+            .select("fp")
+        )
+        e = e.join(small, "fp")
+        a = e.select(F.col("_id").alias("id_a"), "fp")
+        b = e.select(F.col("_id").alias("id_b"), "fp")
+        return (
+            a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+
+    for cap, min_shared in ((3, 1), (4, 1), (200, 2)):
+        want = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in old_form(fps, cap, min_shared).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in winnow_candidates(
+                fps, "doc_id", min_shared=min_shared, max_bucket_size=cap
+            ).collect()
+        }
+        assert got == want, f"pair divergence at cap={cap} min_shared={min_shared}"
