@@ -186,8 +186,11 @@ def lsh_candidate_pairs(
         def bucket_fn(s):
             return F.xxhash64(s)
     elif bucket_hash == "md5":
+        # 16-byte binary digest, not the 32-char hex string: bucket keys
+        # only need equality (docstring above), unhex(hex) is injective,
+        # and the (band, bucket) exchange carries half the key bytes
         def bucket_fn(s):
-            return F.md5(s)
+            return F.unhex(F.md5(s))
     else:
         raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
     banded = sig.select(
@@ -533,17 +536,25 @@ def dedup_against_corpus(
 
     Returns surviving incoming docs: (id, containment rounded to 1e-6).
     """
+    # join keys are unhex'd to BINARY (16-byte md5 / 32-byte sha2) instead
+    # of their hex strings (32 / 64 chars + string overhead): hex encoding
+    # is injective, so equality — and therefore every join/distinct result
+    # — is unchanged, while the corpus-sized shuffles carry ~half the key
+    # bytes (guide §2.3 "shuffle fewer bytes, narrower types")
     inc_hash = incoming.select(
-        F.col(id_col), F.sha2(normalized_text(F.col(text_col)), 256).alias("_h")
+        F.col(id_col),
+        F.unhex(F.sha2(normalized_text(F.col(text_col)), 256)).alias("_h"),
     )
-    corp_hash = corpus.select(F.sha2(normalized_text(F.col(text_col)), 256).alias("_h"))
+    corp_hash = corpus.select(
+        F.unhex(F.sha2(normalized_text(F.col(text_col)), 256)).alias("_h")
+    )
     fresh = inc_hash.join(corp_hash, "_h", "left_anti").select(id_col)
     inc_sh = shingles(incoming.join(fresh, id_col, "left_semi"), text_col, id_col, shingle_n).select(
-        F.col(id_col), F.md5("shingle").alias("sh")
+        F.col(id_col), F.unhex(F.md5("shingle")).alias("sh")
     )
     corp_sh = (
         shingles(corpus, text_col, id_col, shingle_n)
-        .select(F.md5("shingle").alias("sh"))
+        .select(F.unhex(F.md5("shingle")).alias("sh"))
         .distinct()
         .withColumn("_in_corpus", F.lit(1))
     )
@@ -645,22 +656,23 @@ def cluster_canonical(
             .localCheckpoint(eager=False)
         )
         labels = touched.select("node", F.col("node").alias("label"))
-        for _ in range(max_iterations):
+
+        def _step(lbl: DataFrame) -> DataFrame:
             neighbor_labels = (
                 edges.join(
-                    labels.select(F.col("node").alias("src"), "label"), "src"
+                    lbl.select(F.col("node").alias("src"), "label"), "src"
                 ).select(
                     F.col("dst").alias("node"),
                     "label",
-                    F.lit(None).cast(labels.schema["label"].dataType).alias("_old"),
+                    F.lit(None).cast(lbl.schema["label"].dataType).alias("_old"),
                 )
             )
             # The old label rides through the min-fold as max(_old): every
-            # touched node appears exactly once in `labels`, so max over
+            # touched node appears exactly once in `lbl`, so max over
             # (its old label, NULLs from neighbor rows) IS the old label —
             # the convergence probe then needs no old-vs-new join.
             propagated = (
-                labels.select("node", "label", F.col("label").alias("_old"))
+                lbl.select("node", "label", F.col("label").alias("_old"))
                 .unionByName(neighbor_labels)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
@@ -671,17 +683,25 @@ def cluster_canonical(
             hop = propagated.select(
                 F.col("node").alias("label"), F.col("label").alias("_jump")
             )
-            # One action per round: the lazy localCheckpoint materializes when
-            # the convergence probe runs, so each iteration schedules a single
-            # job (eager checkpoint + separate count was two).
-            new_labels = (
-                propagated.join(hop, "label", "left")
-                .select(
-                    "node",
-                    F.coalesce("_jump", F.col("label")).alias("label"),
-                    "_old",
-                )
-                .localCheckpoint(eager=False)
+            return propagated.join(hop, "label", "left").select(
+                "node",
+                F.coalesce("_jump", F.col("label")).alias("label"),
+                "_old",
+            )
+
+        # TWO propagate+jump steps per driver round-trip: one action per
+        # round (the lazy localCheckpoint materializes when the convergence
+        # probe runs), so halving the probe count halves the loop's fixed
+        # job/plan latency — which dominates once the graph is small (r10
+        # profile: ~0.1 s per job × rounds).  Fixpoint unchanged: the probe
+        # tests the SECOND step's own (label != old-label) delta, and a
+        # full propagate+jump step that changed nothing means the fixpoint
+        # was already reached, regardless of what the first step did; a
+        # run that converges on an odd step just pays one extra no-op step
+        # instead of one extra probe.
+        for _ in range((max_iterations + 1) // 2):
+            new_labels = _step(_step(labels).select("node", "label")).localCheckpoint(
+                eager=False
             )
             changed = (
                 new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()

@@ -1656,12 +1656,40 @@ def novelty_scores(
     ratios from exact integer counts.  Docs with fewer than ``n`` tokens
     have no grams: n_grams 0, novelty NULL (not 1.0 — 'no evidence' is
     not 'all new')."""
-    d_grams = token_ngrams(df, text_col, id_col, n).select(
-        F.col(id_col), F.md5(F.col("gram")).alias("gh")
-    ).distinct()
+    # Per-doc distinct gram hashes ROW-LOCALLY (array_distinct before the
+    # explode, the shingles() shape) instead of exploding the raw gram
+    # stream and paying a corpus-wide DISTINCT exchange on (id, gh): the
+    # (id, hash)-distinct set IS the per-doc distinct set, so the doc side
+    # drops one full gram-stream shuffle and the ref side's global
+    # distinct shrinks its exchange input by the per-doc duplication
+    # factor.  Same md5-hash dedup key, same pairs; the key unhexes to
+    # 16-byte BINARY (hex is injective — equality unchanged) so the
+    # gram-keyed exchanges carry half the key bytes.
+    def _doc_gram_hashes(frame: DataFrame) -> DataFrame:
+        staged = (
+            ensure_parallelism(frame)
+            .select(
+                F.col(id_col),
+                F.split(normalized_text(F.col(text_col)), " ").alias("_tk"),
+            )
+            .filter(F.size("_tk") >= n)
+        )
+        ghs = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - n),
+                lambda i: F.unhex(
+                    F.md5(F.array_join(F.slice(F.col("_tk"), i + 1, n), " "))
+                ),
+            )
+        )
+        return staged.select(
+            F.col(id_col), F.explode_outer(ghs).alias("gh")
+        ).filter(F.col("gh").isNotNull())
+
+    d_grams = _doc_gram_hashes(df)
     r_grams = (
-        token_ngrams(ref, text_col, id_col, n)
-        .select(F.md5(F.col("gram")).alias("gh"))
+        _doc_gram_hashes(ref)
+        .select("gh")
         .distinct()
         .withColumn("_seen", F.lit(1))
     )
