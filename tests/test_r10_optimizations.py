@@ -165,3 +165,53 @@ def test_winnow_candidates_matches_join_formulation(spark):
             ).collect()
         }
         assert got == want, f"pair divergence at cap={cap} min_shared={min_shared}"
+
+
+def test_table_memoizes_per_session_and_dir(spark, sf_dir, sf_check_dir):
+    """star.table memoizes the resolved scan per (session, dir, name): the
+    same object comes back (one relation resolution per session instead of
+    one per plan build), distinct dirs/tables stay distinct, and the scan
+    still reads the parquet data on every execution (values correct)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.sources import star
+
+    a1 = star.table(spark, sf_dir, "region")
+    a2 = star.table(spark, sf_dir, "region")
+    assert a1 is a2
+    b = star.table(spark, sf_check_dir, "region")
+    assert b is not a1
+    c = star.table(spark, sf_dir, "nation")
+    assert c is not a1
+    assert a1.count() == 5  # fixture regions — a real execution, not a cache
+
+
+def test_apply_runtime_conf_memo_reapplies_on_canary_miss(spark):
+    """apply_runtime_conf skips the 11 conf round-trips once applied, but a
+    session whose timeZone canary was reset gets the full engine conf
+    re-applied (the hostile-session contract of tools/check.py PLAIN mode)."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.session import (
+        apply_runtime_conf,
+    )
+
+    apply_runtime_conf(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # simulate a hostile reset of a VALUE-affecting conf
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        apply_runtime_conf(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_scratch_root_honors_env(tmp_path, monkeypatch):
+    """scratch_root prefers SG_SCRATCH_DIR (the cluster-deployment knob)
+    over the RAM-backed local default."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark import session as sess
+
+    target = tmp_path / "scratch"
+    monkeypatch.setenv("SG_SCRATCH_DIR", str(target))
+    assert sess.scratch_root() == str(target)
+    assert target.is_dir()
+    monkeypatch.delenv("SG_SCRATCH_DIR")
+    root = sess.scratch_root()
+    assert root and root != str(target)
