@@ -750,11 +750,14 @@ def quantile_map(
     reducer (the OOM-at-100-TB hazard for continuous scores); the grid+1
     curve points are BAKED into the plan as one literal array (the
     bounded-collect pattern) and the interpolation is row-local array
-    math.  The rank join-back is broadcast only when the NEW side's
-    distinct count (measured in the same bounded stats row that supplies
-    the corpus total) is at most ``broadcast_distinct_limit`` — continuous
-    all-distinct scores fall back to a shuffle join instead of an
-    executor-OOM broadcast; pass ``broadcast_ranks`` to force either way.
+    math.  The rank join-back strategy is decided by AQE at runtime from
+    the rank table's actual post-shuffle size — a small table converts to
+    a broadcast join, a continuous all-distinct corpus exceeds the
+    threshold and keeps the shuffle join (the executor-OOM escape), and no
+    driver-side probe job is needed; pass ``broadcast_ranks=True`` to
+    force the planner hint.  ``broadcast_distinct_limit`` is retained for
+    signature compatibility and ignored (the byte-measured AQE gate
+    subsumes the count heuristic).
 
     Rows with a NULL or non-finite (NaN/±Inf) score are EXCLUDED on BOTH
     sides (a missing score has no rank position; Spark windows order NULLS
@@ -777,27 +780,29 @@ def quantile_map(
         F.col(id_col), F.col(value_col).alias("value")
     )
     per_value = base.groupBy("value").agg(F.count(F.lit(1)).alias("_c"))
-    # ONE bounded stats row: the corpus total (baked as a plan literal —
-    # replaces the former 1-row crossJoin) and the distinct count that
-    # gates the rank broadcast below
-    stats = per_value.agg(
-        F.sum("_c").alias("_total"), F.count(F.lit(1)).alias("_nd")
-    ).first()
-    n_total = int(stats["_total"] or 0)
-    n_distinct = int(stats["_nd"] or 0)
+    # The corpus total folds INTO the plan (1-row aggregate broadcast onto
+    # the reduced value table — the _exact_quantiles_reduced shape): the
+    # former stats .first() was a whole extra job + corpus pass per
+    # execution.  Both branches build on the SAME partial-count exchange,
+    # so AQE's exchange reuse executes the new-side scan once.  Arithmetic
+    # is bit-identical: (n−1) is a long→double cast (exact below 2^53) and
+    # the divide takes the same IEEE operands the literal path supplied;
+    # the 1-row corpus still maps to rank 0.0, and an empty corpus has no
+    # rows to rank.
+    tot = per_value.agg(F.sum("_c").alias("_n"))
     wv = Window.orderBy(F.col("value").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = per_value.select(
         F.col("value").alias("_v"),
         (F.sum("_c").over(wv) - F.col("_c")).alias("_before"),
-    )
+    ).crossJoin(F.broadcast(tot))
     # percent_rank = (min_rank - 1) / (n - 1) = rows_before / (n - 1); a
     # 1-row corpus has rank 0.0 by both engines' definition
-    if n_total > 1:
-        pr_val = F.col("_before").cast("double") / F.lit(float(n_total - 1))
-    else:
-        pr_val = F.lit(0.0)
+    pr_val = F.when(
+        F.col("_n") > 1,
+        F.col("_before").cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
     ranks = cum.select("_v", pr_val.alias("_pr"))
     pr = F.col("_pr")
     idx = pr * grid
@@ -807,9 +812,19 @@ def quantile_map(
     q_hi = F.element_at(q, F.least(lo + F.lit(2), F.lit(grid + 1)))
     mapped = q_lo + frac * (q_hi - q_lo)
     mult = float(10**round_scale)
-    if broadcast_ranks is None:
-        broadcast_ranks = n_distinct <= broadcast_distinct_limit
-    rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+    # Join-strategy gate: the default (None) now defers to AQE's runtime
+    # sort-merge→broadcast conversion, which measures the rank table's
+    # ACTUAL post-shuffle bytes — strictly safer than the former
+    # distinct-count probe (it needed a whole extra job per execution) and
+    # scale-adaptive by construction: a continuous all-distinct corpus
+    # exceeds the broadcast threshold and stays a shuffle join, the common
+    # small rank table converts at runtime.  ``True`` still forces the
+    # planner hint; ``False`` keeps the hint off (AQE may still convert a
+    # provably tiny table — that conversion is the safe direction).
+    if broadcast_ranks is True:
+        rank_side = F.broadcast(ranks)
+    else:
+        rank_side = ranks
     return base.join(rank_side, F.col("value") == F.col("_v")).select(
         id_col,
         "value",

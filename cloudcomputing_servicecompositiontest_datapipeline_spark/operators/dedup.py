@@ -817,31 +817,46 @@ def dup_rate_by_group(
     duplicates count against the group of the DROPPED copy, which is the
     attribution a source-quality report wants.
 
-    100 TB shape: the annotate-back join keys on the SAME content hash the
-    exact-dedup aggregate shuffled on, so the aggregate side arrives
-    pre-partitioned and only the tagged side shuffles once (the cluster
-    table is corpus-sized — one row per distinct content — so it is NOT
-    broadcastable; this is the tenancy-annotate join shape, not a
-    broadcast).  The final aggregate reduces to |groups| rows.  Rates from
-    exact integer sums."""
+    100 TB shape (r10 restructure — the join is GONE): ONE map-side-partial
+    aggregate to (content_hash, group) rows carrying (count, min id), a
+    hash-partitioned window taking the cluster-wide min id over those
+    (cluster-table-sized, never the doc stream), and the |groups| rollup.
+    A doc is dropped iff its cluster has >= 2 copies and it is not the
+    keeper; per (hash, group) that is exactly ``count − 1`` when the group
+    owns the cluster keeper (its min id IS the cluster min — singleton
+    clusters give count 1 − 1 = 0, subsuming the n_copies >= 2 test) and
+    ``count`` otherwise — the former per-doc join test aggregated one
+    level earlier.  vs the old annotate-back join: the full tagged doc
+    stream no longer shuffles (only distinct (hash, group) partials do),
+    sha2 runs once instead of twice, and the sort-merge join disappears.
+    Rates from exact integer sums.  (r10: an explicit repartition-by-hash
+    meant to share one exchange between the old aggregate and join was
+    measured and reverted before this restructure — column pruning
+    narrowed the aggregate branch's exchange so the subtrees never
+    canonicalized equal.)"""
     h = F.sha2(normalized_text(F.col(text_col)), 256)
-    tagged = df.select(
-        F.col(id_col), F.col(group_col).alias("group"), h.alias("content_hash")
+    per = (
+        df.select(F.col(id_col), F.col(group_col).alias("group"), h.alias("content_hash"))
+        # NULL-text docs have a NULL hash: the former inner join dropped
+        # them (NULL keys never join) — the aggregate must too
+        .where(F.col("content_hash").isNotNull())
+        .groupBy("content_hash", "group")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(id_col).alias("_min_id"))
     )
-    groups = exact_dedup(df, text_col, id_col)
+    w = Window.partitionBy("content_hash")
+    flagged = per.select(
+        "group",
+        "_c",
+        (F.col("_c") - F.when(F.col("_min_id") == F.min("_min_id").over(w), 1).otherwise(0)).alias(
+            "_dropped"
+        ),
+    )
     mult = float(10**round_scale)
     return (
-        tagged.join(groups, "content_hash")
-        .groupBy("group")
+        flagged.groupBy("group")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(
-                F.when(
-                    (F.col("n_copies") >= 2) & (F.col(id_col) != F.col("keep_id")), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_dropped"),
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.sum("_dropped").cast("long").alias("n_dropped"),
         )
         .select(
             "group",

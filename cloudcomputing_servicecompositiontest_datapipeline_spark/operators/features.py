@@ -561,21 +561,25 @@ def survival_curve(
     )
     # corpus end as an EPOCH DOUBLE computed engine-side (collecting a
     # datetime and calling .timestamp() would re-interpret it in the local
-    # machine tz — a hostile-session divergence)
-    end_row = ev.agg(F.max(F.col(ts_col)).cast("double").alias("_end")).first()
-    end_epoch = float(end_row["_end"] or 0.0)
+    # machine tz — a hostile-session divergence).  The end timestamp and
+    # the user total FOLD into the plan as one-row broadcasts (r10): each
+    # was a separate action + corpus pass per plan build; the arithmetic
+    # is unchanged (same doubles through the same ops, the empty-input
+    # 0.0 default via coalesce instead of Python).
+    end_agg = ev.agg(
+        F.coalesce(F.max(F.col(ts_col)).cast("double"), F.lit(0.0)).alias("_end")
+    )
     life = (
         F.col("_last").cast("double") - F.col("_first").cast("double")
     ) / 3600.0
     churned = (
-        F.lit(end_epoch) - F.col("_last").cast("double")
+        F.col("_end") - F.col("_last").cast("double")
     ) / 3600.0 > F.lit(float(horizon_hours))
-    users = per_user.select(
+    users = per_user.crossJoin(F.broadcast(end_agg)).select(
         (F.floor(life * mult + 0.5) / mult).alias("lifetime_h"),
         churned.alias("_churned"),
     )
-    n_total_row = users.agg(F.count(F.lit(1)).alias("n")).first()
-    n_total = int(n_total_row["n"] or 0)
+    tot = users.agg(F.count(F.lit(1)).alias("_n_total"))
     deaths = (
         users.filter(F.col("_churned"))
         .groupBy("lifetime_h")
@@ -589,13 +593,13 @@ def survival_curve(
     )
     below = hist.select(
         "lifetime_h", (F.sum("c").over(w) - F.col("c")).alias("_below")
-    )
+    ).crossJoin(F.broadcast(tot))
     curve = (
         deaths.join(below, "lifetime_h")
         .select(
             "lifetime_h",
             "d",
-            (F.lit(n_total) - F.col("_below")).cast("long").alias("n_at_risk"),
+            (F.col("_n_total") - F.col("_below")).cast("long").alias("n_at_risk"),
         )
         .withColumn(
             # d == n_at_risk (the whole risk set churns at t_i) would be

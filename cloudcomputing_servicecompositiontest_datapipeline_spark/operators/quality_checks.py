@@ -165,21 +165,31 @@ def psi_drift(
 
     c = F.col(col).cast("double")
     both = old.select(c.alias("_v")).unionByName(new.select(c.alias("_v")))
-    # ONE stats pass, two doubles to the driver, baked as literals — the
-    # bounded-collect pattern (cf. IVF sample / Bloom words): bin edges as
-    # plan literals make both binning passes map-only instead of
-    # re-aggregating min/max per snapshot behind a one-row broadcast.
+    # The min/max stats FOLD into the plan (1-row aggregate broadcast onto
+    # each binning pass — the _exact_quantiles_reduced shape): the former
+    # .first() was a whole extra job + corpus pass per execution (r10),
+    # and the two broadcast subtrees are canonically identical so exchange
+    # reuse computes the stats pass once.  Arithmetic is unchanged bit for
+    # bit: the same doubles flow through the same (v−mn)/width floor, the
+    # all-NULL/empty default (mn=mx=0.0 → width 1.0) and the zero-width
+    # fallback live in a CASE instead of Python.
     # FINITE values only: an unfiltered max absorbs any NaN (Spark sorts it
     # above every double) and a single ±Inf makes the width infinite.
-    srow = (
+    stats = (
         both.filter(finite_d(F.col("_v")))
-        .agg(F.min("_v").alias("mn"), F.max("_v").alias("mx"))
-        .first()
+        .agg(
+            F.coalesce(F.min("_v"), F.lit(0.0)).alias("_mn"),
+            F.coalesce(F.max("_v"), F.lit(0.0)).alias("_mx"),
+        )
+        .select(
+            "_mn",
+            F.when(
+                (F.col("_mx") - F.col("_mn")) / F.lit(float(bins)) == 0.0, F.lit(1.0)
+            )
+            .otherwise((F.col("_mx") - F.col("_mn")) / F.lit(float(bins)))
+            .alias("_w"),
+        )
     )
-    # all-NULL/empty snapshots: no axis to bin on — keep the report finite
-    mn = 0.0 if srow["mn"] is None else float(srow["mn"])
-    mx = 0.0 if srow["mx"] is None else float(srow["mx"])
-    width = (mx - mn) / bins or 1.0
 
     def binned(df: DataFrame, label: str) -> DataFrame:
         # NULLs AND non-finite values land in sentinel bin -1 (counted in
@@ -187,12 +197,13 @@ def psi_drift(
         # only real bins
         return (
             df.select(c.alias("_v"))
+            .crossJoin(F.broadcast(stats))
             .select(
                 F.when(nonfinite_d(F.col("_v")), F.lit(-1))
                 .otherwise(
                     F.least(
                         F.lit(bins - 1),
-                        F.floor((F.col("_v") - F.lit(mn)) / F.lit(width)).cast("int"),
+                        F.floor((F.col("_v") - F.col("_mn")) / F.col("_w")).cast("int"),
                     )
                 )
                 .alias("bin")

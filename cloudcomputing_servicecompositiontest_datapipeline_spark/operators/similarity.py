@@ -1711,13 +1711,15 @@ def normalize_embeddings_zscore(
     D rows of (count, Σx, Σx²) with the sums decimal-accumulated (exact, so
     fold order cannot diverge across partitionings/engines); D is the
     embedding dimensionality (64–4096: bounded by the MODEL, not the data),
-    so the stats table is collected and baked as plan literals — the same
-    bounded-collect justification as IVF centroids / PQ codebooks — and
-    normalization is a row-local transform.  Zero-variance dimensions map
-    to 0.0.  Output: (id, normalized array<double> rounded 1e-6)."""
+    so the per-dimension mean/std arrays FOLD into the plan as a one-row
+    broadcast (dim-sorted collect_list — the same bounded size the former
+    driver collect relied on, minus the extra action + corpus pass per
+    plan build, r10), and normalization is a row-local transform.
+    Zero-variance dimensions map to 0.0.  Output: (id, normalized
+    array<double> rounded 1e-6)."""
     dec = "decimal(38,12)"
     x = F.col("_x").cast("double")
-    stats = (
+    per_dim = (
         emb.select(F.posexplode(vec_col).alias("_dim", "_x"))
         .groupBy("_dim")
         .agg(
@@ -1734,13 +1736,15 @@ def normalize_embeddings_zscore(
                 * (F.col("_sx").cast("double") / F.col("_n"))
             ).alias("_std"),
         )
-        .orderBy("_dim")
-        .collect()
     )
-    means = [float(r["_mean"]) for r in stats]
-    stds = [float(r["_std"]) for r in stats]
-    mean_arr = F.lit(means)
-    std_arr = F.lit(stds)
+    stats = per_dim.agg(
+        F.sort_array(F.collect_list(F.struct("_dim", "_mean", "_std"))).alias("_st")
+    ).select(
+        F.transform(F.col("_st"), lambda s: s["_mean"]).alias("_means"),
+        F.transform(F.col("_st"), lambda s: s["_std"]).alias("_stds"),
+    )
+    mean_arr = F.col("_means")
+    std_arr = F.col("_stds")
     mult = float(10**round_scale)
     normalized = F.transform(
         F.col(vec_col),
@@ -1757,8 +1761,10 @@ def normalize_embeddings_zscore(
     )
     from ..sources.star import ensure_parallelism
 
-    return ensure_parallelism(emb).select(
-        F.col(id_col), normalized.alias("normalized")
+    return (
+        ensure_parallelism(emb)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), normalized.alias("normalized"))
     )
 
 

@@ -1403,7 +1403,11 @@ def token_stats_by_group(
     count shuffles (group, word) pairs (map-side partial-distinct first),
     the rest reduces to |groups| rows.  All ratios derive from exact
     integer sums, so the doubles are engine-identical without decimal
-    machinery."""
+    machinery.  (r10: a hand-written two-level (group, word)→group
+    aggregate was measured and reverted — Spark's distinct-aggregate
+    rewrite already plans this single-distinct mix as the fused two-level
+    shape with NO Expand, so the manual form only added a fourth
+    aggregation phase: 0.38 → 0.52 s.)"""
     from .dedup import normalized_text
 
     mult = float(10**round_scale)
@@ -1511,11 +1515,20 @@ def vocabulary_overlap(
     a mixture designer reads next to the per-source datasheet ("are these
     two crawls the same corpus wearing different names?").
 
-    100 TB shape: ONE (group, word) distinct aggregate (map-side partial
-    distinct), then a self-join keyed on the WORD — the inverted-index
-    form: the join carries each word's (tiny) group list, never documents,
-    and the pair aggregate reduces to |groups|² rows.  Jaccard from exact
-    integer counts."""
+    100 TB shape: ONE word-keyed aggregate — ``collect_set(group)`` per
+    word (map-side partial, buffers bounded by |groups|) — and the group
+    pairs expand ROW-LOCALLY from each word's sorted group set (the
+    winnow-candidates r10 shape), so the former (group, word) DISTINCT
+    exchange and the word-keyed self-join exchange are gone entirely: the
+    token stream crosses the wire once, and everything after it is
+    |vocab|- or |groups|²-sized.  Jaccard from exact integer counts.
+
+    Equivalence with the distinct+self-join form: collect_set dedups
+    (group, word) exactly like the distinct did and drops NULL groups
+    exactly like the ``group_a < group_b`` join filter did; sort_array +
+    (element i, tail slice) enumeration emits each unordered group pair
+    once with group_a < group_b under the same binary string ordering the
+    join comparison used."""
     from .dedup import normalized_text
 
     words = (
@@ -1525,14 +1538,30 @@ def vocabulary_overlap(
             F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("_w"),
         )
         .filter(F.length("_w") > 0)
-        .distinct()
     )
-    sizes = words.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
-    a = words.select(F.col("_g").alias("group_a"), "_w")
-    b = words.select(F.col("_g").alias("group_b"), "_w")
+    by_word = words.groupBy("_w").agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
+    sizes = (
+        by_word.select(F.explode("_gs").alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    gs = F.col("_gs")
+    n = F.size(gs)
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(gs, i + 1, n),
+                lambda g2: F.struct(
+                    F.element_at(gs, i).alias("group_a"), g2.alias("group_b")
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "_w")
-        .filter(F.col("group_a") < F.col("group_b"))
+        by_word.filter(n >= 2)
+        .select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.group_a").alias("group_a"), F.col("_p.group_b").alias("group_b"))
         .groupBy("group_a", "group_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
@@ -1828,8 +1857,16 @@ def remove_boilerplate_lines(
        posexplode;
     2. count occurrences per line hash corpus-wide (one shuffle, map-side
        partial aggregation);
-    3. join occurrences against the under-threshold hash set — co-
-       partitioned on the same key, no second shuffle of the big side;
+    3. ANTI-join the line stream against the ``>= min_df`` boilerplate
+       hash set (r10 inversion: the former inner join against the
+       UNDER-threshold set keyed the join on a mostly-unique-lines table —
+       corpus-sized, never broadcastable; the boilerplate complement is
+       the small side by construction — only lines repeated ``min_df``+
+       times — so AQE's runtime size measurement converts the anti-join
+       to a broadcast and the line stream never shuffles for the join;
+       a corpus where repeated lines dominate falls back to the same
+       shuffle join as before.  Every line hash lands in exactly one of
+       the two count sets, so kept rows are identical);
     4. reassemble per doc: collect (position, line), array_sort, join with
        the separator — deterministic byte-identical output on any
        partitioning;
@@ -1855,13 +1892,13 @@ def remove_boilerplate_lines(
     exploded = base.select(
         "_id", F.posexplode("_ls").alias("i", "ln")
     ).withColumn("lh", F.xxhash64("ln"))
-    keep_hashes = (
+    boiler_hashes = (
         exploded.groupBy("lh")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") < min_df)
+        .where(F.col("_df") >= min_df)
         .select("lh")
     )
-    kept = exploded.join(keep_hashes, "lh").groupBy("_id").agg(
+    kept = exploded.join(boiler_hashes, "lh", "left_anti").groupBy("_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "ln"))),

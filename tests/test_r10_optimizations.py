@@ -215,3 +215,130 @@ def test_scratch_root_honors_env(tmp_path, monkeypatch):
     monkeypatch.delenv("SG_SCRATCH_DIR")
     root = sess.scratch_root()
     assert root and root != str(target)
+
+
+def test_vocabulary_overlap_matches_selfjoin_formulation(spark):
+    """vocabulary_overlap's row-local pair expansion (collect_set per word +
+    sorted combos) must reproduce the original distinct + word-keyed
+    self-join pair counts exactly — including NULL-group exclusion and the
+    binary string ordering of group_a < group_b."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.text import (
+        vocabulary_overlap,
+    )
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "s1"),
+        (2, "beta gamma delta", "s2"),
+        (3, "gamma delta", "s3"),
+        (4, "alpha alpha beta", "s1"),   # within-group dup words
+        (5, "epsilon", None),            # NULL group must not pair
+        (6, "Beta, GAMMA!", "s2"),       # normalization collapses case/punct
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+
+    def old_form(df):
+        words = (
+            df.select(
+                F.col("source").alias("_g"),
+                F.explode(F.split(normalized_text(F.col("text")), " ")).alias("_w"),
+            )
+            .filter(F.length("_w") > 0)
+            .distinct()
+        )
+        a = words.select(F.col("_g").alias("group_a"), "_w")
+        b = words.select(F.col("_g").alias("group_b"), "_w")
+        return (
+            a.join(b, "_w")
+            .filter(F.col("group_a") < F.col("group_b"))
+            .groupBy("group_a", "group_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        )
+
+    want = {(r.group_a, r.group_b): r.n_shared for r in old_form(df).collect()}
+    got = {
+        (r.group_a, r.group_b): r.n_shared
+        for r in vocabulary_overlap(df, "text", "source").collect()
+    }
+    assert got == want
+    # full output row sanity: jaccard = shared / (na + nb - shared)
+    out = {(r.group_a, r.group_b): r for r in vocabulary_overlap(df, "text", "source").collect()}
+    for (a, b), r in out.items():
+        assert abs(r.jaccard - r.n_shared / (r.n_vocab_a + r.n_vocab_b - r.n_shared)) < 1e-6
+
+
+def test_remove_boilerplate_anti_join_matches_inner_join(spark):
+    """The >= min_df anti-join inversion must keep exactly the lines the
+    original under-threshold inner join kept."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    nav = "enable javascript"
+    rows = [
+        (1, f"{nav}\nunique one\ncommon line"),
+        (2, f"{nav}\nunique two\ncommon line"),
+        (3, f"{nav}\nunique three"),
+        (4, f"{nav}\n{nav}"),          # fully-boilerplate doc survives empty
+        (5, None),                      # NULL text
+        (6, "  \n\n  "),                # only blank lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in remove_boilerplate_lines(df, "text", "doc_id", min_df=3).collect()}
+    # nav occurs 5 times (>=3, dropped); "common line" twice (kept)
+    assert out[1].clean_text == "unique one\ncommon line"
+    assert out[2].clean_text == "unique two\ncommon line"
+    assert out[3].clean_text == "unique three"
+    assert (out[1].n_lines_kept, out[1].n_lines_removed) == (2, 1)
+    assert out[4].clean_text == "" and out[4].n_lines_kept == 0 and out[4].n_lines_removed == 2
+    assert out[5].clean_text is None
+    assert out[6].clean_text == "" and out[6].n_lines_removed == 0
+
+
+def test_dup_rate_window_matches_join_formulation(spark):
+    """dup_rate_by_group's (hash, group) aggregate + cluster-min window must
+    reproduce the original exact_dedup annotate-back join counts — incl.
+    cross-group clusters (drop attributed to the dropped copy's group),
+    singleton clusters, and a group with only duplicates."""
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.dedup import (
+        dup_rate_by_group,
+        exact_dedup,
+    )
+    from cloudcomputing_servicecompositiontest_datapipeline_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    rows = [
+        (10, "same content", "s1"),   # keeper (min id of the cluster)
+        (11, "same content", "s2"),   # cross-group dup -> counts against s2
+        (12, "same content", "s1"),   # within-group dup -> counts against s1
+        (20, "unique a", "s1"),
+        (21, "unique b", "s2"),
+        (30, "other dup", "s3"),      # keeper
+        (31, "OTHER  dup", "s3"),     # normalization makes this a dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+
+    h = F.sha2(normalized_text(F.col("text")), 256)
+    tagged = df.select(F.col("doc_id"), F.col("source").alias("group"), h.alias("content_hash"))
+    old = {
+        r.group: (r.n_docs, r.n_dropped)
+        for r in tagged.join(exact_dedup(df, "text", "doc_id"), "content_hash")
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when((F.col("n_copies") >= 2) & (F.col("doc_id") != F.col("keep_id")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_dropped"),
+        )
+        .collect()
+    }
+    new = {
+        r.group: (r.n_docs, r.n_dropped)
+        for r in dup_rate_by_group(df, "text", "doc_id", "source").collect()
+    }
+    assert new == old
+    assert new["s2"] == (2, 1) and new["s1"] == (3, 1) and new["s3"] == (2, 1)

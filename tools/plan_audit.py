@@ -86,6 +86,9 @@ ALLOWLIST = {
     "curation_source_mix": ("BroadcastNestedLoopJoin", "single corpus-total row for share"),
     "curation_temperature_resample": ("BroadcastNestedLoopJoin", "single n_min row over per-domain counts"),
     "drift_events_value": ("BroadcastNestedLoopJoin", "single totals row over the 10-bin table"),
+    "events_survival_curve": ("BroadcastNestedLoopJoin", "single corpus-end anchor + single user-total row"),
+    "embedding_normalize_zscore": ("BroadcastNestedLoopJoin", "single D-bounded per-dimension stats row"),
+    "curation_quantile_map": ("BroadcastNestedLoopJoin", "single corpus-total row over per-value counts"),
     "drift_documents_lang": ("BroadcastNestedLoopJoin", "single totals row over per-value counts"),
     # int8/PQ-fidelity evals: broadcast side is the bounded 10-query panel
     "similarity_quantized_recall": ("BroadcastNestedLoopJoin", "bounded query panel vs linear corpus scan"),
@@ -124,11 +127,7 @@ COLLECT_ALLOWLIST = {
     ("operators/bpe.py", "bpe_train"): "1-row argmax per merge round",
     ("operators/curation.py", "importance_weights"): "single corpus-totals row",
     ("operators/curation.py", "_exact_quantiles_reduced"): "1 stats row + len(fracs) curve rows",
-    ("operators/curation.py", "quantile_map"): "single (rows, distinct) broadcast-gating stats row",
     ("operators/features.py", "_dense_counts"): "single min/max time-bounds row",
-    ("operators/features.py", "survival_curve"): "single horizon/anchor rows",
-    ("operators/quality_checks.py", "psi_drift"): "single bin-bounds row",
-    ("operators/similarity.py", "normalize_embeddings_zscore"): "D per-dimension stats rows (D = embedding dim)",
     ("operators/similarity.py", "semantic_dedup"): "TakeOrdered-bounded k-means training sample",
     ("operators/similarity.py", "train_ivf_centroids"): "TakeOrdered-bounded IVF training sample",
     ("operators/similarity.py", "ivf_seed_centers"): "n_centroids rows by md5-rank TakeOrdered — the portable quantizer draw",
@@ -152,6 +151,9 @@ AGG_BUFFER_ALLOWLIST = {
     ("functions/sketch.py", "hll_portable_registers"): "one (idx,rank) entry per register — HLL_M bounded",
     ("functions/sketch.py", "hll_portable_merge"): "one (pos,max) entry per register after the element-wise max — HLL_M bounded",
     ("operators/dedup.py", "lsh_candidate_pairs"): "bucket ids <= max_bucket_size via count pre-filter; uncapped only by explicit None",
+    ("operators/text.py", "winnow_candidates"): "bucket ids <= max_bucket_size via the same count pre-filter as lsh_candidate_pairs",
+    ("operators/text.py", "vocabulary_overlap"): "per-word group set — bounded by |groups|, the operator's declared small dimension",
+    ("operators/similarity.py", "normalize_embeddings_zscore"): "one (dim, mean, std) struct per dimension — D bounded (embedding dim)",
     ("operators/dedup.py", "passage_dedup"): "per-document passages — bounded by the document itself",
     ("operators/text.py", "remove_boilerplate_lines"): "per-document surviving lines — bounded by the document itself",
     ("operators/report.py", "group_section"): "showAsList columns are bounded monitoring dims; capped_distinct_list is the high-cardinality path",
