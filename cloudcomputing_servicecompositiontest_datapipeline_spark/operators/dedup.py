@@ -841,15 +841,23 @@ def dup_rate_by_group(
         # them (NULL keys never join) — the aggregate must too
         .where(F.col("content_hash").isNotNull())
         .groupBy("content_hash", "group")
-        .agg(F.count(F.lit(1)).alias("_c"), F.min(id_col).alias("_min_id"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            # non-NULL ids only: the old per-doc test (id != keep_id) is
+            # NULL for a NULL id, so such docs were never dropped — they
+            # still count in n_docs (_c) but not in the droppable pool
+            F.count(id_col).alias("_cnn"),
+            F.min(id_col).alias("_min_id"),
+        )
     )
     w = Window.partitionBy("content_hash")
     flagged = per.select(
         "group",
         "_c",
-        (F.col("_c") - F.when(F.col("_min_id") == F.min("_min_id").over(w), 1).otherwise(0)).alias(
-            "_dropped"
-        ),
+        (
+            F.col("_cnn")
+            - F.when(F.col("_min_id") == F.min("_min_id").over(w), 1).otherwise(0)
+        ).alias("_dropped"),
     )
     mult = float(10**round_scale)
     return (

@@ -314,10 +314,12 @@ def test_dup_rate_window_matches_join_formulation(spark):
         (10, "same content", "s1"),   # keeper (min id of the cluster)
         (11, "same content", "s2"),   # cross-group dup -> counts against s2
         (12, "same content", "s1"),   # within-group dup -> counts against s1
+        (None, "same content", "s2"), # NULL id: never dropped (id != keep is NULL)
         (20, "unique a", "s1"),
         (21, "unique b", "s2"),
         (30, "other dup", "s3"),      # keeper
         (31, "OTHER  dup", "s3"),     # normalization makes this a dup
+        (40, None, "s1"),             # NULL text: excluded (NULL hash never joins)
     ]
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
 
@@ -341,4 +343,4 @@ def test_dup_rate_window_matches_join_formulation(spark):
         for r in dup_rate_by_group(df, "text", "doc_id", "source").collect()
     }
     assert new == old
-    assert new["s2"] == (2, 1) and new["s1"] == (3, 1) and new["s3"] == (2, 1)
+    assert new["s2"] == (3, 1) and new["s1"] == (3, 1) and new["s3"] == (2, 1)
