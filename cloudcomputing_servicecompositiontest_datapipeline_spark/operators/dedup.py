@@ -818,52 +818,49 @@ def dup_rate_by_group(
     attribution a source-quality report wants.
 
     100 TB shape (r10 restructure — the join is GONE): ONE map-side-partial
-    aggregate to (content_hash, group) rows carrying (count, min id), a
+    aggregate to (content_hash, group, id) rows carrying the row count, a
     hash-partitioned window taking the cluster-wide min id over those
-    (cluster-table-sized, never the doc stream), and the |groups| rollup.
-    A doc is dropped iff its cluster has >= 2 copies and it is not the
-    keeper; per (hash, group) that is exactly ``count − 1`` when the group
-    owns the cluster keeper (its min id IS the cluster min — singleton
-    clusters give count 1 − 1 = 0, subsuming the n_copies >= 2 test) and
-    ``count`` otherwise — the former per-doc join test aggregated one
-    level earlier.  vs the old annotate-back join: the full tagged doc
-    stream no longer shuffles (only distinct (hash, group) partials do),
-    sha2 runs once instead of twice, and the sort-merge join disappears.
-    Rates from exact integer sums.  (r10: an explicit repartition-by-hash
-    meant to share one exchange between the old aggregate and join was
-    measured and reverted before this restructure — column pruning
-    narrowed the aggregate branch's exchange so the subtrees never
-    canonicalized equal.)"""
+    (cluster-table-sized, never the fat doc stream), and the |groups|
+    rollup.  A row is dropped iff its id is non-NULL and differs from the
+    cluster keeper (= min id over the hash) — exactly the old per-doc
+    ``id != keep_id`` test, evaluated once per distinct (hash, group, id)
+    and weighted by that cell's count: NULL ids never drop (NULL != keep
+    is NULL), every row SHARING the keeper id survives (the old join kept
+    all of them), and a singleton cluster's only row IS the keeper,
+    subsuming the old ``n_copies >= 2`` guard.  vs the old annotate-back
+    join: the tagged doc stream no longer shuffles (only (hash, group, id)
+    partials do — the same cardinality when ids are unique), sha2 runs
+    once instead of twice, and the sort-merge join disappears.  Rates from
+    exact integer sums.  (r10: an explicit repartition-by-hash meant to
+    share one exchange between the old aggregate and join was measured and
+    reverted before this restructure — column pruning narrowed the
+    aggregate branch's exchange so the subtrees never canonicalized
+    equal.)"""
     h = F.sha2(normalized_text(F.col(text_col)), 256)
     per = (
         df.select(F.col(id_col), F.col(group_col).alias("group"), h.alias("content_hash"))
         # NULL-text docs have a NULL hash: the former inner join dropped
         # them (NULL keys never join) — the aggregate must too
         .where(F.col("content_hash").isNotNull())
-        .groupBy("content_hash", "group")
-        .agg(
-            F.count(F.lit(1)).alias("_c"),
-            # non-NULL ids only: the old per-doc test (id != keep_id) is
-            # NULL for a NULL id, so such docs were never dropped — they
-            # still count in n_docs (_c) but not in the droppable pool
-            F.count(id_col).alias("_cnn"),
-            F.min(id_col).alias("_min_id"),
-        )
+        .groupBy("content_hash", "group", id_col)
+        .agg(F.count(F.lit(1)).alias("_k"))
     )
     w = Window.partitionBy("content_hash")
+    keep = F.min(id_col).over(w)
     flagged = per.select(
         "group",
-        "_c",
-        (
-            F.col("_cnn")
-            - F.when(F.col("_min_id") == F.min("_min_id").over(w), 1).otherwise(0)
-        ).alias("_dropped"),
+        "_k",
+        F.when(
+            F.col(id_col).isNull() | (F.col(id_col) == keep), F.lit(0)
+        )
+        .otherwise(F.col("_k"))
+        .alias("_dropped"),
     )
     mult = float(10**round_scale)
     return (
         flagged.groupBy("group")
         .agg(
-            F.sum("_c").cast("long").alias("n_docs"),
+            F.sum("_k").cast("long").alias("n_docs"),
             F.sum("_dropped").cast("long").alias("n_dropped"),
         )
         .select(

@@ -258,13 +258,9 @@ def test_vocabulary_overlap_matches_selfjoin_formulation(spark):
         )
 
     want = {(r.group_a, r.group_b): r.n_shared for r in old_form(df).collect()}
-    got = {
-        (r.group_a, r.group_b): r.n_shared
-        for r in vocabulary_overlap(df, "text", "source").collect()
-    }
-    assert got == want
-    # full output row sanity: jaccard = shared / (na + nb - shared)
     out = {(r.group_a, r.group_b): r for r in vocabulary_overlap(df, "text", "source").collect()}
+    assert {k: r.n_shared for k, r in out.items()} == want
+    # full output row sanity: jaccard = shared / (na + nb - shared)
     for (a, b), r in out.items():
         assert abs(r.jaccard - r.n_shared / (r.n_vocab_a + r.n_vocab_b - r.n_shared)) < 1e-6
 
@@ -315,6 +311,7 @@ def test_dup_rate_window_matches_join_formulation(spark):
         (11, "same content", "s2"),   # cross-group dup -> counts against s2
         (12, "same content", "s1"),   # within-group dup -> counts against s1
         (None, "same content", "s2"), # NULL id: never dropped (id != keep is NULL)
+        (10, "same content", "s1"),   # duplicate keeper id: BOTH rows survive
         (20, "unique a", "s1"),
         (21, "unique b", "s2"),
         (30, "other dup", "s3"),      # keeper
@@ -343,4 +340,4 @@ def test_dup_rate_window_matches_join_formulation(spark):
         for r in dup_rate_by_group(df, "text", "doc_id", "source").collect()
     }
     assert new == old
-    assert new["s2"] == (3, 1) and new["s1"] == (3, 1) and new["s3"] == (2, 1)
+    assert new["s2"] == (3, 1) and new["s1"] == (4, 1) and new["s3"] == (2, 1)
