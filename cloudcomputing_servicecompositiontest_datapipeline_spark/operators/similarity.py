@@ -141,12 +141,19 @@ def brute_force_topk(
     # dot), and filtering on the alias let pushdown substitute it — landing
     # isnotnull(<full 64-wide decimal fold>) in the JOIN CONDITION, so every
     # pair paid the fold twice (plan-verified; the built-in analog of the
-    # duplicated-UDF class).
+    # duplicated-UDF class).  The size-equality term closes the one gap in
+    # that equivalence: MISMATCHED-length vectors (zip_with NULL-pads the
+    # shorter side) NULL the dot while both norms stay positive, so without
+    # it a ragged pair would survive with a NULL cosine that the old
+    # cosine-IS-NOT-NULL form dropped.  size() is O(1) per pair.
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+        .filter(
+            (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+            & (F.size("query_vec") == F.size("cand_vec"))
+        )
         .select(
             "query_id",
             "cand_id",
@@ -561,7 +568,10 @@ def ivf_topk(
         F.broadcast(probes)
         .join(assigned, "centroid")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+        .filter(
+            (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+            & (F.size("query_vec") == F.size("cand_vec"))
+        )
         .select(
             "query_id",
             "cand_id",
@@ -625,7 +635,10 @@ def lsh_topk(
         F.broadcast(q)
         .join(c, ["tbl", "bits"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+        .filter(
+            (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+            & (F.size("query_vec") == F.size("cand_vec"))
+        )
         .select(
             "query_id",
             "cand_id",
@@ -689,7 +702,10 @@ def lsh_topk_sweep(
         F.broadcast(q)
         .join(c, ["tbl", "bits"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+        .filter(
+            (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+            & (F.size("query_vec") == F.size("cand_vec"))
+        )
         .select(
             "query_id",
             "cand_id",
@@ -781,7 +797,10 @@ def ivf_topk_sweep(
         F.broadcast(probes)
         .join(assigned, "centroid")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .filter(F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+        .filter(
+            (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+            & (F.size("query_vec") == F.size("cand_vec"))
+        )
         .select(
             "query_id",
             "cand_id",
