@@ -15,8 +15,12 @@ logical plans scale to a multi-executor cluster at ~100 TB:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+#: serializes the one-time package-zip build (see ensure_package_on_workers)
+_PYFILE_LOCK = threading.Lock()
 
 #: Conf applied to sessions we create AND (where safe) to sessions handed to us.
 ENGINE_RUNTIME_CONF = {
@@ -131,18 +135,35 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    pkg_dir = pathlib.Path(__file__).resolve().parent
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}.zip"
-    )
-    with zipfile.ZipFile(zpath, "w") as z:
-        for p in sorted(pkg_dir.rglob("*.py")):
-            z.write(p, arcname=str(pathlib.Path(pkg_dir.name) / p.relative_to(pkg_dir)))
-    try:
-        sc.addPyFile(zpath)
-    except Exception:
-        pass  # already added under this name in this context
-    sc._spark_graft_pyfile = True
+    # Serialized + build-once: concurrent callers (queries built from a
+    # thread pool — guide §2.6) used to each rewrite the SAME zip path;
+    # zip member mtimes differ per build, so executors that had fetched
+    # build A hard-fail with "exists and does not match" when the file on
+    # disk became build B.  One lock, one build per process, atomic
+    # rename — re-running in the same process reuses the identical file.
+    with _PYFILE_LOCK:
+        if getattr(sc, "_spark_graft_pyfile", False):
+            return
+        pkg_dir = pathlib.Path(__file__).resolve().parent
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            tmp = zpath + ".tmp"
+            with zipfile.ZipFile(tmp, "w") as z:
+                for p in sorted(pkg_dir.rglob("*.py")):
+                    z.write(
+                        p,
+                        arcname=str(
+                            pathlib.Path(pkg_dir.name) / p.relative_to(pkg_dir)
+                        ),
+                    )
+            os.replace(tmp, zpath)
+        try:
+            sc.addPyFile(zpath)
+        except Exception:
+            pass  # already added under this name in this context
+        sc._spark_graft_pyfile = True
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:

@@ -21,11 +21,15 @@ Reference semantics being re-expressed:
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+#: serializes overlapping bounded_state_partitions set/restore windows
+_STATE_PARTITIONS_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -45,21 +49,28 @@ def bounded_state_partitions(spark: SparkSession, n: int | None = None):
     key counts at any input scale; production checkpoints pin whatever the
     first run chose, making this a start-time decision there too).
 
-    Session-global conf set/restore, same non-reentrancy caveat as
-    ``cluster_canonical``: do not overlap with concurrent queries on the
-    same session.  ``get(key, None)`` / ``unset`` keeps an untouched
-    session untouched."""
+    Session-global conf set/restore.  A process-wide lock serializes
+    overlapping wrapped drains (the multi-tenant caveat the r10 docstring
+    deferred): without it two concurrent drains can interleave
+    set/restore and permanently pin the session's shuffle.partitions to
+    the bounded value.  Concurrent UNWRAPPED queries on the same session
+    still see the bounded value while a drain holds it — value-safe (the
+    engine's outputs are partitioning-independent, driver-attested under
+    200-partition sessions), perf-neutral for plan-only work.
+    ``get(key, None)`` / ``unset`` keeps an untouched session
+    untouched."""
     key = "spark.sql.shuffle.partitions"
     n = n or int(os.environ.get("SG_STREAM_STATE_PARTITIONS", "8"))
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    with _STATE_PARTITIONS_LOCK:
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def available_now_compile(

@@ -16,7 +16,14 @@ empty.  Contract pinned here:
 Anything else — numpy IndexErrors, Py4J NPEs, ANSI cast errors, silent
 hangs — is a latent one-bad-partition bug at 100 TB (an empty partition,
 an all-filtered slice) and fails the sweep.
-"""
+
+Execution shape (r11): each sweep PREFETCHES every query's outcome on a
+small thread pool inside its module fixture (guide §2.6 — independent
+driver work overlaps; the engine is thread-safe for concurrent builds
+since the package-zip and state-partition races were locked), and the
+232 parametrized tests assert the recorded outcome.  Same tests, same
+strictness, ~6× less wall-clock: the serial form spent ~0.5 s of
+build+collect latency per query × 7 corpora."""
 
 from __future__ import annotations
 
@@ -40,102 +47,127 @@ EXPECTED_VALUEERROR = {
 
 _QUERIES = em.queries()
 
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _run_all(spark, sf_dir: str) -> dict[str, tuple[int | None, Exception | None]]:
+    """Build + collect every registered query against ``sf_dir`` on a thread
+    pool; record (n_rows, exception) per query for the parametrized asserts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name: str):
+        try:
+            rows = _QUERIES[name](spark, sf_dir).collect()
+            return name, (len(rows), None)
+        except Exception as e:  # noqa: BLE001 — the sweep classifies it
+            return name, (None, e)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(one, sorted(_QUERIES)))
+
+
+def _write_tables(spark, out, make_df) -> str:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(t: str) -> None:
+        make_df(t).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(one, _TABLES))
+    return str(out)
+
 
 @pytest.fixture(scope="module")
-def empty_sf_dir(spark, tmp_path_factory) -> str:
-    """A star-schema directory with every table present but ZERO rows —
-    schemas cloned from the sf0.001 fixtures so casts/column resolution
-    behave exactly as on real data."""
+def empty_results(spark, tmp_path_factory):
+    """Outcomes on a star-schema directory with every table present but ZERO
+    rows — schemas cloned from the sf0.001 fixtures so casts/column
+    resolution behave exactly as on real data."""
     from tests.conftest import SF_SMOKE
 
     out = tmp_path_factory.mktemp("sf_empty")
-    tables = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    for t in tables:
+
+    def make(t: str):
         df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
-        spark.createDataFrame([], df.schema).write.mode("overwrite").parquet(
-            str(out / f"{t}.parquet")
-        )
-    return str(out)
+        return spark.createDataFrame([], df.schema)
+
+    return _run_all(spark, _write_tables(spark, out, make))
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
-    fn = _QUERIES[name]
+def test_query_survives_empty_corpus(name, empty_results):
+    n_rows, exc = empty_results[name]
     if name in EXPECTED_VALUEERROR:
-        with pytest.raises(ValueError):
-            fn(spark, empty_sf_dir).collect()
+        assert isinstance(exc, ValueError), (
+            f"{name} must fail loudly (ValueError) on an empty corpus, got {exc!r}"
+        )
         return
-    rows = fn(spark, empty_sf_dir).collect()
-    assert isinstance(rows, list)  # collected cleanly; emptiness is fine
+    assert exc is None, f"{name} crashed on the empty corpus: {exc!r}"
+    assert n_rows is not None  # collected cleanly; emptiness is fine
 
 
 @pytest.fixture(scope="module")
-def one_row_sf_dir(spark, tmp_path_factory) -> str:
-    """A star-schema directory with exactly ONE row per table — the n=1
-    degenerate that exercises every (n-1) denominator, single-element
-    window, 1-point quantile curve, and 1-vector trainer path.  Rows are
-    each table's first row, so joins may legitimately come up empty
-    (referential misses are fine; crashes are not)."""
+def one_row_results(spark, tmp_path_factory):
+    """Outcomes on a star-schema directory with exactly ONE row per table —
+    the n=1 degenerate that exercises every (n-1) denominator,
+    single-element window, 1-point quantile curve, and 1-vector trainer
+    path.  Rows are each table's first row, so joins may legitimately come
+    up empty (referential misses are fine; crashes are not)."""
     from tests.conftest import SF_SMOKE
 
     out = tmp_path_factory.mktemp("sf_one")
-    tables = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    for t in tables:
-        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
-        df.limit(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
-    return str(out)
+
+    def make(t: str):
+        return spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(1)
+
+    return _run_all(spark, _write_tables(spark, out, make))
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_survives_one_row_corpus(spark, one_row_sf_dir, name):
+def test_query_survives_one_row_corpus(name, one_row_results):
     """Every query must collect cleanly on a 1-row corpus: no ANSI /0 from
     an (n-1) denominator, no trainer IndexError on a 1-vector sample, no
     empty-window crash.  ValueError is NOT acceptable here — one row is a
     usable corpus for every operator."""
-    rows = _QUERIES[name](spark, one_row_sf_dir).collect()
-    assert isinstance(rows, list)
+    n_rows, exc = one_row_results[name]
+    assert exc is None, f"{name} crashed on the one-row corpus: {exc!r}"
+    assert n_rows is not None
 
 
 @pytest.fixture(scope="module")
-def constant_sf_dir(spark, tmp_path_factory) -> str:
-    """A star-schema directory where every table is its FIRST ROW repeated
-    50 times — the all-duplicates degenerate: every document identical
-    (one LSH bucket holds the whole corpus — the skew-cap path), every
-    cluster a clique, every score column single-distinct (zero variance,
-    one-point quantile curves, zero MAD), duplicate keys everywhere."""
+def constant_results(spark, tmp_path_factory):
+    """Outcomes on a star-schema directory where every table is its FIRST
+    ROW repeated 50 times — the all-duplicates degenerate: every document
+    identical (one LSH bucket holds the whole corpus — the skew-cap path),
+    every cluster a clique, every score column single-distinct (zero
+    variance, one-point quantile curves, zero MAD), duplicate keys
+    everywhere."""
     import pyspark.sql.functions as F
 
     from tests.conftest import SF_SMOKE
 
     out = tmp_path_factory.mktemp("sf_const")
-    tables = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    for t in tables:
-        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
-        one = df.limit(1)
-        rep = one.crossJoin(
+
+    def make(t: str):
+        one = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(1)
+        return one.crossJoin(
             spark.range(50).select(F.lit(1).alias("_dup"))
         ).drop("_dup")
-        rep.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
-    return str(out)
+
+    return _run_all(spark, _write_tables(spark, out, make))
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_survives_constant_corpus(spark, constant_sf_dir, name):
+def test_query_survives_constant_corpus(name, constant_results):
     """Every query must collect cleanly on the all-duplicates corpus — the
     degenerate that produces maximal-skew buckets, cliques, and
     zero-variance statistics.  No ValueError is acceptable: 50 identical
     rows are a usable (if pathological) corpus for every operator."""
-    rows = _QUERIES[name](spark, constant_sf_dir).collect()
-    assert isinstance(rows, list)
+    n_rows, exc = constant_results[name]
+    assert exc is None, f"{name} crashed on the constant corpus: {exc!r}"
+    assert n_rows is not None
 
 
 #: primary-key columns kept intact in the NULL-heavy fixture — a NULL join
@@ -156,17 +188,19 @@ _TABLE_KEYS = {
 
 
 @pytest.fixture(scope="module")
-def nullheavy_sf_dir(spark, tmp_path_factory) -> str:
-    """A star-schema directory where every NON-KEY column is NULL on a
-    seeded ~50% of rows — the dirty-feed degenerate: half-missing texts,
-    embeddings, timestamps, and measures, with join keys intact so plans
-    still traverse their joins."""
+def nullheavy_results(spark, tmp_path_factory):
+    """Outcomes on a star-schema directory where every NON-KEY column is
+    NULL on a seeded ~50% of rows — the dirty-feed degenerate: half-missing
+    texts, embeddings, timestamps, and measures, with join keys intact so
+    plans still traverse their joins."""
     import pyspark.sql.functions as F
 
     from tests.conftest import SF_SMOKE
 
     out = tmp_path_factory.mktemp("sf_nulls")
-    for t, keys in _TABLE_KEYS.items():
+
+    def make(t: str):
+        keys = _TABLE_KEYS[t]
         df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
         cols = [
             F.col(c)
@@ -176,28 +210,28 @@ def nullheavy_sf_dir(spark, tmp_path_factory) -> str:
             .alias(c)
             for c in df.columns
         ]
-        df.select(cols).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
-    return str(out)
+        return df.select(cols)
+
+    return _run_all(spark, _write_tables(spark, out, make))
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_survives_nullheavy_corpus(spark, nullheavy_sf_dir, name):
+def test_query_survives_nullheavy_corpus(name, nullheavy_results):
     """Every query must collect cleanly when half of every non-key column
     is NULL — the realistic dirty-feed shape (failed scrapes, missing
     embeddings, null timestamps).  The fail-loud trainers may raise their
     documented ValueError only if their specific input column lost every
     usable row; everything else must degrade to NULL/absent rows, never
     crash."""
-    fn = _QUERIES[name]
-    try:
-        rows = fn(spark, nullheavy_sf_dir).collect()
-    except ValueError:
+    n_rows, exc = nullheavy_results[name]
+    if isinstance(exc, ValueError):
         assert name in EXPECTED_VALUEERROR, (
             f"{name} raised ValueError on the null-heavy corpus but is not "
             "a documented fail-loud operator"
         )
         return
-    assert isinstance(rows, list)
+    assert exc is None, f"{name} crashed on the null-heavy corpus: {exc!r}"
+    assert n_rows is not None
 
 
 #: per-table (column -> hot value picker) for the skew fixture: the
@@ -214,22 +248,19 @@ _SKEW_COLS = {
 
 
 @pytest.fixture(scope="module")
-def skewed_sf_dir(spark, tmp_path_factory) -> str:
-    """A star-schema directory where each table's natural grouping keys are
-    ~95% ONE value (the minimum existing value, so FK integrity holds).
-    Every groupBy/join on those keys sees one partition-dominating bucket —
-    the single-hot-key degenerate that AQE skew handling, salting, and the
-    capped-bucket dedup paths exist for."""
+def skewed_results(spark, tmp_path_factory):
+    """Outcomes on a star-schema directory where each table's natural
+    grouping keys are ~95% ONE value (the minimum existing value, so FK
+    integrity holds).  Every groupBy/join on those keys sees one
+    partition-dominating bucket — the single-hot-key degenerate that AQE
+    skew handling, salting, and the capped-bucket dedup paths exist for."""
     import pyspark.sql.functions as F
 
     from tests.conftest import SF_SMOKE
 
     out = tmp_path_factory.mktemp("sf_skew")
-    tables = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    for t in tables:
+
+    def make(t: str):
         df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
         for c in _SKEW_COLS.get(t, []):
             hot = df.agg(F.min(F.col(c))).collect()[0][0]
@@ -239,46 +270,43 @@ def skewed_sf_dir(spark, tmp_path_factory) -> str:
             df = df.withColumn(
                 c, F.when(keep, F.col(c)).otherwise(F.lit(hot))
             )
-        df.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
-    return str(out)
+        return df
+
+    return _run_all(spark, _write_tables(spark, out, make))
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_survives_skewed_corpus(spark, skewed_sf_dir, name):
+def test_query_survives_skewed_corpus(name, skewed_results):
     """Every query must collect cleanly when one key owns ~95% of every
     grouping column — the hot-key degenerate.  Correctness only (the
     perf story is AQE + the explicit salting/capped-bucket paths); any
     crash here is a one-hot-partition bug at 100 TB."""
-    fn = _QUERIES[name]
-    try:
-        rows = fn(spark, skewed_sf_dir).collect()
-    except ValueError:
+    n_rows, exc = skewed_results[name]
+    if isinstance(exc, ValueError):
         assert name in EXPECTED_VALUEERROR, (
             f"{name} raised ValueError on the skewed corpus but is not "
             "a documented fail-loud operator"
         )
         return
-    assert isinstance(rows, list)
+    assert exc is None, f"{name} crashed on the skewed corpus: {exc!r}"
+    assert n_rows is not None
 
 
 @pytest.fixture(scope="module")
-def unicode_sf_dir(spark, tmp_path_factory) -> str:
-    """A star-schema directory where every document text is replaced by a
-    unicode-hostile rendering -- emoji (incl. modifier sequences), RTL
-    runs, CJK, combining marks, astral-plane codepoints, zero-width
-    joiners and raw control chars spliced between the original tokens.
-    Regex token splits, char-class quality signals, NFC normalization,
-    BPE byte handling, winnowing shingles and HTML stripping all chew on
-    this at 100 TB; any crash or codec error here is a real-corpus bug."""
+def unicode_results(spark, tmp_path_factory):
+    """Outcomes on a star-schema directory where every document text is
+    replaced by a unicode-hostile rendering -- emoji (incl. modifier
+    sequences), RTL runs, CJK, combining marks, astral-plane codepoints,
+    zero-width joiners and raw control chars spliced between the original
+    tokens.  Regex token splits, char-class quality signals, NFC
+    normalization, BPE byte handling, winnowing shingles and HTML
+    stripping all chew on this at 100 TB; any crash or codec error here is
+    a real-corpus bug."""
     import pyspark.sql.functions as F
 
     from tests.conftest import SF_SMOKE
 
     out = tmp_path_factory.mktemp("sf_unicode")
-    tables = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
     hostile = [
         "\U0001F600\U0001F3FD",       # emoji + skin-tone modifier
         "\u0645\u0631\u062d\u0628\u0627",  # Arabic (RTL)
@@ -289,7 +317,8 @@ def unicode_sf_dir(spark, tmp_path_factory) -> str:
         "\x01\x1e\x1f",               # raw control chars
         "\u05e9\u05dc\u05d5\u05dd",  # Hebrew (RTL)
     ]
-    for t in tables:
+
+    def make(t: str):
         df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
         if t == "documents":
             # splice a hostile token between every original token, rotating
@@ -313,23 +342,23 @@ def unicode_sf_dir(spark, tmp_path_factory) -> str:
                     ),
                 ),
             )
-        df.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
-    return str(out)
+        return df
+
+    return _run_all(spark, _write_tables(spark, out, make))
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_survives_unicode_corpus(spark, unicode_sf_dir, name):
+def test_query_survives_unicode_corpus(name, unicode_results):
     """Every query must collect cleanly on the unicode-hostile corpus --
     multi-byte, RTL, combining and astral-plane text is normal web data,
     and a codepoint that kills a tokenizer/regex/encoder task kills the
     whole 100 TB job."""
-    fn = _QUERIES[name]
-    try:
-        rows = fn(spark, unicode_sf_dir).collect()
-    except ValueError:
+    n_rows, exc = unicode_results[name]
+    if isinstance(exc, ValueError):
         assert name in EXPECTED_VALUEERROR, (
             f"{name} raised ValueError on the unicode corpus but is not "
             "a documented fail-loud operator"
         )
         return
-    assert isinstance(rows, list)
+    assert exc is None, f"{name} crashed on the unicode corpus: {exc!r}"
+    assert n_rows is not None

@@ -117,19 +117,28 @@ def test_oracle_queries_return_no_nested_columns(spark, sf_dir):
     (``TypeError: unhashable type: 'numpy.ndarray'``) while the old local
     gate (stringify-then-sort) stayed green.  Nested outputs must be
     ``array_join``-ed / ``to_json``-ed in the declared query (the
-    plans/report.py pattern).  Schema derivation is lazy — no job runs."""
+    plans/report.py pattern).  Schema derivation is lazy — no job runs for
+    most queries (trainer queries run their bounded collect), and builds
+    are independent, so they run on a small thread pool (guide §2.6:
+    overlap independent driver work — this was the suite's single slowest
+    test at 45 s serial; conf set/restore inside cluster_canonical is a
+    no-op collision since parallelismFirst=false became the engine
+    posture)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import types as T
 
-    offenders = []
-    for name in registry.ORACLES:
+    def _bad(name: str):
         df = registry.QUERIES[name](spark, sf_dir)
         bad = [
             f.name
             for f in df.schema.fields
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
         ]
-        if bad:
-            offenders.append((name, bad))
+        return (name, bad) if bad else None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [r for r in pool.map(_bad, sorted(registry.ORACLES)) if r]
     assert not offenders, (
         "oracle-checked queries returning nested columns (driver hash "
         f"canonicalization would crash): {offenders}"
