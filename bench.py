@@ -160,9 +160,9 @@ NEW_R8 = [
 #: round-over-round totals remain 1:1 comparable — stated explicitly in
 #: OPTIMIZATION_r11.md as a measurement-visibility fix, not a timing change.
 SCALING_PROBES = [
-    "similarity_ann_sweep",
-    "similarity_ann_eval",
-    "events_bootstrap_ci",
+    "similarity_ann_sweep",       # decimal signature/assignment folds; 1.33x in the driver's own r10 c8 record
+    "events_bootstrap_ci",        # 50x8 md5/conv draw replicates; 1.32x measured c8/c32 min-of-3
+    "curation_importance_weights",  # md5-per-token feature buckets; 1.49x measured c8/c32 min-of-3
 ]
 
 #: Tier-2 headline (r8+): the 10 most expensive LONG-TAIL queries by the r7

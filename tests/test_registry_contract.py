@@ -165,3 +165,9 @@ def test_bench_contract_shape():
     # headline set frozen since r1 for cross-round comparability
     assert len(bench.HEADLINE) == 15
     assert len(set(timed)) == len(timed)
+    # r11 scaling probes: registered, disjoint from the frozen headline
+    # (they ride in the stdout queries map for the driver's low-core ratio
+    # measurement but must not change what `value` sums)
+    for name in bench.SCALING_PROBES:
+        assert name in qs, f"scaling probe is not a registered query: {name!r}"
+    assert not set(bench.SCALING_PROBES) & set(bench.HEADLINE)
