@@ -651,10 +651,17 @@ def cluster_canonical(
         # case: dup pairs are a few % of the corpus), while a genuinely
         # huge graph keeps full parallelism via the
         # 2M-edges-per-partition target.
+        # 500k edges per partition: each loop round does ~3 passes over the
+        # edge set (propagate join, node agg, jump join), so the right unit
+        # is smaller than a scan partition — r11 A/B on the sf1 twin-heavy
+        # graph (498k edges): 2M target → p=1 serialized the loop at 4.1 s,
+        # 500k → 2.9 s, 125k → 3.3 s (task-launch overhead wins again).
+        # Still graph-sized, not core-sized: tiny dup graphs stay at p=1,
+        # huge ones cap at the session's parallelism either way.
         n_edges = edges.count()
         p = max(
             1,
-            min(int(spark.sparkContext.defaultParallelism), n_edges // 2_000_000 + 1),
+            min(int(spark.sparkContext.defaultParallelism), n_edges // 500_000 + 1),
         )
         edges = edges.repartition(p).localCheckpoint(eager=False)
         # Iterate over TOUCHED nodes only (nodes on some edge): singletons

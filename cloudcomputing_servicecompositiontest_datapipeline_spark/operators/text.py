@@ -1188,15 +1188,20 @@ def winnow_verify(
         F.split(normalized_text(F.col(text_col)), " ").alias("_tk"),
     )
     n_grams = F.greatest(F.size("_tk") - (k - 1), F.lit(0))
+    # 16-byte BINARY digests, not 32-char hex strings: the verify joins
+    # shuffle one gram array per candidate-pair side, so key bytes halve
+    # the dominant exchange (guide §2.3; the r10 binary-digest class).
+    # unhex is injective, so intersect/union/containment SIZES — the only
+    # thing the output reads — are unchanged.
     grams = F.when(
         n_grams >= 1,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-                lambda i: F.md5(F.array_join(F.slice(F.col("_tk"), i, k), " ")),
+                lambda i: F.unhex(F.md5(F.array_join(F.slice(F.col("_tk"), i, k), " "))),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     gsets = toks.select("_gid", grams.alias("_grams"))
     j = (
         candidates.join(
@@ -1207,16 +1212,32 @@ def winnow_verify(
             "id_b",
         )
     )
-    inter = F.size(F.array_intersect("_ga", "_gb"))
-    union = F.size("_ga") + F.size("_gb") - inter
+    # Intersect ONCE per pair, behind a fence: expressing jaccard directly
+    # over array_intersect let PushPredicateThroughJoin substitute the
+    # threshold filter into the join CONDITION, where the intersect was
+    # re-evaluated ~5x per pair (3x in the condition + 2x in the project —
+    # the built-in analog of the duplicated-UDF class; sf1 profile: 90 s of
+    # stage CPU for 250k pairs, ~19 s fenced).  n_common_grams is fenced
+    # nondeterministic so no rewrite may duplicate or move it; jaccard and
+    # the filter then read the BOUND count.
+    staged = j.select(
+        "id_a",
+        "id_b",
+        F.col("n_shared"),
+        F.size(F.array_intersect("_ga", "_gb")).alias("n_common_grams"),
+        (F.size("_ga") + F.size("_gb")).alias("_tot"),
+    )
+    staged = stage_barrier(staged, "n_common_grams")
+    inter = F.col("n_common_grams")
+    union = F.col("_tot") - inter
     mult = float(10**round_scale)
     jac = F.floor(inter.cast("double") / union.cast("double") * mult + 0.5) / mult
     return (
-        j.select(
+        staged.select(
             "id_a",
             "id_b",
-            F.col("n_shared"),
-            inter.alias("n_common_grams"),
+            "n_shared",
+            "n_common_grams",
             F.when(union > 0, jac).otherwise(F.lit(0.0)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
@@ -1622,22 +1643,38 @@ def winnow_containment(
         F.split(normalized_text(F.col(text_col)), " ").alias("_tk"),
     )
     n_grams = F.greatest(F.size("_tk") - (k - 1), F.lit(0))
+    # 16-byte BINARY digests, not 32-char hex strings: the verify joins
+    # shuffle one gram array per candidate-pair side, so key bytes halve
+    # the dominant exchange (guide §2.3; the r10 binary-digest class).
+    # unhex is injective, so intersect/union/containment SIZES — the only
+    # thing the output reads — are unchanged.
     grams = F.when(
         n_grams >= 1,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-                lambda i: F.md5(F.array_join(F.slice(F.col("_tk"), i, k), " ")),
+                lambda i: F.unhex(F.md5(F.array_join(F.slice(F.col("_tk"), i, k), " "))),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     gsets = toks.select("_gid", grams.alias("_grams"))
     j = candidates.join(
         gsets.select(F.col("_gid").alias("id_a"), F.col("_grams").alias("_ga")), "id_a"
     ).join(
         gsets.select(F.col("_gid").alias("id_b"), F.col("_grams").alias("_gb")), "id_b"
     )
-    inter = F.size(F.array_intersect("_ga", "_gb"))
+    # Intersect ONCE per pair, behind a fence — see winnow_verify: the
+    # threshold filter otherwise pushes into the join condition and
+    # re-evaluates the intersect per disjunct per pair.
+    staged = j.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("_ga", "_gb")).alias("n_common_grams"),
+        F.size("_ga").alias("_na"),
+        F.size("_gb").alias("_nb"),
+    )
+    staged = stage_barrier(staged, "n_common_grams")
+    inter = F.col("n_common_grams")
     mult = float(10**round_scale)
 
     def frac(num, den):
@@ -1645,13 +1682,13 @@ def winnow_containment(
             den > 0, F.floor(num.cast("double") / den.cast("double") * mult + 0.5) / mult
         ).otherwise(F.lit(0.0))
 
-    ca = frac(inter, F.size("_ga"))
-    cb = frac(inter, F.size("_gb"))
+    ca = frac(inter, F.col("_na"))
+    cb = frac(inter, F.col("_nb"))
     return (
-        j.select(
+        staged.select(
             "id_a",
             "id_b",
-            inter.alias("n_common_grams"),
+            "n_common_grams",
             ca.alias("containment_a_in_b"),
             cb.alias("containment_b_in_a"),
             F.when(ca >= cb, "a_in_b").otherwise("b_in_a").alias("direction"),
