@@ -903,9 +903,18 @@ def semantic_dedup(
             f"exact_assign must be False, True or 'seq', got {exact_assign!r}"
         )
     if block_col is not None:
-        blocked = _with_norm(emb, "_id", "_vec", id_col, vec_col).join(
-            emb.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_block")),
-            "_id",
+        # block attribute carried THROUGH the norm projection, not joined
+        # back on the id: the join-back was an id-keyed shuffle of the
+        # (vec, norm) rows purely to attach one column, and quadratic under
+        # duplicate ids (the ngram_jaccard_pairs r11 finding; value-
+        # identical for unique ids, oracle-faithful under duplicates)
+        blocked = ensure_parallelism(emb).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.sqrt(_dot_dec(F.col(vec_col), F.col(vec_col)).cast("double")).alias(
+                "_vec_norm"
+            ),
+            F.col(block_col).alias("_block"),
         )
     else:
         # NULL vectors cannot be blocked (and a None reaching the pandas

@@ -341,23 +341,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/IVF bucketing from similarity.py so only same-bucket pairs score."""
     apply_runtime_conf(spark)
     from ..operators.similarity import _dot_dec, _with_norm
+    from ..sources.star import stage_barrier
 
     emb = star.table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     a = _with_norm(emb, "id_a", "vec_a", "vec_id", "embedding")
     b = _with_norm(emb, "id_b", "vec_b", "vec_id", "embedding")
     dot = _dot_dec(F.col("vec_a"), F.col("vec_b")).cast("double")
     mult = 1000000.0
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (F.floor(dot / (F.col("vec_a_norm") * F.col("vec_b_norm")) * mult + 0.5) / mult).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= 0.35)
+    # cosine computed ONCE behind a fence: filtering on the alias let the
+    # threshold push into the join CONDITION with the full 64-wide decimal
+    # fold substituted in, so every pair paid the fold in the interpreted
+    # condition and survivors paid it again in the project (the r10 ANN
+    # norm-guard class; plans/r11/dedup_embedding_cosine_{before,after}).
+    scored = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (F.floor(dot / (F.col("vec_a_norm") * F.col("vec_b_norm")) * mult + 0.5) / mult).alias(
+            "cosine"
+        ),
     )
+    return stage_barrier(scored, "cosine").filter(F.col("cosine") >= 0.35)
 
 
 @query(
