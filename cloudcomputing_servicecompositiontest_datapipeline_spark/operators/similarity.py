@@ -119,18 +119,19 @@ def _cosine_rounded(dot: F.Column, na: F.Column, nb: F.Column, mult: float) -> F
     return F.when(na * nb > 0, F.floor(dot / (na * nb) * mult + 0.5) / mult)
 
 
-def brute_force_topk(
+def brute_force_scores(
     corpus: DataFrame,
     queries: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 3,
 ) -> DataFrame:
-    """X3 exact baseline: score every (query, candidate) pair, keep top-k per
-    query with a deterministic id tiebreak.  The query side is broadcast, the
-    corpus is never shuffled (linear scan), and per-vector norms are
-    precomputed outside the pair loop."""
+    """Every guard-surviving (query_id, cand_id, cosine) pair — the exact
+    score table.  Split out of :func:`brute_force_topk` so the ANN evals can
+    compute it ONCE and re-join it from every arm (the oracle's ``bf`` CTE
+    shape): an arm's candidates are a subset of these pairs, so an INNER
+    join both attaches the identical cosine and reproduces the guard drop
+    without re-running the 64-wide decimal fold per candidate occurrence."""
     mult = 1000000.0
     q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
     c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
@@ -146,7 +147,7 @@ def brute_force_topk(
     # shorter side) NULL the dot while both norms stay positive, so without
     # it a ragged pair would survive with a NULL cosine that the old
     # cosine-IS-NOT-NULL form dropped.  size() is O(1) per pair.
-    scored = (
+    return (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -162,11 +163,33 @@ def brute_force_topk(
             ).alias("cosine"),
         )
     )
+
+
+def topk_from_scores(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per query over a (query_id, cand_id, cosine)
+    score table — the ranking half of :func:`brute_force_topk`."""
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """X3 exact baseline: score every (query, candidate) pair, keep top-k per
+    query with a deterministic id tiebreak.  The query side is broadcast, the
+    corpus is never shuffled (linear scan), and per-vector norms are
+    precomputed outside the pair loop."""
+    return topk_from_scores(
+        brute_force_scores(corpus, queries, id_col=id_col, vec_col=vec_col), k
     )
 
 
@@ -503,9 +526,14 @@ def ivf_topk(
     seed: int = 42,
     centers=None,
     exact_assign: bool = False,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """X3 IVF variant: k-means coarse quantizer → inverted lists by centroid →
     each query probes its ``n_probe`` nearest lists only.
+
+    ``scores`` (optional): precomputed :func:`brute_force_scores` over the
+    same corpus/queries — candidates skip the per-pair cosine fold and
+    attach scores by inner join (see :func:`lsh_topk`).
 
     ``centers`` (optional) injects a pre-trained centroid list — callers
     sweeping ``n_probe`` (which only changes query-time probing, never the
@@ -531,9 +559,14 @@ def ivf_topk(
     # NULL vectors are unindexable (and a None crossing into the driver-side
     # trainer is not iterable — one bad row must not kill the index build);
     # drop them here, row-local, before anything touches numpy
-    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).where(
-        F.col("cand_vec").isNotNull()
-    )
+    if scores is None:
+        c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
+    else:
+        # score table supplied — assignment only, no norm folds
+        c = ensure_parallelism(corpus).select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+        )
+    c = c.where(F.col("cand_vec").isNotNull())
     if centers is None:
         centers = train_ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, seed=seed
@@ -548,9 +581,29 @@ def ivf_topk(
         # a wrong-dimension vector would poison the zip_with distance fold
         # (silently short-zips) — exclude it like a NULL
         assigned = assigned.where(F.size("cand_vec") == dim)
-    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    if scores is None:
+        q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    else:
+        q = ensure_parallelism(queries).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
     if dim is not None:
         q = q.where(F.size("query_vec") == dim)
+    if scores is not None:
+        # every guard-surviving probed pair is in the score table with the
+        # identical cosine; guard-dropped pairs are absent — the inner join
+        # reproduces the norm/size filter (see lsh_topk)
+        probes = q.select(
+            "query_id", F.explode(argmin(F.col("query_vec"), centers, n_probe)).alias("centroid")
+        )
+        scored = (
+            F.broadcast(probes)
+            .join(assigned.select("cand_id", "centroid"), "centroid")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id")
+            .join(scores, ["query_id", "cand_id"])
+        )
+        return topk_from_scores(scored, k)
     probes = q.select(
         "query_id",
         "query_vec",
@@ -580,12 +633,7 @@ def ivf_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-    )
+    return topk_from_scores(scored, k)
 
 
 def lsh_topk(
@@ -599,6 +647,7 @@ def lsh_topk(
     dim: int = 64,
     tables: int = 1,
     hash_fn: str = "xxhash64",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """X3 scale path: bucket both sides by hyperplane signs, score only
     same-bucket pairs.  At 100 TB the corpus is written bucketed/partitioned
@@ -612,11 +661,26 @@ def lsh_topk(
     tables scores once (distinct before ranking).
 
     ``hash_fn`` selects the hyperplane family: ``xxhash64`` (production) or
-    ``md5_32`` (engine-portable — see :func:`_hyperplane_sign`)."""
+    ``md5_32`` (engine-portable — see :func:`_hyperplane_sign`).
+
+    ``scores`` (optional) is a precomputed :func:`brute_force_scores` table
+    over the SAME corpus/queries: candidates then skip the per-occurrence
+    cosine fold and INNER-join their (query_id, cand_id) set against it —
+    identical rows (every guard-surviving same-bucket pair appears in the
+    score table with the identical cosine; guard-dropped pairs are absent,
+    reproducing the filter), used by the ANN evals that already pay for the
+    full score table in their truth arm."""
     mult = 1000000.0
 
     def with_buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
-        base = _with_norm(df, id_out, vec_out, id_col, vec_col)
+        base = (
+            _with_norm(df, id_out, vec_out, id_col, vec_col)
+            if scores is None
+            # score table supplied — buckets only, no norm folds
+            else ensure_parallelism(df).select(
+                F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out)
+            )
+        )
         tb = F.explode(
             _bucket_structs(
                 F.col(vec_out), planes=planes, dim=dim, tables=tables, hash_fn=hash_fn
@@ -628,6 +692,16 @@ def lsh_topk(
 
     q = with_buckets(queries, "query_id", "query_vec")
     c = with_buckets(corpus, "cand_id", "cand_vec")
+    if scores is not None:
+        scored = (
+            F.broadcast(q.select("query_id", "tbl", "bits"))
+            .join(c.select("cand_id", "tbl", "bits"), ["tbl", "bits"])
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id")
+            .distinct()
+            .join(scores, ["query_id", "cand_id"])
+        )
+        return topk_from_scores(scored, k)
     dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
     # norm-product guard instead of a cosine NULL filter: see
     # brute_force_topk — keeps the decimal fold out of the join condition
@@ -648,12 +722,7 @@ def lsh_topk(
         )
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-    )
+    return topk_from_scores(scored, k)
 
 
 def lsh_topk_sweep(
@@ -667,6 +736,7 @@ def lsh_topk_sweep(
     dim: int = 64,
     tables_list=(1, 2, 4),
     hash_fn: str = "xxhash64",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-setting LSH top-k in ONE retrieval: result-identical to running
     :func:`lsh_topk` once per value in ``tables_list``, at the cost of a
@@ -678,12 +748,25 @@ def lsh_topk_sweep(
     once at the max, keep ``min(tbl)`` per pair, explode each pair into the
     settings it belongs to, and rank per (setting, query) — N sweep points
     for one scoring pass instead of re-bucketing and re-scoring the corpus
-    per point (the ann-sweep eval went ~2× faster at sf0.1)."""
+    per point (the ann-sweep eval went ~2× faster at sf0.1).
+
+    ``scores`` (optional): precomputed :func:`brute_force_scores` over the
+    same corpus/queries — see :func:`lsh_topk`.  The r11 sf1 profile showed
+    the in-arm form paying the decimal cosine fold once per pair-OCCURRENCE
+    (726k occurrences for 357k distinct pairs: 1.5 min of aggregate-input
+    CPU); with the shared table the arm dedups first and attaches cosines
+    by inner join, paying zero folds."""
     tmax = max(tables_list)
     mult = 1000000.0
 
     def with_buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
-        base = _with_norm(df, id_out, vec_out, id_col, vec_col)
+        base = (
+            _with_norm(df, id_out, vec_out, id_col, vec_col)
+            if scores is None
+            else ensure_parallelism(df).select(
+                F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out)
+            )
+        )
         tb = F.explode(
             _bucket_structs(
                 F.col(vec_out), planes=planes, dim=dim, tables=tmax, hash_fn=hash_fn
@@ -695,31 +778,42 @@ def lsh_topk_sweep(
 
     q = with_buckets(queries, "query_id", "query_vec")
     c = with_buckets(corpus, "cand_id", "cand_vec")
-    dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
-    # norm-product guard instead of a cosine NULL filter: see
-    # brute_force_topk — keeps the decimal fold out of the join condition
-    scored = (
-        F.broadcast(q)
-        .join(c, ["tbl", "bits"])
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .filter(
-            (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
-            & (F.size("query_vec") == F.size("cand_vec"))
+    if scores is not None:
+        agg = (
+            F.broadcast(q.select("query_id", "tbl", "bits"))
+            .join(c.select("cand_id", "tbl", "bits"), ["tbl", "bits"])
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.min("tbl").alias("_first_tbl"))
+            .join(scores, ["query_id", "cand_id"])
         )
-        .select(
-            "query_id",
-            "cand_id",
-            "tbl",
-            _cosine_rounded(
-                dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
-            ).alias("cosine"),
+    else:
+        dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+        # norm-product guard instead of a cosine NULL filter: see
+        # brute_force_topk — keeps the decimal fold out of the join condition
+        scored = (
+            F.broadcast(q)
+            .join(c, ["tbl", "bits"])
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .filter(
+                (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+                & (F.size("query_vec") == F.size("cand_vec"))
+            )
+            .select(
+                "query_id",
+                "cand_id",
+                "tbl",
+                _cosine_rounded(
+                    dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
+                ).alias("cosine"),
+            )
         )
-    )
-    # min(cosine) over per-table duplicates of one pair: all equal (cosine is
-    # a function of the pair), min just picks deterministically
-    agg = scored.groupBy("query_id", "cand_id").agg(
-        F.min("tbl").alias("_first_tbl"), F.min("cosine").alias("cosine")
-    )
+        # min(cosine) over per-table duplicates of one pair: all equal
+        # (cosine is a function of the pair), min just picks
+        # deterministically
+        agg = scored.groupBy("query_id", "cand_id").agg(
+            F.min("tbl").alias("_first_tbl"), F.min("cosine").alias("cosine")
+        )
     sets_arr = F.array(*[F.lit(int(t)) for t in sorted(set(tables_list))])
     ex = agg.select(
         "query_id",
@@ -749,6 +843,7 @@ def ivf_topk_sweep(
     seed: int = 42,
     centers=None,
     exact_assign: bool = False,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-setting IVF top-k in ONE retrieval: result-identical to running
     :func:`ivf_topk` once per value in ``n_probe_list``.  ``n_probe`` only
@@ -760,12 +855,20 @@ def ivf_topk_sweep(
 
     ``exact_assign`` mirrors :func:`ivf_topk`: decimal-exact full-distance
     assignment/probing — pair with :func:`ivf_seed_centers` for the
-    engine-portable, oracle-checkable sweep mode."""
+    engine-portable, oracle-checkable sweep mode.
+
+    ``scores`` (optional): precomputed :func:`brute_force_scores` over the
+    same corpus/queries — candidates skip the per-pair cosine fold and
+    attach scores by inner join (see :func:`lsh_topk`)."""
     pmax = max(n_probe_list)
     mult = 1000000.0
-    c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col).where(
-        F.col("cand_vec").isNotNull()
-    )
+    if scores is None:
+        c = _with_norm(corpus, "cand_id", "cand_vec", id_col, vec_col)
+    else:
+        c = ensure_parallelism(corpus).select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+        )
+    c = c.where(F.col("cand_vec").isNotNull())
     if centers is None:
         centers = train_ivf_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, seed=seed
@@ -777,39 +880,59 @@ def ivf_topk_sweep(
     )
     if dim is not None:
         assigned = assigned.where(F.size("cand_vec") == dim)
-    q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    if scores is None:
+        q = _with_norm(queries, "query_id", "query_vec", id_col, vec_col)
+    else:
+        q = ensure_parallelism(queries).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
     if dim is not None:
         # same wrong-dimension exclusion as ivf_topk: a short-zipped probe
         # distance would silently mis-rank the probe list
         q = q.where(F.size("query_vec") == dim)
-    probes = q.select(
-        "query_id",
-        "query_vec",
-        "query_vec_norm",
-        F.posexplode(
-            argmin(F.col("query_vec"), centers, pmax)
-        ).alias("_pos", "centroid"),
-    )
-    dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
-    # norm-product guard instead of a cosine NULL filter: see
-    # brute_force_topk — keeps the decimal fold out of the join condition
-    scored = (
-        F.broadcast(probes)
-        .join(assigned, "centroid")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .filter(
-            (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
-            & (F.size("query_vec") == F.size("cand_vec"))
-        )
-        .select(
+    if scores is not None:
+        probes = q.select(
             "query_id",
-            "cand_id",
-            "_pos",
-            _cosine_rounded(
-                dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
-            ).alias("cosine"),
+            F.posexplode(argmin(F.col("query_vec"), centers, pmax)).alias(
+                "_pos", "centroid"
+            ),
         )
-    )
+        scored = (
+            F.broadcast(probes)
+            .join(assigned.select("cand_id", "centroid"), "centroid")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", "_pos")
+            .join(scores, ["query_id", "cand_id"])
+        )
+    else:
+        probes = q.select(
+            "query_id",
+            "query_vec",
+            "query_vec_norm",
+            F.posexplode(
+                argmin(F.col("query_vec"), centers, pmax)
+            ).alias("_pos", "centroid"),
+        )
+        dot = _dot_dec(F.col("query_vec"), F.col("cand_vec")).cast("double")
+        # norm-product guard instead of a cosine NULL filter: see
+        # brute_force_topk — keeps the decimal fold out of the join condition
+        scored = (
+            F.broadcast(probes)
+            .join(assigned, "centroid")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .filter(
+                (F.col("query_vec_norm") * F.col("cand_vec_norm") > 0)
+                & (F.size("query_vec") == F.size("cand_vec"))
+            )
+            .select(
+                "query_id",
+                "cand_id",
+                "_pos",
+                _cosine_rounded(
+                    dot, F.col("query_vec_norm"), F.col("cand_vec_norm"), mult
+                ).alias("cosine"),
+            )
+        )
     sets_arr = F.array(*[F.lit(int(p)) for p in sorted(set(n_probe_list))])
     ex = scored.select(
         "query_id",

@@ -1880,16 +1880,21 @@ def similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = star.table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     k = 5
-    truth = sim.brute_force_topk(emb, q, k=k).select("query_id", "cand_id")
+    # shared brute-force score table — see similarity_ann_sweep: the truth
+    # arm needs every pair scored anyway, so both ANN arms re-join it
+    # instead of re-running the decimal cosine fold per candidate
+    bf = sim.brute_force_scores(emb, q).localCheckpoint(eager=False)
+    truth = sim.topk_from_scores(bf, k=k).select("query_id", "cand_id")
     centers = sim.ivf_seed_centers(emb, n_centroids=8, seed=42)
     lsh = _ann_recall(
         truth, "lsh",
-        sim.lsh_topk(emb, q, k=k, planes=2, dim=_ANN_DIM, tables=4, hash_fn="md5_32"),
+        sim.lsh_topk(emb, q, k=k, planes=2, dim=_ANN_DIM, tables=4,
+                     hash_fn="md5_32", scores=bf),
     )
     ivf = _ann_recall(
         truth, "ivf",
         sim.ivf_topk(emb, q, k=k, n_centroids=8, n_probe=4, centers=centers,
-                     exact_assign=True),
+                     exact_assign=True, scores=bf),
     )
     return lsh.unionByName(ivf).orderBy("method")
 
@@ -2007,7 +2012,16 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20)
     k = 5
     lsh_settings, ivf_settings = (1, 4, 8), (1, 2, 4)
-    truth = sim.brute_force_topk(emb, q, k=k).select("query_id", "cand_id")
+    # ONE brute-force score table shared by the truth arm AND both sweep
+    # arms (the oracle's own `bf` CTE shape): the arms' candidates are a
+    # subset of these pairs, so re-joining the table replaces their
+    # per-candidate-occurrence decimal cosine folds — the r10 verdict's
+    # item 4, re-decided at sf1 where the in-arm folds were 1.5 min of
+    # aggregate-input CPU (726k occurrences).  localCheckpoint materializes
+    # the table once per execution (within-single-execution reuse, the
+    # cluster_canonical pattern — nothing persists across runs).
+    bf = sim.brute_force_scores(emb, q).localCheckpoint(eager=False)
+    truth = sim.topk_from_scores(bf, k=k).select("query_id", "cand_id")
     # one retrieval per METHOD, not per sweep point: the *_sweep operators
     # bucket/probe once at the widest setting and explode each pair into
     # the settings that reach it (result-identical to per-point runs; the
@@ -2016,13 +2030,13 @@ def similarity_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = (
         sim.lsh_topk_sweep(
             emb, q, k=k, planes=2, dim=_ANN_DIM, tables_list=lsh_settings,
-            hash_fn="md5_32",
+            hash_fn="md5_32", scores=bf,
         )
         .select(F.lit("lsh").alias("method"), "setting", "query_id", "cand_id")
         .unionByName(
             sim.ivf_topk_sweep(
                 emb, q, k=k, n_centroids=8, n_probe_list=ivf_settings,
-                centers=centers, exact_assign=True,
+                centers=centers, exact_assign=True, scores=bf,
             ).select(F.lit("ivf").alias("method"), "setting", "query_id", "cand_id")
         )
     )
