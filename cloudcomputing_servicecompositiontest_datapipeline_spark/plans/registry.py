@@ -42,14 +42,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: streaming batch-twins, percentile/pivot.  Everything stays registered and
 #: locally gated (tools/check.py) regardless of window position.
 DRIVER_WINDOW: list[str] = [
-    # r10 window: zero r9 FAILs and zero changed-plan queries to lead with,
-    # so the whole window is vintage refresh — the 39 remaining r5-vintage
-    # oracle-backed rows, then the oldest r6 rows (generated by
-    # tools/window_rotate.py from CORRECTNESS_r01..r09).  Rows-only queries
-    # (no oracle_sql entry: streaming batch-twins, learned-BPE outputs,
-    # zlib ratio, multimodal) are DEFERRED from the window entirely — the
-    # driver can only mark them no_oracle, so a slot spent on one buys no
-    # hash evidence (r9 verdict) — all 50 slots below are oracle-backed.
+    # r11 window (tools/window_rotate.py over CORRECTNESS_r01..r10):
+    # CHANGED-PLAN queries first — the 16 queries this optimization round
+    # restructured (ngram block-col pass-through, winnow intersect fence +
+    # binary grams, embedding-cosine fence, semantic block pass-through,
+    # ANN shared-score table) lead so the driver re-attests their hashes on
+    # the new plans — then the oldest-vintage r6 rows.  Rows-only queries
+    # (no oracle_sql entry) stay DEFERRED: a slot spent on one buys no hash
+    # evidence (r9 verdict) — all 50 slots below are oracle-backed, and no
+    # query failing in CORRECTNESS_r10 was rotated out (none failed).
+    # --- changed this round (r11)
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
+    "corpus_curation_pipeline",
+    "split_leakage_safe",
+    "dedup_lsh_eval",
+    "dedup_winnow_verified",
+    "dedup_winnow_containment",
+    "dedup_winnow_clusters",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
+    "similarity_ann_sweep",
+    "similarity_ann_eval",
+    "similarity_bruteforce_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_quantized_recall",
+    # --- oldest driver record r6
+    "events_outliers_robust",
+    "events_rolling_rate",
+    "funnel_click_to_purchase",
+    "having_filter",
+    "join_config_stamp",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi_anti",
+    "overlap_global_binned",
+    "q4_order_priority_check",
+    "report_cold_start_count",
+    "report_combine_sheets",
+    "report_dedup_containers",
+    "report_derive_row",
+    "report_group_avg",
+    "report_group_sum",
+    "report_invalidator_warmup",
+    "report_show_as_list",
+    "report_summary_cost",
+    "report_tenancy_histogram",
+    "report_union_sentinel",
+    "report_validity_gate",
+    "report_variance_uses",
+    "retention_week_over_week",
+    "rollup_region_nation",
+    "setop_except",
+    "setop_intersect",
+    "sketch_quantile_rollup",
+    "skew_salted_agg",
+    "tlq_dedup_first_wins",
+    "tlq_processing_time_stats",
+    "tlq_transform",
+    "window_lag_lead",
+    "window_range_frame",
+]
+#: r12 queue head (window_rotate.py): window_rank_kinds,
+#: curation_batch_by_length, curation_quantile_map, curation_temporal_split,
+#: dedup_against_corpus, dedup_passages, dedup_simhash, dedup_span_coverage,
+#: docs_join_embeddings, inspector_nested_poll_agg, ... — then the r7/r8
+#: vintages, and the rows-only set last once everything oracle-backed is
+#: fresher.
+_R10_WINDOW_RETIRED: list[str] = [
+    # kept for the record: the r10 window this rotation replaced (all 50
+    # were driver-attested green in CORRECTNESS_r10)
     # --- latest driver record r5
     "curation_concentration",
     "curation_importance_weights",
@@ -103,12 +166,6 @@ DRIVER_WINDOW: list[str] = [
     "events_cusum_shifts",
     "events_mad_by_type",
 ]
-# r11 queue head (window_rotate.py): events_outliers_robust,
-# events_rolling_rate, funnel_click_to_purchase, having_filter,
-# join_config_stamp, join_full_outer, join_left_outer, join_semi_anti,
-# overlap_global_binned, q4_order_priority_check, ... — then the r7/r8
-# vintages, and the rows-only set last once everything oracle-backed is
-# fresher.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
