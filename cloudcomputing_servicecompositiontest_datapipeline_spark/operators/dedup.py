@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sources.star import ensure_parallelism
+from ..sources.star import ensure_parallelism, stage_barrier
 
 
 def normalized_text(col: F.Column) -> F.Column:
@@ -78,14 +78,22 @@ def ngram_jaccard_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
-    union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
-    jac = inter.cast("double") / union
+    # Intersect ONCE per pair, behind a fence (the winnow_verify r11 class):
+    # the threshold otherwise pushes into the self-join condition and
+    # survivors re-evaluate in the project.  Token sets are per-row
+    # DISTINCT, so |A∪B| = |A|+|B| − |A∩B| and the array_union pass drops.
+    staged = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).alias("_inter"),
+        (F.size(F.col("a.tokens")) + F.size(F.col("b.tokens"))).alias("_tot"),
+    )
+    staged = stage_barrier(staged, "_inter")
+    jac = F.col("_inter").cast("double") / (F.col("_tot") - F.col("_inter"))
     return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        staged.select(
+            "id_a",
+            "id_b",
             (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -381,12 +389,27 @@ def minhash_near_dups(
     )
     ta = sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("items", "items_a")
     tb = sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("items", "items_b")
-    inter = F.size(F.array_intersect("items_a", "items_b"))
-    union = F.size(F.array_union("items_a", "items_b"))
-    return (
+    # Intersect ONCE per pair, behind a fence (the winnow_verify r11 class):
+    # expressing jaccard directly let the threshold filter push into the
+    # verify join's CONDITION, re-evaluating intersect+union per pair there
+    # and again per survivor in the project.  |A∪B| = |A|+|B| − |A∩B| for
+    # the per-doc DISTINCT shingle sets, so the array_union pass drops
+    # entirely — same value, half the array work.
+    staged = (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
         .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("items_a", "items_b")).alias("_inter"),
+            (F.size("items_a") + F.size("items_b")).alias("_tot"),
+        )
+    )
+    staged = stage_barrier(staged, "_inter")
+    inter = F.col("_inter")
+    union = F.col("_tot") - inter
+    return (
+        staged.select(
             "id_a",
             "id_b",
             (F.floor(inter.cast("double") / union * 1000000 + 0.5) / 1000000).alias(
