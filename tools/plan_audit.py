@@ -67,6 +67,9 @@ ALLOWLIST = {
     # brute-force ANN baseline: broadcast(queries) x linear corpus scan —
     # the documented exact twin; LSH/IVF are the scale paths
     "similarity_bruteforce_topk": ("BroadcastNestedLoopJoin", "broadcast query set, corpus scanned once"),
+    # CPU-scaling probe (r11): broadcast 20-query panel x 10x in-plan
+    # amplified corpus scan — deliberately compute-bound measurement query
+    "similarity_bruteforce_scale_probe": ("BroadcastNestedLoopJoin", "broadcast query panel x amplified corpus, scaling probe"),
     # exact all-pairs cosine on a bounded 200-vector subset (oracle twin of
     # the LSH/IVF-bucketed scale path)
     "dedup_embedding_cosine": ("BroadcastNestedLoopJoin", "bounded exact twin of bucketed semantic dedup"),
